@@ -1,0 +1,173 @@
+"""Integer-array codecs: plain / constant / frame-of-reference+bit-pack /
+delta+zigzag+bit-pack / run-length+bit-pack, all with opportunistic zstd
+post-compression.
+
+These are the lightweight per-column codecs the north rule requires for the
+``tokens`` (list<int32> values), ``n_tok`` and list-offset columns. Pure
+NumPy, no per-value Python loops. Every codec is exactly invertible
+(bit-identical round-trip), mirroring the reference's "typed column ↔ packed
+representation" invariant (reference explode/pack passes,
+howard/objects/variants.py:1771-1986 and :8465-8481) at the buffer level.
+
+Meta dicts are JSON-serializable so they can live in the block footer
+(the analog of the reference's ``.hdr`` sidecar schema,
+howard/objects/variants.py:2351-2444).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitpack import bit_width, pack_bits, unpack_bits
+from .zstd import maybe_post_compress, maybe_post_decompress
+
+INT_CODECS = ("plain", "constant", "for_bitpack", "delta_bitpack", "rle_bitpack")
+
+
+def _as_i64(vals: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(vals, dtype=np.int64)
+
+
+def encode_ints(vals: np.ndarray, codec: str, post_zstd: bool = True) -> tuple[bytes, dict]:
+    """Encode an integer ndarray with the named codec → (payload, meta)."""
+    vals = np.asarray(vals)
+    if vals.dtype.kind not in "iu":
+        raise TypeError(f"int codec on dtype {vals.dtype}")
+    meta: dict = {"codec": codec, "n": int(vals.size), "dtype": vals.dtype.str}
+    if vals.size == 0:
+        meta["codec"] = "constant"
+        meta["value"] = 0
+        return b"", meta
+
+    if codec == "constant":
+        v0 = int(vals[0])
+        if not bool(np.all(vals == vals[0])):
+            raise ValueError("constant codec on non-constant array")
+        meta["value"] = v0
+        return b"", meta
+
+    if codec == "plain":
+        payload = _as_i64(vals).tobytes() if vals.dtype.itemsize != 8 else np.ascontiguousarray(vals).tobytes()
+        meta["plain_dtype"] = "<i8" if vals.dtype.itemsize != 8 else vals.dtype.str
+    elif codec == "for_bitpack":
+        payload = _encode_for(vals, meta)
+    elif codec == "delta_bitpack":
+        payload = _encode_delta(vals, meta)
+    elif codec == "rle_bitpack":
+        payload = _encode_rle(vals, meta)
+    else:
+        raise ValueError(f"unknown int codec {codec}")
+    if post_zstd:
+        payload = maybe_post_compress(payload, meta)
+    return payload, meta
+
+
+def decode_ints(payload: bytes, meta: dict) -> np.ndarray:
+    codec, n = meta["codec"], meta["n"]
+    out_dtype = np.dtype(meta["dtype"])
+    if codec == "constant":
+        return np.full(n, meta["value"], dtype=out_dtype)
+    payload = maybe_post_decompress(payload, meta)
+    if codec == "plain":
+        vals = np.frombuffer(payload, dtype=np.dtype(meta["plain_dtype"]))
+    elif codec == "for_bitpack":
+        vals = _decode_for(payload, meta)
+    elif codec == "delta_bitpack":
+        vals = _decode_delta(payload, meta)
+    elif codec == "rle_bitpack":
+        vals = _decode_rle(payload, meta)
+    else:
+        raise ValueError(f"unknown int codec {codec}")
+    return vals.astype(out_dtype, copy=False)
+
+
+# --- frame of reference + bitpack ---
+
+def _for_width(vals: np.ndarray) -> tuple[int, int, int]:
+    lo = int(vals.min())
+    hi = int(vals.max())
+    return lo, hi, bit_width(hi - lo)
+
+
+def _encode_for(vals: np.ndarray, meta: dict) -> bytes:
+    v = _as_i64(vals)
+    lo, hi, w = _for_width(v)
+    if w > 63:  # range doesn't fit; degrade to plain
+        meta["codec"] = "plain"
+        meta["plain_dtype"] = "<i8"
+        return v.tobytes()
+    meta["ref"] = lo
+    meta["width"] = w
+    return pack_bits((v - lo).view(np.uint64), w)
+
+
+def _decode_for(payload: bytes, meta: dict) -> np.ndarray:
+    u = unpack_bits(payload, meta["n"], meta["width"])
+    return (u.view(np.int64) + meta["ref"])
+
+
+# --- delta + zigzag + bitpack (sorted / smooth sequences, e.g. offsets) ---
+
+def _zigzag(d: np.ndarray) -> np.ndarray:
+    return ((d << 1) ^ (d >> 63)).view(np.uint64)
+
+
+def _unzigzag(z: np.ndarray) -> np.ndarray:
+    zi = z.view(np.int64)
+    return (z >> np.uint64(1)).view(np.int64) ^ -(zi & 1)
+
+
+def _encode_delta(vals: np.ndarray, meta: dict) -> bytes:
+    v = _as_i64(vals)
+    meta["first"] = int(v[0])
+    d = np.diff(v)
+    if d.size == 0:
+        meta["width"] = 0
+        return b""
+    z = _zigzag(d)
+    w = bit_width(int(z.max()))
+    if w > 63:
+        meta["codec"] = "plain"
+        meta["plain_dtype"] = "<i8"
+        meta.pop("first", None)
+        return v.tobytes()
+    meta["width"] = w
+    return pack_bits(z, w)
+
+
+def _decode_delta(payload: bytes, meta: dict) -> np.ndarray:
+    n = meta["n"]
+    out = np.empty(n, dtype=np.int64)
+    out[0] = meta["first"]
+    if n > 1:
+        z = unpack_bits(payload, n - 1, meta["width"])
+        out[1:] = _unzigzag(z)
+        np.cumsum(out, out=out)
+    return out
+
+
+# --- run-length encode (run values + run lengths, each FOR+bitpacked) ---
+
+def _encode_rle(vals: np.ndarray, meta: dict) -> bytes:
+    v = _as_i64(vals)
+    boundaries = np.flatnonzero(v[1:] != v[:-1]) + 1
+    starts = np.concatenate(([0], boundaries))
+    run_vals = v[starts]
+    run_lens = np.diff(np.concatenate((starts, [v.size])))
+    pv, mv = encode_ints(run_vals, "for_bitpack", post_zstd=False)
+    pl, ml = encode_ints(run_lens, "for_bitpack", post_zstd=False)
+    meta["vals_meta"] = mv
+    meta["lens_meta"] = ml
+    meta["parts"] = [len(pv), len(pl)]
+    return pv + pl
+
+
+def _decode_rle(payload: bytes, meta: dict) -> np.ndarray:
+    n1, _ = meta["parts"]
+    run_vals = decode_ints(payload[:n1], meta["vals_meta"])
+    run_lens = decode_ints(payload[n1:], meta["lens_meta"])
+    return np.repeat(run_vals, run_lens)
+
+
+def is_constant(vals: np.ndarray) -> bool:
+    return vals.size == 0 or bool(np.all(vals == vals.flat[0]))

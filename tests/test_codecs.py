@@ -1,0 +1,119 @@
+"""Codec round-trip unit tests (no Ray needed).
+
+Reference test style: inline golden assertions per operator
+(/root/reference/tests/test_variants_annotations_parquet.py:75-101); here the
+invariant is decode(encode(x)) bit-identical (BASELINE.json input_hint).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from howard_ray.codecs import (
+    FsstNotApplicable,
+    decode_ints,
+    decode_strings,
+    encode_ints,
+    encode_strings,
+    fsst_decode,
+    fsst_encode,
+    pack_bits,
+    unpack_bits,
+)
+
+rng = np.random.default_rng(42)
+
+INT_ARRAYS = [
+    np.arange(1000, dtype=np.int32),
+    rng.integers(0, 50257, 10_000).astype(np.int32),
+    np.zeros(500, dtype=np.int32),
+    np.array([7], dtype=np.int32),
+    np.array([], dtype=np.int32),
+    np.repeat(rng.integers(0, 50, 40), rng.integers(1, 30, 40)).astype(np.int32),
+    rng.integers(-(2**31), 2**31 - 1, 5000).astype(np.int32),
+    np.array([np.iinfo(np.int32).min, np.iinfo(np.int32).max], dtype=np.int32),
+    np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0], dtype=np.int64),
+    np.cumsum(rng.integers(0, 4096, 2000)).astype(np.int64),  # offsets-like
+]
+
+
+@pytest.mark.parametrize("width", [0, 1, 3, 8, 13, 17, 32, 57, 63])
+def test_pack_bits_roundtrip(width):
+    n = 777
+    vals = rng.integers(0, 2**width if width else 1, n, dtype=np.uint64) if width else np.zeros(n, np.uint64)
+    out = unpack_bits(pack_bits(vals, width), n, width)
+    np.testing.assert_array_equal(out, vals)
+
+
+@pytest.mark.parametrize("codec", ["plain", "for_bitpack", "delta_bitpack", "rle_bitpack"])
+@pytest.mark.parametrize("i", range(len(INT_ARRAYS)))
+def test_int_roundtrip(codec, i):
+    arr = INT_ARRAYS[i]
+    payload, meta = encode_ints(arr, codec)
+    out = decode_ints(payload, meta)
+    assert out.dtype == arr.dtype
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_constant_codec():
+    arr = np.full(10_000, 42, dtype=np.int32)
+    payload, meta = encode_ints(arr, "constant")
+    assert payload == b""
+    np.testing.assert_array_equal(decode_ints(payload, meta), arr)
+    with pytest.raises(ValueError):
+        encode_ints(np.array([1, 2]), "constant")
+
+
+def test_rle_beats_plain_on_runs():
+    arr = np.repeat(np.arange(100, dtype=np.int32), 1000)
+    p_rle, _ = encode_ints(arr, "rle_bitpack", post_zstd=False)
+    p_plain, _ = encode_ints(arr, "plain", post_zstd=False)
+    assert len(p_rle) < len(p_plain) / 50
+
+
+STRING_ARRAYS = [
+    ["web/doc-%012d" % i for i in range(2000)],
+    ["web", "books", "code"] * 700,
+    [""],
+    [],
+    ["", "a", "", "bb", ""],
+    ["héllo wörld", "日本語テキスト", "emoji 🎉🎉"] * 10,
+]
+
+
+@pytest.mark.parametrize("codec", ["plain_str", "dict_str"])
+@pytest.mark.parametrize("i", range(len(STRING_ARRAYS)))
+def test_str_roundtrip(codec, i):
+    arr = pa.array(STRING_ARRAYS[i], type=pa.string())
+    payload, meta = encode_strings(arr, codec)
+    out = decode_strings(payload, meta)
+    assert out.to_pylist() == STRING_ARRAYS[i]
+
+
+def test_fsst_roundtrip_and_ratio():
+    docs = ["web/doc-%012d" % i for i in range(5000)]
+    payload, meta = fsst_encode([d.encode() for d in docs], post_zstd=False)
+    out = fsst_decode(payload, meta)
+    assert [b.decode() for b in out] == docs
+    raw = sum(len(d) for d in docs)
+    assert len(payload) < raw * 0.7  # symbol table must actually compress
+
+
+def test_fsst_via_dispatch():
+    arr = pa.array(["code/doc-%09d" % (i * 7) for i in range(1000)])
+    payload, meta = encode_strings(arr, "fsst")
+    out = decode_strings(payload, meta)
+    assert out.to_pylist() == arr.to_pylist()
+
+
+def test_fsst_not_applicable_on_dense_alphabet():
+    data = [bytes(range(256))] * 10
+    with pytest.raises(FsstNotApplicable):
+        fsst_encode(data, post_zstd=False)
+
+
+def test_str_sliced_array_roundtrip():
+    base = pa.array(["x/%06d" % i for i in range(100)])
+    sl = base.slice(20, 50)
+    payload, meta = encode_strings(sl, "plain_str")
+    assert decode_strings(payload, meta).to_pylist() == sl.to_pylist()
