@@ -35,7 +35,7 @@ from .zstd import maybe_post_compress, maybe_post_decompress
 MAX_SYMBOL_LEN = 8
 MIN_SYMBOL_LEN = 2
 MAX_SYMBOLS = 200
-SAMPLE_BYTES = 1 << 16
+SAMPLE_BYTES = 1 << 14
 
 
 class FsstNotApplicable(ValueError):

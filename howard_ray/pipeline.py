@@ -1,0 +1,248 @@
+"""Ray-Data-native encode / decode pipelines.
+
+Flagship encode pipeline (north_star shape):
+
+    ray.data.read_parquet(input)                      # zero-copy Arrow scan
+      → [stats: per-source row counts, tiny pre-aggregated groupby]
+      → map_batches(add salt key, zero-copy Arrow)    # explicit skew handling
+      → groupby(['source','salt']).map_groups(encode) # THE shuffle, salted
+      → per-group encoded block files + lineage       # atomic, resumable
+      → footer.json                                   # ordered global index
+
+``mode="stream"`` skips the shuffle and encodes blocks in scan order via an
+actor-pool ``map_batches`` stage — the reference's convert path
+(read → layout change → write, /root/reference/howard/tools/convert.py:25-74).
+``mode="cluster"`` is the full pipeline: same-source rows are co-located so
+dictionary/FSST symbol tables are shared within a block, and the
+low-cardinality skewed ``source`` key (web=55%) is salted so no reducer gets
+a chromosome-sized partition (the reference's per-chromosome loops are
+skew-blind, howard/objects/variants.py:6314 — this is the fix).
+
+Resume: deterministic group membership (stable 64-bit content hash of doc_id)
+⇒ deterministic block ids and contents; a restarted job diffs the lineage
+manifest against on-disk blocks and skips completed ones
+(howard/functions/databases.py:2112-2114 generalized).
+
+Nothing here calls ray.init()/ray.shutdown() — sessions are owned by the
+caller (driver contract in /root/repo/__ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .block import (
+    TARGET_ROWS_PER_BLOCK,
+    encode_block,
+    read_block_file,
+    write_block_file,
+)
+from .manifest import (
+    append_lineage,
+    block_path,
+    completed_blocks,
+    init_store,
+    load_footer,
+    write_footer,
+)
+
+
+def stable_hash_u64(strings: pa.Array | np.ndarray) -> np.ndarray:
+    """Deterministic per-row 64-bit hash of a string column (vectorized).
+
+    pandas ``hash_array`` (SipHash-1-3 with a fixed key) is stable across
+    processes and runs — required so salted group membership, and therefore
+    block ids/contents, are identical on resume and at every parallelism
+    level.
+    """
+    obj = np.asarray(strings, dtype=object)
+    return pd.util.hash_array(obj, categorize=False)
+
+
+def _encode_tables_to_blocks(tables: list[pa.Table], store_dir: str, key: str,
+                             sort_key: str, target_rows: int,
+                             completed: dict[str, dict],
+                             input_info: str) -> list[dict]:
+    """Encode row-slices of ``tables`` into <=target_rows blocks; skip blocks
+    already completed per the manifest diff. Returns lineage records."""
+    table = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    records = []
+    n = table.num_rows
+    n_blocks = max(1, -(-n // target_rows))
+    per = -(-n // n_blocks)
+    for seq in range(n_blocks):
+        part = table.slice(seq * per, per)
+        if part.num_rows == 0:
+            continue
+        block_id = f"{key}-{seq:05d}"
+        prior = completed.get(block_id)
+        if prior is not None and prior["n_rows"] == part.num_rows:
+            records.append(prior)  # resume: skip finished block
+            continue
+        t0 = time.perf_counter()
+        file_bytes, meta = encode_block(part, block_id)
+        write_block_file(block_path(store_dir, block_id), file_bytes)
+        rec = {
+            "block_id": block_id,
+            "sort_key": sort_key,
+            "n_rows": part.num_rows,
+            "raw_bytes": part.nbytes,
+            "encoded_bytes": len(file_bytes),
+            "codecs": {c: e.get("meta", e.get("val_meta", {})).get("codec", e["kind"])
+                       for c, e in meta["columns"].items()},
+            "crc32": zlib.crc32(file_bytes),
+            "input": input_info,
+            "encode_sec": round(time.perf_counter() - t0, 4),
+        }
+        append_lineage(store_dir, rec)
+        records.append(rec)
+    return records
+
+
+def _records_table(records: list[dict]) -> pa.Table:
+    return pa.table({"record": pa.array([json.dumps(r) for r in records],
+                                        type=pa.string())})
+
+
+class BlockEncoder:
+    """Actor-pool encode stage for ``mode="stream"`` (stateful stage shape:
+    setup once per actor in __init__, work per batch — the reference's
+    genome/bigwig-handle actors, howard/objects/variants.py:8128, :3522)."""
+
+    def __init__(self, store_dir: str, target_rows: int, completed: dict[str, dict]):
+        self.store_dir = store_dir
+        self.target_rows = target_rows
+        self.completed = completed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _records_table([])
+        # content-derived deterministic block id (batch boundaries are
+        # deterministic for a fixed input + batch_size in scan order)
+        first = batch["doc_id"][0].as_py()
+        h = stable_hash_u64(batch["doc_id"])
+        key = f"s{np.bitwise_xor.reduce(h):016x}"
+        recs = _encode_tables_to_blocks(
+            [batch], self.store_dir, key, sort_key=first,
+            target_rows=self.target_rows, completed=self.completed,
+            input_info=f"stream:{first}:{batch.num_rows}")
+        return _records_table(recs)
+
+
+def _per_source_counts(ds: ray.data.Dataset) -> dict[str, int]:
+    """Tiny stats pass: per-batch partial counts → small groupby (the
+    pre-aggregate-then-shuffle rule; analog of the reference's per-chrom
+    planning query, howard/objects/variants.py:6290-6306)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vc = pc.value_counts(batch["source"])
+        return pa.table({"source": vc.field("values"),
+                         "cnt": vc.field("counts")})
+    parts = ds.select_columns(["source"]).map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    out = parts.groupby("source").aggregate(Sum("cnt", alias_name="rows")).take_all()
+    return {r["source"]: int(r["rows"]) for r in out}
+
+
+def encode_dataset(
+    input_path: str | list[str],
+    store_dir: str,
+    *,
+    mode: str = "cluster",
+    target_rows: int = TARGET_ROWS_PER_BLOCK,
+    concurrency: int | None = None,
+    resume: bool = True,
+    columns: list[str] | None = None,
+) -> dict:
+    """Run the encode pipeline; returns the footer dict (global index)."""
+    init_store(store_dir)
+    completed = completed_blocks(store_dir) if resume else {}
+    ds = ray.data.read_parquet(input_path, columns=columns)
+    t0 = time.perf_counter()
+
+    if mode == "stream":
+        rec_ds = ds.map_batches(
+            BlockEncoder,
+            fn_constructor_args=(store_dir, target_rows, completed),
+            batch_size=target_rows,
+            batch_format="pyarrow",
+            concurrency=concurrency or 8,
+            num_cpus=1,
+        )
+    elif mode == "cluster":
+        counts = _per_source_counts(ds)
+        salts = {s: max(1, -(-c // target_rows)) for s, c in counts.items()}
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            n_salt = np.array([salts.get(s, 1) for s in batch["source"].to_pylist()],
+                              dtype=np.uint64)
+            h = stable_hash_u64(batch["doc_id"])
+            return batch.append_column("salt", pa.array((h % n_salt).astype(np.int64)))
+
+        def encode_group(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return _records_table([])
+            source = group["source"][0].as_py()
+            salt = group["salt"][0].as_py()
+            body = group.drop_columns(["salt"])
+            key = f"{source}-{salt:05d}"
+            recs = _encode_tables_to_blocks(
+                [body], store_dir, key, sort_key=f"{source}/{salt:05d}",
+                target_rows=target_rows, completed=completed,
+                input_info=f"cluster:{source}:{salt}")
+            return _records_table(recs)
+
+        rec_ds = (
+            ds.map_batches(add_salt, batch_format="pyarrow")
+              .groupby(["source", "salt"])
+              .map_groups(encode_group, batch_format="pyarrow")
+        )
+    else:
+        raise ValueError(f"unknown mode {mode}")
+
+    records = [json.loads(r["record"]) for r in rec_ds.take_all()]
+    wall = time.perf_counter() - t0
+    raw_bytes = sum(r["raw_bytes"] for r in records)
+    footer = write_footer(store_dir, records, extra={
+        "mode": mode,
+        "wall_sec": round(wall, 4),
+        "raw_bytes": raw_bytes,
+        "throughput_gbps": round(raw_bytes / max(wall, 1e-9) / 1e9, 4),
+    })
+    return footer
+
+
+def decode_store(store_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Decode an encoded store back to a lazy Dataset (block-parallel)."""
+    footer = load_footer(store_dir)
+    paths = [{"path": block_path(store_dir, b["block_id"])} for b in footer["blocks"]]
+
+    def decode_one(batch: pa.Table) -> list[pa.Table]:
+        return [read_block_file(p.as_py(), columns) for p in batch["path"]]
+
+    def decode_flat(batch: pa.Table) -> pa.Table:
+        tables = decode_one(batch)
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return ray.data.from_items(paths).map_batches(
+        decode_flat, batch_size=1, batch_format="pyarrow")
+
+
+def store_total_bytes(store_dir: str) -> int:
+    """Total on-disk size of blocks + manifest + footer (the honest number
+    compared against Parquet+zstd in the size gate)."""
+    total = 0
+    for root, _, files in os.walk(store_dir):
+        for f in files:
+            if f.endswith(".tmp"):
+                continue
+            total += os.path.getsize(os.path.join(root, f))
+    return total
