@@ -174,7 +174,10 @@ def encode_dataset(
             fn_constructor_args=(store_dir, target_rows, completed),
             batch_size=target_rows,
             batch_format="pyarrow",
-            concurrency=concurrency or 8,
+            # autoscaling pool (min, max): never deadlocks when the cluster
+            # has fewer CPUs than the max pool size
+            concurrency=(1, concurrency) if isinstance(concurrency, int)
+            else (concurrency or (1, 16)),
             num_cpus=1,
         )
     elif mode == "cluster":

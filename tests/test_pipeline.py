@@ -1,0 +1,131 @@
+"""End-to-end Ray Data pipeline tests: encode → decode → bit-identical;
+resume-from-manifest; size gate vs Parquet+zstd.
+
+Reference behaviors mirrored: convert round-trip (tools/convert.py:25-74),
+skip-if-done resume (functions/databases.py:2112-2114).
+"""
+
+import glob
+import io
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from howard_ray.fixtures import make_tokens_corpus, write_corpus
+from howard_ray.manifest import load_footer, load_manifest
+from howard_ray.pipeline import (
+    decode_store,
+    encode_dataset,
+    stable_hash_u64,
+    store_total_bytes,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_file(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    path = str(root / "tokens_corpus.parquet")
+    write_corpus(path, 5000, seed=42)
+    return path
+
+
+def _sorted_by_doc(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+def _assert_same(a: pa.Table, b: pa.Table):
+    a, b = _sorted_by_doc(a), _sorted_by_doc(b)
+    for name in a.column_names:
+        assert a[name].combine_chunks().equals(
+            b[name].cast(a[name].type).combine_chunks()), f"column {name}"
+
+
+@pytest.mark.parametrize("mode", ["stream", "cluster"])
+def test_encode_decode_roundtrip(ray_session, corpus_file, tmp_path, mode):
+    store = str(tmp_path / f"store_{mode}")
+    footer = encode_dataset(corpus_file, store, mode=mode, target_rows=1000)
+    assert footer["n_rows"] == 5000
+    decoded = decode_store(store).to_arrow_refs()
+    import ray
+    out = pa.concat_tables([ray.get(r) for r in decoded])
+    orig = pq.read_table(corpus_file)
+    _assert_same(orig, out)
+
+
+def test_cluster_mode_groups_by_source(ray_session, corpus_file, tmp_path):
+    store = str(tmp_path / "store")
+    footer = encode_dataset(corpus_file, store, mode="cluster", target_rows=1000)
+    # every block holds exactly one source (constant-codec-able)
+    for b in footer["blocks"]:
+        src = b["block_id"].rsplit("-", 2)[0]
+        assert src in {"web", "books", "code", "wiki", "news", "forum", "papers", "legal"}
+    # web (55%) must be salted into multiple groups — the skew fix
+    web_keys = {b["block_id"].rsplit("-", 1)[0] for b in footer["blocks"]
+                if b["block_id"].startswith("web-")}
+    assert len(web_keys) > 1
+
+
+def test_size_not_worse_than_parquet_zstd(ray_session, corpus_file, tmp_path):
+    store = str(tmp_path / "store")
+    encode_dataset(corpus_file, store, mode="cluster", target_rows=100_000)
+    t = pq.read_table(corpus_file)
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="zstd")
+    ours = store_total_bytes(store)
+    theirs = buf.getbuffer().nbytes
+    assert ours <= theirs, f"encoded store {ours} > parquet+zstd {theirs}"
+
+
+def test_resume_skips_completed_blocks(ray_session, corpus_file, tmp_path):
+    store = str(tmp_path / "store")
+    footer1 = encode_dataset(corpus_file, store, mode="cluster", target_rows=1000)
+    # simulate a crash: delete footer + one block, truncate nothing else
+    os.remove(os.path.join(store, "footer.json"))
+    victims = sorted(glob.glob(os.path.join(store, "blocks", "*.hrb")))
+    os.remove(victims[0])
+    n_lineage_before = len(load_manifest(store))
+    footer2 = encode_dataset(corpus_file, store, mode="cluster", target_rows=1000)
+    assert footer2["n_rows"] == footer1["n_rows"]
+    assert {b["block_id"] for b in footer2["blocks"]} == \
+           {b["block_id"] for b in footer1["blocks"]}
+    # only the deleted block was re-encoded: manifest grew by exactly 1
+    assert len(load_manifest(store)) == n_lineage_before + 1
+    # decoded content still bit-identical
+    import ray
+    out = pa.concat_tables([ray.get(r) for r in decode_store(store).to_arrow_refs()])
+    _assert_same(pq.read_table(corpus_file), out)
+
+
+def test_lineage_records_complete(ray_session, corpus_file, tmp_path):
+    store = str(tmp_path / "store")
+    encode_dataset(corpus_file, store, mode="cluster", target_rows=1000)
+    for rec in load_manifest(store):
+        assert {"block_id", "n_rows", "raw_bytes", "encoded_bytes",
+                "codecs", "crc32", "input"} <= set(rec)
+    footer = load_footer(store)
+    assert footer["encoded_bytes"] == sum(b["encoded_bytes"] for b in footer["blocks"])
+    # footer is ordered by sort_key (ordered write requirement)
+    keys = [(b.get("sort_key", ""), b["block_id"]) for b in footer["blocks"]]
+    assert keys == sorted(keys)
+
+
+def test_stable_hash_deterministic():
+    import numpy as np
+    h1 = stable_hash_u64(np.array(["a", "b", "c"], dtype=object))
+    h2 = stable_hash_u64(pa.array(["a", "b", "c"]))
+    assert list(h1) == list(h2)
+    assert h1.dtype == np.uint64
+
+
+def test_edge_corpus_roundtrip(ray_session, tmp_path):
+    path = str(tmp_path / "edge.parquet")
+    pq.write_table(make_tokens_corpus(0, variant="edge"), path)
+    store = str(tmp_path / "store")
+    encode_dataset(path, store, mode="stream", target_rows=3)
+    import ray
+    out = pa.concat_tables([ray.get(r) for r in decode_store(store).to_arrow_refs()])
+    _assert_same(pq.read_table(path), out)
