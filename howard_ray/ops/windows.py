@@ -1,0 +1,131 @@
+"""Stream-shaped operators over the ``events`` table: tumbling windows,
+as-of (previous-event) join, session windows.
+
+Ray Data has no event-time watermarks (neither does the reference — "no
+windows/watermarks/late data anywhere", SURVEY.md §1.3); events are treated
+as an ordered, partitioned log: partition by user, sort by ts within group,
+window with pandas inside ``map_groups`` (ray_guide.md streaming pattern).
+The per-user partition is the documented ordering assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Sum
+
+from .util import tbl
+
+SQL: dict[str, str] = {}
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def window_hourly(sf_dir: str):
+    """Tumbling 1h window count/sum per event_type; the window key is
+    computed vectorized per batch, then it's an ordinary grouped aggregate
+    (oracle: GROUP BY date_trunc)."""
+    ds = tbl(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        epoch = pc.divide(pc.cast(hour, pa.int64()), 1_000_000)
+        return pa.table({"event_type": batch["event_type"],
+                         "hour_epoch": epoch,
+                         "value": batch["value"]})
+
+    out = (ds.map_batches(bucket, batch_format="pyarrow")
+             .groupby(["event_type", "hour_epoch"])
+             .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+             .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values(["event_type", "hour_epoch"]).reset_index(drop=True)
+
+
+SQL["window_hourly"] = """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, hour_epoch
+"""
+
+
+def asof_prev_event(sf_dir: str):
+    """As-of self-join: each event matched to the same user's previous event
+    (partition by user_id, sort by (ts, event_id) within group — the
+    merge_asof/map_groups pattern; oracle: lag() window fn)."""
+    ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].astype("int64")
+        gap = ts_us.diff()
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "gap_us": gap.fillna(-1).astype("int64"),
+        })
+
+    out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL["asof_prev_event"] = """
+SELECT event_id,
+       COALESCE(CAST(epoch_us(ts - lag(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT), -1) AS gap_us
+FROM events ORDER BY event_id
+"""
+
+
+def sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user → session count and
+    max session size (the reference has no streaming semantics; this is the
+    engine's windowed extension, per-partition sequential with pandas)."""
+    ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].astype("int64").to_numpy()
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = np.diff(ts_us) > SESSION_GAP_US
+        sid = np.cumsum(new_session)
+        sizes = np.bincount(sid)[1:]
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_events": np.int64(len(g)),
+            "n_sessions": np.int64(sid[-1]),
+            "max_session_events": np.int64(sizes.max()),
+        })
+
+    out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL["sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts - lag(ts) OVER w) > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sized AS (
+  SELECT user_id, session_id, count(*) AS session_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, CAST(sum(session_events) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(session_events) AS BIGINT) AS max_session_events
+FROM sized GROUP BY user_id ORDER BY user_id
+"""
