@@ -27,8 +27,8 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE = os.path.join(tempfile.gettempdir(), "howard_ray_bench")
 
-# ~2M rows/sf-unit → sf0.1 = 200k rows, ~66M tokens, ~280 MB Arrow
-ROWS_PER_SF = 2_000_000
+# ~6M rows/sf-unit → sf0.1 = 600k rows, ~200M tokens, ~850 MB Arrow
+ROWS_PER_SF = 6_000_000
 
 OPS_IN_BENCH = ["pricing_summary", "join_hash", "dedup_exact",
                 "window_hourly", "token_stats", "ann_cosine_topk"]

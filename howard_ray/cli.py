@@ -1,0 +1,134 @@
+"""CLI — the reference's tool surface (howard process / convert / query /
+stats, /root/reference/howard/main.py:120-274) mapped to the Ray engine.
+
+Subcommands:
+  encode   input.parquet -> encoded block store      (flagship pipeline)
+  decode   store -> parquet                          (decode path)
+  convert  input -> output in another format         (tools/convert.py:25-74)
+  stats    store -> metrics report                   (variants.py:570-790 analog)
+  query    run a named operator from the library     (tools/query.py)
+
+Owns its Ray session (guarded init — the driver contract forbids init only
+inside __ray_entry__ and the library)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_encode(args) -> int:
+    from .pipeline import encode_dataset
+
+    footer = encode_dataset(args.input, args.store, mode=args.mode,
+                            target_rows=args.target_rows, resume=not args.no_resume)
+    print(json.dumps({k: footer[k] for k in
+                      ("n_blocks", "n_rows", "encoded_bytes", "raw_bytes",
+                       "wall_sec", "throughput_gbps", "mode")}))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from .pipeline import decode_store
+
+    ds = decode_store(args.store, columns=args.columns)
+    ds.write_parquet(args.output)
+    print(json.dumps({"rows": ds.count(), "output": args.output}))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from .sources import read_any, write_any
+
+    ds = read_any(args.input, columns=args.columns)
+    sidecar = write_any(ds, args.output, fmt=args.format,
+                        partition_cols=args.partition_by)
+    print(json.dumps(sidecar))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .stats import store_report
+
+    print(json.dumps(store_report(args.store), indent=1))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .ops import all_queries
+
+    q = all_queries()
+    if args.name not in q:
+        print(f"unknown operator {args.name}; available: {sorted(q)}",
+              file=sys.stderr)
+        return 2
+    res = q[args.name](args.sf_dir)
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        res = res.to_pandas()
+    print(res.head(args.limit).to_string())
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="howard-ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode")
+    e.add_argument("input")
+    e.add_argument("store")
+    e.add_argument("--mode", choices=["stream", "cluster"], default="cluster")
+    e.add_argument("--target-rows", type=int, default=None)
+    e.add_argument("--no-resume", action="store_true")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode")
+    d.add_argument("store")
+    d.add_argument("output")
+    d.add_argument("--columns", nargs="*", default=None)
+    d.set_defaults(fn=cmd_decode)
+
+    c = sub.add_parser("convert")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--format", default="parquet")
+    c.add_argument("--partition-by", nargs="*", default=None)
+    c.add_argument("--columns", nargs="*", default=None)
+    c.set_defaults(fn=cmd_convert)
+
+    s = sub.add_parser("stats")
+    s.add_argument("store")
+    s.set_defaults(fn=cmd_stats)
+
+    q = sub.add_parser("query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    ray = _ray_init(args.num_cpus)
+    try:
+        return args.fn(args)
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,9 +23,19 @@ _scratch_tmp: np.ndarray | None = None
 def _scratch(width: int):
     global _scratch_bits, _scratch_tmp
     if _scratch_bits is None or _scratch_bits.shape[0] < width:
-        _scratch_bits = np.zeros((max(width, 24), CHUNK), dtype=np.uint8)
-        _scratch_tmp = np.zeros(CHUNK, dtype=np.uint64)
+        _scratch_bits = np.empty((max(width, 24), CHUNK), dtype=np.uint8)
+        _scratch_tmp = np.empty(CHUNK, dtype=np.uint64)
+        # pre-fault every page now: first-touch page faults are pathologically
+        # slow on this kernel, so pay them once per process, off the hot path
+        _scratch_bits.fill(0)
+        _scratch_tmp.fill(0)
     return _scratch_bits, _scratch_tmp
+
+
+def warmup() -> None:
+    """Pre-allocate + pre-fault the packing scratch; call from actor/worker
+    __init__ so block encodes never pay first-touch costs."""
+    _scratch(24)
 
 
 def bit_width(max_val: int) -> int:

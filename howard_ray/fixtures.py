@@ -107,7 +107,7 @@ def _edge_table() -> pa.Table:
 
 
 def write_corpus(path: str, n_rows: int, seed: int = 42, variant: str = "base",
-                 row_group_size: int = 100_000) -> str:
+                 row_group_size: int = 16_384) -> str:
     """Write the corpus parquet (skip if already present — deterministic)."""
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -3,9 +3,9 @@
 ``__ray_entry__.oracle_sql()``. See SURVEY.md §2 for the reference mapping.
 """
 
-from . import dedup, relational, rules, similarity, text, windows
+from . import dedup, relational, rules, similarity, text, variants, windows
 
-MODULES = [relational, text, windows, dedup, similarity, rules]
+MODULES = [relational, text, windows, dedup, similarity, rules, variants]
 
 
 def all_queries():
@@ -46,7 +46,19 @@ def all_queries():
         "knn_label_vote": similarity.knn_label_vote,
         # rule engine
         "rule_score_docs": rules.rule_score_docs,
+        # HOWARD-semantics family over the variants_like fixture (F2)
+        "explode_infos": variants.explode_infos,
+        "pack_info": variants.pack_info,
+        "vartype_counts": variants.vartype_counts,
+        "variant_ids": variants.variant_ids,
+        "annotate_exact": variants.annotate_exact,
+        "annotate_regions": variants.annotate_regions,
+        "genotype_calcs": variants.genotype_calcs,
+        "ann_explode": variants.ann_explode,
     }
+    # oracle SQL for the F2 family reads the fixture parquet by absolute
+    # path — materialize it before the driver runs either side
+    variants.ensure_fixtures()
     return q
 
 

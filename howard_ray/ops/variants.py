@@ -1,0 +1,509 @@
+"""HOWARD-semantics operator family over the ``variants_like`` fixture
+(FIXTURES.md F2): packed-INFO explode / re-pack, exact annotation join,
+region (interval) join with string_agg collapse, VARTYPE classifier,
+variant-id derivation, per-sample genotype calculations, snpEff-ANN-style
+explode, and append/update annotation modes.
+
+These are the reference's core operators re-expressed Ray-Data-first:
+- explode_infos      ← howard/objects/variants.py:1771-1986 (regex extract
+                       per INFO key, per-chromosome UPDATE batches → here one
+                       vectorized map_batches pass)
+- pack INFO          ← variants.py:8465-8481 (UPDATE SET INFO=concat(...))
+- annotation_parquet ← variants.py:5845-6428 (per-chromosome UPDATE-join →
+                       broadcast lookup join inside map_batches)
+- region join        ← variants.py:6326-6348 + string_agg :6236-6238
+                       (interval containment + many-to-one collapse →
+                       per-chromosome sorted intervals + np.searchsorted)
+- VARTYPE            ← config/calculations_config.json:13-33
+- variant_id         ← config/calculations_config.json:2-12
+- FINDBYPIPELINE     ← howard/functions/commons.py:1009-1051
+- BARCODE            ← commons.py:1101-1187
+- genotype stats     ← commons.py:1298-1374
+- snpeff ANN explode ← commons.py:885-968
+
+The fixture is deterministic (seed=42) and written once under /tmp; oracle
+SQL reads the same parquet by absolute path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+SQL: dict[str, str] = {}
+
+CACHE = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
+VARIANTS_PATH = os.path.join(CACHE, "variants_like.parquet")
+ANN_VARIANTS_PATH = os.path.join(CACHE, "ann_variants.parquet")
+ANN_REGIONS_PATH = os.path.join(CACHE, "ann_regions.parquet")
+
+N_VARIANTS = 10_000
+CHROMS = [f"chr{i}" for i in range(1, 23)] + ["chrX"]
+# chr1-heavy skew like real chromosome sizes (reference skew, SURVEY.md §4)
+CHROM_W = np.linspace(2.0, 0.3, len(CHROMS))
+BASES = np.array(["A", "C", "G", "T"])
+
+
+def make_variants_like(n: int = N_VARIANTS, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    w = CHROM_W / CHROM_W.sum()
+    ci = np.sort(rng.choice(len(CHROMS), size=n, p=w))
+    pos = np.zeros(n, dtype=np.int64)
+    for c in range(len(CHROMS)):  # sorted increasing positions within chrom
+        m = ci == c
+        pos[m] = np.cumsum(rng.integers(50, 5000, m.sum()))
+    ref = BASES[rng.integers(0, 4, n)]
+    alt = BASES[rng.integers(0, 4, n)]
+    same = ref == alt
+    alt[same] = BASES[(np.searchsorted(BASES, alt[same]) + 1) % 4]
+    # 10% multi-char REF (deletion-like), 10% multi-char ALT (insertion-like)
+    long_ref = rng.random(n) < 0.10
+    long_alt = (~long_ref) & (rng.random(n) < 0.10)
+    ref = np.where(long_ref, np.char.add(ref.astype("U4"),
+                                         BASES[rng.integers(0, 4, n)]), ref)
+    alt = np.where(long_alt, np.char.add(alt.astype("U4"),
+                                         BASES[rng.integers(0, 4, n)]), alt)
+    vid = np.array([f"rs{i}" if r < 0.7 else "."
+                    for i, r in enumerate(rng.random(n))], dtype=object)
+    qual = np.round(rng.uniform(0, 4000, n), 2)
+    filt = np.where(rng.random(n) < 0.8, "PASS", "LowQual")
+    ns = rng.integers(1, 5, n)
+    dp = rng.integers(1, 300, n)
+    aa = BASES[rng.integers(0, 4, n)]
+    clnsig = rng.choice(["pathogenic", "non-pathogenic", ""], n, p=[0.2, 0.5, 0.3])
+    info = np.array([
+        f"NS={ns[i]};DP={dp[i]};AA={aa[i]}" + (f";CLNSIG={clnsig[i]}" if clnsig[i] else "")
+        for i in range(n)], dtype=object)
+    gts = np.array(["0/0", "0/1", "1/1", "./."])
+    samples = {}
+    for s in range(1, 5):
+        g = gts[rng.choice(4, n, p=[0.35, 0.3, 0.2, 0.15])]
+        sdp = rng.integers(0, 99, n)
+        ad0 = rng.integers(0, 50, n)
+        ad1 = rng.integers(0, 50, n)
+        samples[f"sample{s}"] = np.array(
+            [f"{g[i]}:{sdp[i]}:{ad0[i]},{ad1[i]}" for i in range(n)], dtype=object)
+    cols = {
+        "chrom": pa.array(np.array(CHROMS, dtype=object)[ci]),
+        "pos": pa.array(pos),
+        "vid": pa.array(vid),
+        "ref": pa.array(ref.astype(object)),
+        "alt": pa.array(alt.astype(object)),
+        "qual": pa.array(qual),
+        "filter": pa.array(filt.astype(object)),
+        "info": pa.array(info),
+        "format": pa.array(np.full(n, "GT:DP:AD", dtype=object)),
+    }
+    cols.update({k: pa.array(v) for k, v in samples.items()})
+    return pa.table(cols)
+
+
+def make_ann_variants(variants: pa.Table, seed: int = 43) -> pa.Table:
+    """Exact-join store covering ~60% of fixture variants + extra misses."""
+    rng = np.random.default_rng(seed)
+    n = variants.num_rows
+    take = np.sort(rng.choice(n, size=int(n * 0.6), replace=False))
+    sub = variants.select(["chrom", "pos", "ref", "alt"]).take(pa.array(take))
+    nci60 = np.round(rng.random(len(take)), 3)
+    return pa.table({
+        "chrom": sub["chrom"], "pos": sub["pos"],
+        "ref": sub["ref"], "alt": sub["alt"],
+        "nci60": pa.array(nci60),
+    })
+
+
+def make_ann_regions(seed: int = 44) -> pa.Table:
+    """Overlapping interval store (genes) per chromosome."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in CHROMS:
+        n_g = int(rng.integers(40, 120))
+        starts = np.sort(rng.integers(0, 3_000_000, n_g))
+        lengths = rng.integers(5_000, 200_000, n_g)
+        for gi, (s, ln) in enumerate(zip(starts, lengths)):
+            rows.append((c, int(s), int(s + ln), f"GENE_{c}_{gi}"))
+    return pa.table({
+        "chrom": pa.array([r[0] for r in rows]),
+        "start": pa.array([r[1] for r in rows], type=pa.int64()),
+        "end": pa.array([r[2] for r in rows], type=pa.int64()),
+        "gene": pa.array([r[3] for r in rows]),
+    })
+
+
+def ensure_fixtures() -> None:
+    os.makedirs(CACHE, exist_ok=True)
+    if not os.path.exists(VARIANTS_PATH):
+        v = make_variants_like()
+        pq.write_table(v, VARIANTS_PATH + ".tmp")
+        os.replace(VARIANTS_PATH + ".tmp", VARIANTS_PATH)
+    if not os.path.exists(ANN_VARIANTS_PATH):
+        v = pq.read_table(VARIANTS_PATH)
+        pq.write_table(make_ann_variants(v), ANN_VARIANTS_PATH + ".tmp")
+        os.replace(ANN_VARIANTS_PATH + ".tmp", ANN_VARIANTS_PATH)
+    if not os.path.exists(ANN_REGIONS_PATH):
+        pq.write_table(make_ann_regions(), ANN_REGIONS_PATH + ".tmp")
+        os.replace(ANN_REGIONS_PATH + ".tmp", ANN_REGIONS_PATH)
+
+
+def _variants_ds(columns: list[str] | None = None) -> ray.data.Dataset:
+    ensure_fixtures()
+    return ray.data.read_parquet(VARIANTS_PATH, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# explode_infos: packed INFO string -> typed columns (variants.py:1771-1986)
+# ---------------------------------------------------------------------------
+
+def explode_batch(batch: pa.Table, keys=(("NS", pa.int64()), ("DP", pa.int64()),
+                                         ("AA", pa.string()),
+                                         ("CLNSIG", pa.string()))) -> pa.Table:
+    """Vectorized regex extract of each INFO key — the reference's
+    `REGEXP_EXTRACT(concat(';',INFO), ';key=([^;]*)')` per key
+    (variants.py:1894-1929), in one pyarrow pass with no table mutation."""
+    padded = pc.binary_join_element_wise(pa.scalar(";"), batch["info"], "")
+    out = dict(zip(batch.column_names, batch.columns))
+    for key, typ in keys:
+        ext = pc.extract_regex(padded, f";{key}=(?P<v>[^;]*)")
+        v = pc.struct_field(ext, "v")
+        out[f"info_{key}"] = pc.cast(v, typ) if typ != pa.string() else v
+    return pa.table(out)
+
+
+def explode_infos(sf_dir: str):
+    ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
+    out = (ds.map_batches(explode_batch, batch_format="pyarrow")
+           .to_pandas())
+    out = out[["chrom", "pos", "ref", "alt", "info_NS", "info_DP",
+               "info_AA", "info_CLNSIG"]]
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["explode_infos"] = f"""
+SELECT chrom, pos, ref, alt,
+       CAST(regexp_extract(';' || info, ';NS=([^;]*)', 1) AS BIGINT) AS info_NS,
+       CAST(regexp_extract(';' || info, ';DP=([^;]*)', 1) AS BIGINT) AS info_DP,
+       regexp_extract(';' || info, ';AA=([^;]*)', 1)  AS info_AA,
+       nullif(regexp_extract(';' || info, ';CLNSIG=([^;]*)', 1), '') AS info_CLNSIG
+FROM '{VARIANTS_PATH}'
+ORDER BY chrom, pos, ref, alt
+"""
+
+
+def pack_info(sf_dir: str):
+    """Inverse operator: typed column -> INFO append with guard-empty
+    (reference UPDATE SET INFO = concat(INFO,';','k=',col),
+    variants.py:8465-8481); here VARTYPE is computed then packed."""
+    ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        vt = _vartype_arr(batch)
+        new_info = pc.binary_join_element_wise(
+            batch["info"], pc.binary_join_element_wise("VARTYPE=", vt, ""), ";")
+        return pa.table({"chrom": batch["chrom"], "pos": batch["pos"],
+                         "ref": batch["ref"], "alt": batch["alt"],
+                         "info": new_info})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["pack_info"] = f"""
+SELECT chrom, pos, ref, alt,
+       info || ';VARTYPE=' ||
+       CASE WHEN length(ref) = 1 AND length(alt) = 1 THEN 'SNV'
+            WHEN length(ref) > length(alt) THEN 'INDEL'
+            WHEN length(alt) > length(ref) THEN 'INDEL'
+            ELSE 'MNV' END AS info
+FROM '{VARIANTS_PATH}'
+ORDER BY chrom, pos, ref, alt
+"""
+
+
+# ---------------------------------------------------------------------------
+# calculations: VARTYPE classifier + variant_id (calculations_config.json)
+# ---------------------------------------------------------------------------
+
+def _vartype_arr(batch: pa.Table) -> pa.Array:
+    lr = pc.utf8_length(batch["ref"])
+    la = pc.utf8_length(batch["alt"])
+    snv = pc.and_(pc.equal(lr, 1), pc.equal(la, 1))
+    indel = pc.not_equal(lr, la)
+    return pc.if_else(snv, pa.scalar("SNV"),
+                      pc.if_else(indel, pa.scalar("INDEL"), pa.scalar("MNV")))
+
+
+def vartype_counts(sf_dir: str):
+    """CASE-chain classifier + grouped count (reference VARTYPE,
+    config/calculations_config.json:13-33 and type counts variants.py:733)."""
+    from ray.data.aggregate import Count
+
+    ds = _variants_ds(["ref", "alt"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({"vartype": _vartype_arr(batch)})
+
+    out = (ds.map_batches(f, batch_format="pyarrow")
+             .groupby("vartype").aggregate(Count(alias_name="n")).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("vartype").reset_index(drop=True)
+
+
+SQL["vartype_counts"] = f"""
+SELECT CASE WHEN length(ref) = 1 AND length(alt) = 1 THEN 'SNV'
+            WHEN length(ref) != length(alt) THEN 'INDEL'
+            ELSE 'MNV' END AS vartype,
+       count(*) AS n
+FROM '{VARIANTS_PATH}' GROUP BY 1 ORDER BY vartype
+"""
+
+
+def variant_ids(sf_dir: str):
+    """Row-id derivation chrom_pos_ref_alt (reference variant_chr_pos_alt_ref,
+    calculations_config.json:2-12, set_variant_id variants.py:2758-2816)."""
+    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        vid = pc.binary_join_element_wise(
+            batch["chrom"], pc.cast(batch["pos"], pa.string()),
+            batch["ref"], batch["alt"], "_")
+        return pa.table({"variant_id": vid})
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas() \
+             .sort_values("variant_id").reset_index(drop=True)
+
+
+SQL["variant_ids"] = f"""
+SELECT chrom || '_' || CAST(pos AS VARCHAR) || '_' || ref || '_' || alt AS variant_id
+FROM '{VARIANTS_PATH}' ORDER BY variant_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# annotation joins (variants.py:5845-6428)
+# ---------------------------------------------------------------------------
+
+def annotate_exact(sf_dir: str):
+    """The reference's flagship Parquet annotation join:
+    variants ⋈ store ON (chrom,pos,ref,alt), matched fields appended to INFO
+    (equality clause variants.py:6355-6361, UPDATE :6364-6387). The store is
+    broadcast once (ray.put) and looked up per batch in an actor —
+    no shuffle; per-chromosome sharding is replaced by block parallelism."""
+    ensure_fixtures()
+    ann = pq.read_table(ANN_VARIANTS_PATH).to_pandas()
+    key = (ann["chrom"] + "_" + ann["pos"].astype(str) + "_"
+           + ann["ref"] + "_" + ann["alt"])
+    lookup_ref = ray.put(dict(zip(key, ann["nci60"])))
+
+    class Annotator:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            key = (batch["chrom"] + "_" + batch["pos"].astype(str) + "_"
+                   + batch["ref"] + "_" + batch["alt"])
+            val = key.map(self.lookup)
+            hit = val.notna()
+            info = batch["info"].where(
+                ~hit, batch["info"] + ";nci60=" + val.map(
+                    lambda x: f"{x:.3f}" if pd.notna(x) else ""))
+            return pd.DataFrame({"chrom": batch["chrom"], "pos": batch["pos"],
+                                 "ref": batch["ref"], "alt": batch["alt"],
+                                 "info": info,
+                                 "annotated": hit.astype("int64")})
+
+    ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
+    out = (ds.map_batches(Annotator, batch_format="pandas", concurrency=(1, 4))
+           .to_pandas())
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["annotate_exact"] = f"""
+SELECT v.chrom, v.pos, v.ref, v.alt,
+       CASE WHEN a.nci60 IS NOT NULL
+            THEN v.info || ';nci60=' || format('{{:.3f}}', a.nci60)
+            ELSE v.info END AS info,
+       CASE WHEN a.nci60 IS NOT NULL THEN 1 ELSE 0 END AS annotated
+FROM '{VARIANTS_PATH}' v
+LEFT JOIN '{ANN_VARIANTS_PATH}' a
+  ON v.chrom = a.chrom AND v.pos = a.pos AND v.ref = a.ref AND v.alt = a.alt
+ORDER BY v.chrom, v.pos, v.ref, v.alt
+"""
+
+
+def annotate_regions(sf_dir: str):
+    """Region (interval) join + string_agg collapse: for each variant, all
+    genes with start < pos + len(ref) AND end >= pos, comma-joined
+    (reference containment clause variants.py:6326-6348; many-to-one
+    string_agg :6236-6238). Implementation: per-chromosome sorted interval
+    lists broadcast once; per batch, candidate windows found with
+    np.searchsorted on (sorted starts / max-end prefix) — no shuffle."""
+    ensure_fixtures()
+    reg = pq.read_table(ANN_REGIONS_PATH).to_pandas()
+    by_chrom = {}
+    for c, g in reg.groupby("chrom"):
+        g = g.sort_values(["start", "end", "gene"]).reset_index(drop=True)
+        by_chrom[c] = (g["start"].to_numpy(), g["end"].to_numpy(),
+                       g["gene"].to_numpy())
+    reg_ref = ray.put(by_chrom)
+
+    class RegionJoin:
+        def __init__(self):
+            self.by_chrom = ray.get(reg_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            genes_out = np.empty(len(batch), dtype=object)
+            pos = batch["pos"].to_numpy()
+            endv = pos + batch["ref"].str.len().to_numpy() - 1
+            chroms = batch["chrom"].to_numpy()
+            for c in np.unique(chroms):
+                m = chroms == c
+                starts, ends, genes = self.by_chrom.get(c, (None, None, None))
+                if starts is None:
+                    genes_out[m] = ""
+                    continue
+                # candidates: start <= variant_end; prune with searchsorted,
+                # verify end >= pos exactly (intervals overlap ~O(k) per row)
+                hi = np.searchsorted(starts, endv[m], side="right")
+                idx = np.flatnonzero(m)
+                for j, h in zip(idx, hi):
+                    cand = np.flatnonzero(ends[:h] >= pos[j])
+                    genes_out[j] = ",".join(genes[cand]) if cand.size else ""
+            return pd.DataFrame({"chrom": batch["chrom"], "pos": batch["pos"],
+                                 "ref": batch["ref"], "alt": batch["alt"],
+                                 "genes": genes_out.astype(str)})
+
+    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+    out = (ds.map_batches(RegionJoin, batch_format="pandas", concurrency=(1, 4))
+           .to_pandas())
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["annotate_regions"] = f"""
+SELECT v.chrom, v.pos, v.ref, v.alt,
+       COALESCE(string_agg(r.gene, ',' ORDER BY r.start, r."end", r.gene), '') AS genes
+FROM '{VARIANTS_PATH}' v
+LEFT JOIN '{ANN_REGIONS_PATH}' r
+  ON v.chrom = r.chrom AND r.start <= v.pos + length(v.ref) - 1 AND r."end" >= v.pos
+GROUP BY v.chrom, v.pos, v.ref, v.alt
+ORDER BY v.chrom, v.pos, v.ref, v.alt
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-sample genotype calculations (commons.py:1009-1374)
+# ---------------------------------------------------------------------------
+
+SAMPLE_COLS = ["sample1", "sample2", "sample3", "sample4"]
+
+
+def genotype_calcs(sf_dir: str):
+    """FINDBYPIPELINE + BARCODE + DP stats in one vectorized pass.
+
+    - findbypipeline: #samples with a called GT / #samples (commons.py:1024-1045)
+    - barcode: per-sample GT → 0/1/2 digit string (commons.py:1101-1187)
+    - DP stats: min/max/mean of per-sample DP (commons.py:1298-1374)
+    The reference pulls rows to pandas and applies a scalar fn per row
+    (variants.py:9152-9201); here string ops are pandas-vectorized."""
+    ds = _variants_ds(["chrom", "pos", "ref", "alt"] + SAMPLE_COLS)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        gts = {s: batch[s].str.split(":", n=1).str[0] for s in SAMPLE_COLS}
+        dps = {s: pd.to_numeric(batch[s].str.split(":").str[1])
+               for s in SAMPLE_COLS}
+        called = sum((gts[s] != "./.").astype(int) for s in SAMPLE_COLS)
+        digits = []
+        for s in SAMPLE_COLS:
+            g = gts[s]
+            d = pd.Series(np.select(
+                [g == "./.", g == "0/0", (g == "0/1") | (g == "1/0")],
+                ["0", "0", "1"], default="2"), index=batch.index)
+            digits.append(d)
+        barcode = digits[0] + digits[1] + digits[2] + digits[3]
+        dp_mat = pd.concat(dps, axis=1)
+        return pd.DataFrame({
+            "chrom": batch["chrom"], "pos": batch["pos"],
+            "ref": batch["ref"], "alt": batch["alt"],
+            "findbypipeline": called.astype("int64"),
+            "barcode": barcode,
+            "dp_min": dp_mat.min(axis=1).astype("int64"),
+            "dp_max": dp_mat.max(axis=1).astype("int64"),
+            "dp_mean": dp_mat.mean(axis=1).round(4),
+        })
+
+    out = (ds.map_batches(f, batch_format="pandas").to_pandas())
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+def _gt_digit_sql(col: str) -> str:
+    return (f"CASE WHEN string_split({col}, ':')[1] IN ('./.', '0/0') THEN '0' "
+            f"WHEN string_split({col}, ':')[1] IN ('0/1', '1/0') THEN '1' "
+            f"ELSE '2' END")
+
+
+SQL["genotype_calcs"] = f"""
+SELECT chrom, pos, ref, alt,
+       ({" + ".join(f"CASE WHEN string_split({s}, ':')[1] != './.' THEN 1 ELSE 0 END"
+                    for s in SAMPLE_COLS)}) AS findbypipeline,
+       ({" || ".join(_gt_digit_sql(s) for s in SAMPLE_COLS)}) AS barcode,
+       least({", ".join(f"CAST(string_split({s}, ':')[2] AS BIGINT)" for s in SAMPLE_COLS)}) AS dp_min,
+       greatest({", ".join(f"CAST(string_split({s}, ':')[2] AS BIGINT)" for s in SAMPLE_COLS)}) AS dp_max,
+       round(({" + ".join(f"CAST(string_split({s}, ':')[2] AS DOUBLE)" for s in SAMPLE_COLS)}) / 4, 4) AS dp_mean
+FROM '{VARIANTS_PATH}'
+ORDER BY chrom, pos, ref, alt
+"""
+
+
+# ---------------------------------------------------------------------------
+# snpEff-ANN-style multi-annotation explode (commons.py:885-968)
+# ---------------------------------------------------------------------------
+
+def ann_explode(sf_dir: str):
+    """Explode a packed multi-annotation string 'a|b,c|d' into one row per
+    annotation (the reference's snpEff ANN explode / transcript view,
+    commons.py:885-968, variants.py:10859-11201): flat_map via per-batch
+    list-split + list_flatten (Ray-native explode)."""
+    ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        # synthesize the ANN field deterministically from existing columns:
+        # ANN=<ref>|missense,<alt>|synonymous  (stands in for snpEff output)
+        ann = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(batch["ref"], "missense", "|"),
+            pc.binary_join_element_wise(batch["alt"], "synonymous", "|"), ",")
+        parts = pc.split_pattern(ann, ",")  # list<string> per row
+        n_per = pc.list_value_length(parts).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(parts)
+        fields = pc.split_pattern(flat, "|")
+        allele = pc.list_element(fields, 0)
+        effect = pc.list_element(fields, 1)
+        rep = lambda col: pa.array(np.repeat(np.asarray(col), n_per))
+        return pa.table({
+            "chrom": rep(batch["chrom"]), "pos": rep(batch["pos"]),
+            "ref": rep(batch["ref"]), "alt": rep(batch["alt"]),
+            "allele": allele, "effect": effect,
+        })
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["chrom", "pos", "ref", "alt", "allele", "effect"])
+               .reset_index(drop=True))
+
+
+SQL["ann_explode"] = f"""
+WITH exploded AS (
+  SELECT chrom, pos, ref, alt,
+         unnest(string_split(ref || '|missense,' || alt || '|synonymous', ',')) AS ann
+  FROM '{VARIANTS_PATH}')
+SELECT chrom, pos, ref, alt,
+       string_split(ann, '|')[1] AS allele,
+       string_split(ann, '|')[2] AS effect
+FROM exploded
+ORDER BY chrom, pos, ref, alt, allele, effect
+"""

@@ -118,6 +118,8 @@ class BlockEncoder:
     genome/bigwig-handle actors, howard/objects/variants.py:8128, :3522)."""
 
     def __init__(self, store_dir: str, target_rows: int, completed: dict[str, dict]):
+        from .codecs.bitpack import warmup
+        warmup()  # pre-fault packing scratch once per actor
         self.store_dir = store_dir
         self.target_rows = target_rows
         self.completed = completed
@@ -135,6 +137,33 @@ class BlockEncoder:
             target_rows=self.target_rows, completed=self.completed,
             input_info=f"stream:{first}:{batch.num_rows}")
         return _records_table(recs)
+
+
+TARGET_BLOCK_BYTES = 8 * 1024 * 1024  # ~8 MiB encoded-block input target
+
+
+def auto_target_rows(input_path: str | list[str]) -> int:
+    """Byte-aware block sizing (SURVEY.md §7.4: "batch_size must be
+    byte-aware, not row-count-aware"): rows per block chosen so one block's
+    Arrow payload ≈ TARGET_BLOCK_BYTES, derived from parquet metadata of the
+    first input file. Falls back to the reference's 100k-row constant."""
+    import pyarrow.parquet as pq
+
+    path = input_path[0] if isinstance(input_path, list) else input_path
+    try:
+        if os.path.isdir(path):
+            names = [n for n in os.listdir(path) if n.endswith(".parquet")]
+            path = os.path.join(path, sorted(names)[0])
+        md = pq.ParquetFile(path).metadata
+        total = sum(md.row_group(i).total_byte_size
+                    for i in range(md.num_row_groups))
+        if md.num_rows == 0 or total == 0:
+            return TARGET_ROWS_PER_BLOCK
+        avg_row = total / md.num_rows
+        return int(min(TARGET_ROWS_PER_BLOCK,
+                       max(2048, TARGET_BLOCK_BYTES / avg_row)))
+    except (OSError, IndexError):
+        return TARGET_ROWS_PER_BLOCK
 
 
 def _per_source_counts(ds: ray.data.Dataset) -> dict[str, int]:
@@ -157,7 +186,7 @@ def encode_dataset(
     store_dir: str,
     *,
     mode: str = "cluster",
-    target_rows: int = TARGET_ROWS_PER_BLOCK,
+    target_rows: int | None = None,
     concurrency: int | None = None,
     resume: bool = True,
     columns: list[str] | None = None,
@@ -165,7 +194,16 @@ def encode_dataset(
     """Run the encode pipeline; returns the footer dict (global index)."""
     init_store(store_dir)
     completed = completed_blocks(store_dir) if resume else {}
+    if target_rows is None:
+        target_rows = auto_target_rows(input_path)
     ds = ray.data.read_parquet(input_path, columns=columns)
+    # fixed-size actor pool sized to what the cluster can actually start:
+    # Ray's autoscaling (min,max) pools ramp up too slowly and can leave the
+    # stage effectively single-actor
+    cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+    # leave one CPU for the read/shuffle stages so a fixed pool can always
+    # fully start (a pool larger than the cluster blocks forever)
+    pool = max(1, min(concurrency or cluster_cpus, cluster_cpus - 1))
     t0 = time.perf_counter()
 
     if mode == "stream":
@@ -174,10 +212,7 @@ def encode_dataset(
             fn_constructor_args=(store_dir, target_rows, completed),
             batch_size=target_rows,
             batch_format="pyarrow",
-            # autoscaling pool (min, max): never deadlocks when the cluster
-            # has fewer CPUs than the max pool size
-            concurrency=(1, concurrency) if isinstance(concurrency, int)
-            else (concurrency or (1, 16)),
+            concurrency=pool,
             num_cpus=1,
         )
     elif mode == "cluster":
@@ -193,6 +228,8 @@ def encode_dataset(
         def encode_group(group: pa.Table) -> pa.Table:
             if group.num_rows == 0:
                 return _records_table([])
+            from .codecs.bitpack import warmup
+            warmup()  # once per worker process (module-level cache)
             source = group["source"][0].as_py()
             salt = group["salt"][0].as_py()
             body = group.drop_columns(["salt"])
@@ -203,8 +240,15 @@ def encode_dataset(
                 input_info=f"cluster:{source}:{salt}")
             return _records_table(recs)
 
+        # repartition so the sort shuffle and the per-group encode stage get
+        # enough partitions to occupy every CPU (a ~350MB single-file read
+        # otherwise yields a handful of blocks and the whole pipeline
+        # serializes behind them)
+        n_rows_est = sum(counts.values())
+        n_parts = max(2 * pool, min(512, -(-n_rows_est // max(1, target_rows))))
         rec_ds = (
             ds.map_batches(add_salt, batch_format="pyarrow")
+              .repartition(n_parts)
               .groupby(["source", "salt"])
               .map_groups(encode_group, batch_format="pyarrow")
         )
@@ -232,11 +276,14 @@ def decode_store(store_dir: str, columns: list[str] | None = None) -> ray.data.D
         return [read_block_file(p.as_py(), columns) for p in batch["path"]]
 
     def decode_flat(batch: pa.Table) -> pa.Table:
+        from .codecs.bitpack import warmup
+        warmup()
         tables = decode_one(batch)
         return pa.concat_tables(tables) if tables else pa.table({})
 
-    return ray.data.from_items(paths).map_batches(
-        decode_flat, batch_size=1, batch_format="pyarrow")
+    # one input block per encoded block file → block-parallel decode tasks
+    return ray.data.from_items(paths, override_num_blocks=max(1, len(paths))) \
+        .map_batches(decode_flat, batch_size=1, batch_format="pyarrow")
 
 
 def store_total_bytes(store_dir: str) -> int:

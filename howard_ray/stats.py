@@ -1,0 +1,43 @@
+"""Metrics / overview reports — the reference's stats tool
+(get_stats howard/objects/variants.py:570-790, stats_to_file :792-813,
+tools/stats.py) re-targeted at encoded stores: rows, bytes in/out,
+per-codec block counts, compression ratio, per-source distribution.
+Per-partition metrics come from the lineage manifest; the report is their
+merge (partial+final, no full-data pass)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from .manifest import load_footer
+
+
+def store_report(store_dir: str) -> dict:
+    footer = load_footer(store_dir)
+    blocks = footer["blocks"]
+    codec_counts: Counter = Counter()
+    per_source: dict[str, dict] = {}
+    for b in blocks:
+        for col, codec in b.get("codecs", {}).items():
+            codec_counts[f"{col}:{codec}"] += 1
+        src = b["block_id"].rsplit("-", 2)[0]
+        s = per_source.setdefault(src, {"blocks": 0, "rows": 0,
+                                        "raw_bytes": 0, "encoded_bytes": 0})
+        s["blocks"] += 1
+        s["rows"] += b["n_rows"]
+        s["raw_bytes"] += b.get("raw_bytes", 0)
+        s["encoded_bytes"] += b["encoded_bytes"]
+    raw = sum(b.get("raw_bytes", 0) for b in blocks)
+    enc = footer["encoded_bytes"]
+    return {
+        "n_blocks": footer["n_blocks"],
+        "n_rows": footer["n_rows"],
+        "raw_bytes": raw,
+        "encoded_bytes": enc,
+        "compression_ratio": round(raw / enc, 4) if enc else None,
+        "mode": footer.get("mode"),
+        "wall_sec": footer.get("wall_sec"),
+        "throughput_gbps": footer.get("throughput_gbps"),
+        "codec_blocks": dict(sorted(codec_counts.items())),
+        "per_source": dict(sorted(per_source.items())),
+    }
