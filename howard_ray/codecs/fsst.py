@@ -35,7 +35,8 @@ from .zstd import maybe_post_compress, maybe_post_decompress
 MAX_SYMBOL_LEN = 8
 MIN_SYMBOL_LEN = 2
 MAX_SYMBOLS = 200
-SAMPLE_BYTES = 1 << 14
+SAMPLE_BYTES = 1 << 13
+SYMBOL_LENGTHS = (2, 3, 4, 6, 8)  # skip 5/7: near-duplicate gains, 30% less sampling cost
 
 
 class FsstNotApplicable(ValueError):
@@ -60,7 +61,7 @@ def _candidate_symbols(sample: bytes, sep: int) -> list[bytes]:
     """
     arr = np.frombuffer(sample, dtype=np.uint8)
     scored: list[tuple[int, bytes]] = []
-    for ln in range(MIN_SYMBOL_LEN, MAX_SYMBOL_LEN + 1):
+    for ln in SYMBOL_LENGTHS:
         if arr.size < ln:
             break
         win = np.lib.stride_tricks.sliding_window_view(arr, ln)

@@ -21,7 +21,8 @@ import numpy as np
 from .bitpack import bit_width, pack_bits, unpack_bits
 from .zstd import maybe_post_compress, maybe_post_decompress
 
-INT_CODECS = ("plain", "constant", "for_bitpack", "delta_bitpack", "rle_bitpack")
+INT_CODECS = ("plain", "constant", "for_bitpack", "for_bytes",
+              "delta_bitpack", "rle_bitpack")
 
 
 def _as_i64(vals: np.ndarray) -> np.ndarray:
@@ -51,6 +52,8 @@ def encode_ints(vals: np.ndarray, codec: str, post_zstd: bool = True) -> tuple[b
         meta["plain_dtype"] = "<i8" if vals.dtype.itemsize != 8 else vals.dtype.str
     elif codec == "for_bitpack":
         payload = _encode_for(vals, meta)
+    elif codec == "for_bytes":
+        payload = _encode_for_bytes(vals, meta)
     elif codec == "delta_bitpack":
         payload = _encode_delta(vals, meta)
     elif codec == "rle_bitpack":
@@ -72,6 +75,8 @@ def decode_ints(payload: bytes, meta: dict) -> np.ndarray:
         vals = np.frombuffer(payload, dtype=np.dtype(meta["plain_dtype"]))
     elif codec == "for_bitpack":
         vals = _decode_for(payload, meta)
+    elif codec == "for_bytes":
+        vals = _decode_for_bytes(payload, meta)
     elif codec == "delta_bitpack":
         vals = _decode_delta(payload, meta)
     elif codec == "rle_bitpack":
@@ -104,6 +109,35 @@ def _encode_for(vals: np.ndarray, meta: dict) -> bytes:
 def _decode_for(payload: bytes, meta: dict) -> np.ndarray:
     u = unpack_bits(payload, meta["n"], meta["width"])
     return (u.view(np.int64) + meta["ref"])
+
+
+# --- frame of reference + byte-aligned cast (+ zstd post-compression) ---
+#
+# The speed path: instead of packing to exact bit width, subtract the frame
+# reference and cast to the smallest byte-aligned unsigned dtype (u8/u16/u32/
+# u64). Byte-aligned layouts are far cheaper to produce (one vectorized cast,
+# ~5x less memory traffic than bit-plane packing) and leave zstd a byte-
+# structured stream it compresses as well as — often better than — misaligned
+# packed bits. The sampling selector arbitrates by measured size.
+
+def _encode_for_bytes(vals: np.ndarray, meta: dict) -> bytes:
+    v = _as_i64(vals)
+    lo, hi, w = _for_width(v)
+    if w > 63:
+        meta["codec"] = "plain"
+        meta["plain_dtype"] = "<i8"
+        return v.tobytes()
+    meta["ref"] = lo
+    for dt in ("<u1", "<u2", "<u4", "<u8"):
+        if w <= np.dtype(dt).itemsize * 8:
+            meta["cast"] = dt
+            return (v - lo).astype(np.dtype(dt)).tobytes()
+    raise AssertionError("unreachable")
+
+
+def _decode_for_bytes(payload: bytes, meta: dict) -> np.ndarray:
+    u = np.frombuffer(payload, dtype=np.dtype(meta["cast"]))
+    return u.astype(np.int64) + meta["ref"]
 
 
 # --- delta + zigzag + bitpack (sorted / smooth sequences, e.g. offsets) ---

@@ -11,9 +11,26 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+# worker-local compression effort; 1 = throughput profile, higher = archive
+# profile (set per task/actor from the pipeline's `profile` option)
+LEVEL = 1
+_codecs: dict[int, pa.Codec] = {}
+
+
+def set_level(level: int) -> None:
+    global LEVEL
+    LEVEL = level
+
+
+def _codec() -> pa.Codec:
+    c = _codecs.get(LEVEL)
+    if c is None:
+        c = _codecs[LEVEL] = pa.Codec("zstd", compression_level=LEVEL)
+    return c
+
 
 def zstd_compress(buf: bytes) -> bytes:
-    return pa.compress(buf, codec="zstd", asbytes=True)
+    return _codec().compress(buf, asbytes=True)
 
 
 def zstd_decompress(buf: bytes, decompressed_size: int) -> bytes:

@@ -121,3 +121,30 @@ def write_corpus(path: str, n_rows: int, seed: int = 42, variant: str = "base",
 def corpus_path(tmp_root: str, n_rows: int, seed: int = 42, variant: str = "base") -> str:
     """Canonical cached location for a generated corpus file."""
     return os.path.join(tmp_root, f"tokens_corpus_{variant}_s{seed}_n{n_rows}.parquet")
+
+
+def write_corpus_dir(dir_path: str, n_rows: int, shards: int = 32,
+                     seed: int = 42, variant: str = "base",
+                     row_group_size: int = 16_384) -> str:
+    """Write the corpus as a directory of shard files (one file per shard,
+    deterministic per shard) — the realistic 100-TB layout, and required for
+    file-parallel reads (this Ray version issues one read task per file).
+    Skips shards that already exist (resumable generation)."""
+    os.makedirs(dir_path, exist_ok=True)
+    done = dir_path.rstrip("/") + ".complete"  # outside the dir: readers must see only parquet
+    if os.path.exists(done):
+        return dir_path
+    t = make_tokens_corpus(n_rows, seed, variant)
+    per = -(-n_rows // shards)
+    for i in range(shards):
+        part = t.slice(i * per, per)
+        if part.num_rows == 0:
+            break
+        p = os.path.join(dir_path, f"part-{i:04d}.parquet")
+        if os.path.exists(p):
+            continue
+        pq.write_table(part, p + ".tmp", row_group_size=row_group_size)
+        os.replace(p + ".tmp", p)
+    with open(done, "w") as f:
+        f.write(f"{n_rows}\n")
+    return dir_path

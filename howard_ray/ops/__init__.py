@@ -3,7 +3,7 @@
 ``__ray_entry__.oracle_sql()``. See SURVEY.md §2 for the reference mapping.
 """
 
-from . import dedup, relational, rules, similarity, text, variants, windows
+from . import dedup, multimodal, relational, rules, similarity, text, variants, windows
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants]
 
@@ -55,6 +55,8 @@ def all_queries():
         "annotate_regions": variants.annotate_regions,
         "genotype_calcs": variants.genotype_calcs,
         "ann_explode": variants.ann_explode,
+        # multimodal (stubbed decoder, real Ray plumbing)
+        "media_features": multimodal.media_features,
     }
     # oracle SQL for the F2 family reads the fixture parquet by absolute
     # path — materialize it before the driver runs either side

@@ -1,0 +1,117 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+The engine treats image/audio/video as ``binary`` columns plus metadata
+columns, processed by actor-pool ``map_batches`` stages. The actual
+image/audio decoders are NOT available in this environment, so the decode
+kernel is a clearly-marked deterministic stub (`FakeImageDecoder`) behind
+the same interface a real decoder (PIL/libsndfile/ffmpeg) would use — the
+Ray-side plumbing (schema, byte-aware batch sizing, actor signature, output
+layout) is real and tested.
+
+Reference analog: the external-tool stages (shard → subprocess → merge,
+SURVEY.md §2.10) and the BigWig stateful annotator holding a binary-format
+handle per actor (howard/objects/variants.py:3266-3619).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("payload", pa.binary()),       # opaque encoded bytes (e.g. JPEG)
+    ("mime", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+])
+
+
+def make_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media corpus: payload = seeded pseudo-JPEG bytes
+    whose first 8 bytes encode (width, height) so the stub decoder can
+    produce a deterministic 'decoded' result from payload alone."""
+    rng = np.random.default_rng(seed)
+    widths = rng.integers(32, 512, n).astype(np.int32)
+    heights = rng.integers(32, 512, n).astype(np.int32)
+    sizes = rng.integers(200, 4000, n)
+    payloads = []
+    for i in range(n):
+        head = int(widths[i]).to_bytes(4, "little") + int(heights[i]).to_bytes(4, "little")
+        body = rng.integers(0, 256, int(sizes[i]), dtype=np.uint8).tobytes()
+        payloads.append(head + body)
+    return pa.table({
+        "media_id": pa.array([f"img-{i:08d}" for i in range(n)]),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "mime": pa.array(["image/fake"] * n),
+        "width": pa.array(widths),
+        "height": pa.array(heights),
+    })
+
+
+class FakeImageDecoder:
+    """STUB decoder (real decode would call PIL.Image.open and raise
+    NotImplementedError here without it). Deterministic: 'decodes' the
+    payload into summary features derived only from the bytes, mimicking a
+    decode → feature-extract stage. Holds its (fake) codec state per actor."""
+
+    def __init__(self, thumbnail: int = 8):
+        self.thumbnail = thumbnail  # a real decoder would init codecs here
+
+    def decode_features(self, payload: bytes) -> tuple[int, int, float, int]:
+        w = int.from_bytes(payload[:4], "little")
+        h = int.from_bytes(payload[4:8], "little")
+        body = np.frombuffer(payload, dtype=np.uint8, offset=8)
+        mean = float(body.mean()) if body.size else 0.0
+        return w, h, mean, body.size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self.decode_features(p.as_py()) for p in batch["payload"]]
+        w, h, mean, nbytes = zip(*feats) if feats else ((), (), (), ())
+        return pa.table({
+            "media_id": batch["media_id"],
+            "width": pa.array(w, type=pa.int32()),
+            "height": pa.array(h, type=pa.int32()),
+            "mean_byte": pa.array([round(m, 4) for m in mean], type=pa.float64()),
+            "decoded_bytes": pa.array(nbytes, type=pa.int64()),
+            "aspect_gt_1": pa.array([int(a > b) for a, b in zip(w, h)],
+                                    type=pa.int64()),
+        })
+
+
+def media_pipeline(ds: ray.data.Dataset, concurrency=(1, 4),
+                   batch_size: int = 256) -> ray.data.Dataset:
+    """Decode/feature-extract stage: actor pool, SMALL batches (binary
+    payloads are wide — byte-aware batch sizing, SURVEY.md §7.4)."""
+    return ds.map_batches(FakeImageDecoder, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1)
+
+
+def media_features(sf_dir: str):
+    """queries() entry: synthesize the deterministic media corpus, run the
+    decode stage, aggregate per aspect bucket (rows-only oracle — payload
+    bytes are not a registered view)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "media.parquet")
+    if not os.path.exists(path):
+        pq.write_table(make_media_table(2000), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    ds = ray.data.read_parquet(path)
+    feats = media_pipeline(ds)
+    from ray.data.aggregate import Count, Sum
+    out = (feats.groupby("aspect_gt_1")
+           .aggregate(Count(alias_name="n"),
+                      Sum("decoded_bytes", alias_name="total_bytes"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("aspect_gt_1").reset_index(drop=True)

@@ -112,14 +112,28 @@ def _records_table(records: list[dict]) -> pa.Table:
                                         type=pa.string())})
 
 
-class BlockEncoder:
-    """Actor-pool encode stage for ``mode="stream"`` (stateful stage shape:
-    setup once per actor in __init__, work per batch — the reference's
-    genome/bigwig-handle actors, howard/objects/variants.py:8128, :3522)."""
+ENCODE_PROFILES = {
+    # throughput profile: byte-aligned codecs + fast zstd
+    "standard": {"zstd_level": 1},
+    # archive profile: zstd level 19 per block — ~4% smaller stores at ~200x
+    # the compression CPU; compute-dominant, so it is also the scaling probe
+    # profile on hosts whose memory bandwidth caps the standard profile
+    # (see BASELINE.md)
+    "archive": {"zstd_level": 19},
+}
 
-    def __init__(self, store_dir: str, target_rows: int, completed: dict[str, dict]):
+
+class BlockEncoder:
+    """Encode stage for ``mode="stream"`` (stateful stage shape: setup once
+    per worker, work per batch — the reference's genome/bigwig-handle actors,
+    howard/objects/variants.py:8128, :3522)."""
+
+    def __init__(self, store_dir: str, target_rows: int,
+                 completed: dict[str, dict], profile: str = "standard"):
+        from .codecs import zstd as zstd_mod
         from .codecs.bitpack import warmup
         warmup()  # pre-fault packing scratch once per actor
+        zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
         self.store_dir = store_dir
         self.target_rows = target_rows
         self.completed = completed
@@ -166,16 +180,20 @@ def auto_target_rows(input_path: str | list[str]) -> int:
         return TARGET_ROWS_PER_BLOCK
 
 
-def _per_source_counts(ds: ray.data.Dataset) -> dict[str, int]:
-    """Tiny stats pass: per-batch partial counts → small groupby (the
-    pre-aggregate-then-shuffle rule; analog of the reference's per-chrom
-    planning query, howard/objects/variants.py:6290-6306)."""
+def _per_source_counts(input_path: str | list[str]) -> dict[str, int]:
+    """Tiny stats pass: column-pruned read of `source` only → per-batch
+    partial counts → small groupby (the pre-aggregate-then-shuffle rule;
+    analog of the reference's per-chrom planning query,
+    howard/objects/variants.py:6290-6306). NB: prune at the READ — a
+    select_columns on a full read does not push the projection into the
+    parquet scan in this Ray version."""
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         vc = pc.value_counts(batch["source"])
         return pa.table({"source": vc.field("values"),
                          "cnt": vc.field("counts")})
-    parts = ds.select_columns(["source"]).map_batches(partial, batch_format="pyarrow")
+    parts = ray.data.read_parquet(input_path, columns=["source"]) \
+        .map_batches(partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum
     out = parts.groupby("source").aggregate(Sum("cnt", alias_name="rows")).take_all()
     return {r["source"]: int(r["rows"]) for r in out}
@@ -186,6 +204,7 @@ def encode_dataset(
     store_dir: str,
     *,
     mode: str = "cluster",
+    profile: str = "standard",
     target_rows: int | None = None,
     concurrency: int | None = None,
     resume: bool = True,
@@ -204,19 +223,33 @@ def encode_dataset(
     # leave one CPU for the read/shuffle stages so a fixed pool can always
     # fully start (a pool larger than the cluster blocks forever)
     pool = max(1, min(concurrency or cluster_cpus, cluster_cpus - 1))
+    ctx = ray.data.DataContext.get_current()
+    prev_block_size = ctx.target_max_block_size
+    # ~32 MiB scan/shuffle blocks: fine-grained enough to keep every CPU busy
+    # on medium inputs without flooding the object store with tiny objects
+    ctx.target_max_block_size = 32 * 1024 * 1024
     t0 = time.perf_counter()
 
     if mode == "stream":
+        # stateless tasks, not an actor pool: tasks reuse the session's
+        # already-warm worker processes (fresh actor processes pay multi-
+        # second import + page-fault startup on this host), and the encoder's
+        # only state (store_dir/target/completed) is cheap to ship. The
+        # module-level packing scratch is cached per worker process.
+        completed_ref = ray.put(completed)
+
+        def encode_stream_batch(batch: pa.Table) -> pa.Table:
+            enc = BlockEncoder(store_dir, target_rows, ray.get(completed_ref),
+                               profile)
+            return enc(batch)
+
         rec_ds = ds.map_batches(
-            BlockEncoder,
-            fn_constructor_args=(store_dir, target_rows, completed),
+            encode_stream_batch,
             batch_size=target_rows,
             batch_format="pyarrow",
-            concurrency=pool,
-            num_cpus=1,
         )
     elif mode == "cluster":
-        counts = _per_source_counts(ds)
+        counts = _per_source_counts(input_path)
         salts = {s: max(1, -(-c // target_rows)) for s, c in counts.items()}
 
         def add_salt(batch: pa.Table) -> pa.Table:
@@ -228,8 +261,10 @@ def encode_dataset(
         def encode_group(group: pa.Table) -> pa.Table:
             if group.num_rows == 0:
                 return _records_table([])
+            from .codecs import zstd as zstd_mod
             from .codecs.bitpack import warmup
             warmup()  # once per worker process (module-level cache)
+            zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
             source = group["source"][0].as_py()
             salt = group["salt"][0].as_py()
             body = group.drop_columns(["salt"])
@@ -244,8 +279,12 @@ def encode_dataset(
         # enough partitions to occupy every CPU (a ~350MB single-file read
         # otherwise yields a handful of blocks and the whole pipeline
         # serializes behind them)
+        # ~2 sort partitions per CPU: enough parallelism for the all-to-all
+        # without quadratic tiny-object overhead (measured sweet spot)
         n_rows_est = sum(counts.values())
-        n_parts = max(2 * pool, min(512, -(-n_rows_est // max(1, target_rows))))
+        n_parts = int(os.environ.get("HOWARD_SHUFFLE_PARTS", "0")) or \
+            max(2, min(2 * pool, 128,
+                       -(-n_rows_est // max(1, target_rows))))
         rec_ds = (
             ds.map_batches(add_salt, batch_format="pyarrow")
               .repartition(n_parts)
@@ -255,11 +294,15 @@ def encode_dataset(
     else:
         raise ValueError(f"unknown mode {mode}")
 
-    records = [json.loads(r["record"]) for r in rec_ds.take_all()]
+    try:
+        records = [json.loads(r["record"]) for r in rec_ds.take_all()]
+    finally:
+        ctx.target_max_block_size = prev_block_size
     wall = time.perf_counter() - t0
     raw_bytes = sum(r["raw_bytes"] for r in records)
     footer = write_footer(store_dir, records, extra={
         "mode": mode,
+        "profile": profile,
         "wall_sec": round(wall, 4),
         "raw_bytes": raw_bytes,
         "throughput_gbps": round(raw_bytes / max(wall, 1e-9) / 1e9, 4),
