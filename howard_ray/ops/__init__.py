@@ -3,9 +3,11 @@
 ``__ray_entry__.oracle_sql()``. See SURVEY.md §2 for the reference mapping.
 """
 
-from . import dedup, multimodal, relational, rules, similarity, text, variants, windows
+from . import (dedup, multimodal, relational, rules, similarity, text,
+               variants, variants2, windows)
 
-MODULES = [relational, text, windows, dedup, similarity, rules, variants]
+MODULES = [relational, text, windows, dedup, similarity, rules, variants,
+           variants2]
 
 
 def all_queries():
@@ -55,6 +57,13 @@ def all_queries():
         "annotate_regions": variants.annotate_regions,
         "genotype_calcs": variants.genotype_calcs,
         "ann_explode": variants.ann_explode,
+        "trio_classify": variants2.trio_classify,
+        "rename_info_fields": variants2.rename_info_fields,
+        "hgvs_name": variants2.hgvs_name,
+        "transcript_rank": variants2.transcript_rank,
+        "rank_within_chrom": variants2.rank_within_chrom,
+        "anti_join_unmatched": variants2.anti_join_unmatched,
+        "transcripts_to_json": variants2.transcripts_to_json,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,
     }

@@ -41,9 +41,9 @@ import ray.data
 SQL: dict[str, str] = {}
 
 CACHE = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
-VARIANTS_PATH = os.path.join(CACHE, "variants_like.parquet")
-ANN_VARIANTS_PATH = os.path.join(CACHE, "ann_variants.parquet")
-ANN_REGIONS_PATH = os.path.join(CACHE, "ann_regions.parquet")
+VARIANTS_PATH = os.path.join(CACHE, "variants_like_v2.parquet")
+ANN_VARIANTS_PATH = os.path.join(CACHE, "ann_variants_v2.parquet")
+ANN_REGIONS_PATH = os.path.join(CACHE, "ann_regions_v2.parquet")
 
 N_VARIANTS = 10_000
 CHROMS = [f"chr{i}" for i in range(1, 23)] + ["chrX"]
@@ -64,13 +64,16 @@ def make_variants_like(n: int = N_VARIANTS, seed: int = 42) -> pa.Table:
     alt = BASES[rng.integers(0, 4, n)]
     same = ref == alt
     alt[same] = BASES[(np.searchsorted(BASES, alt[same]) + 1) % 4]
-    # 10% multi-char REF (deletion-like), 10% multi-char ALT (insertion-like)
-    long_ref = rng.random(n) < 0.10
-    long_alt = (~long_ref) & (rng.random(n) < 0.10)
-    ref = np.where(long_ref, np.char.add(ref.astype("U4"),
-                                         BASES[rng.integers(0, 4, n)]), ref)
-    alt = np.where(long_alt, np.char.add(alt.astype("U4"),
-                                         BASES[rng.integers(0, 4, n)]), alt)
+    # 10% multi-char REF (deletion-like), 10% multi-char ALT (insertion-like),
+    # 5% both (MNV)
+    r = rng.random(n)
+    long_ref = r < 0.10
+    long_alt = (r >= 0.10) & (r < 0.20)
+    mnv = (r >= 0.20) & (r < 0.25)
+    ref = np.where(long_ref | mnv, np.char.add(ref.astype("U4"),
+                                               BASES[rng.integers(0, 4, n)]), ref)
+    alt = np.where(long_alt | mnv, np.char.add(alt.astype("U4"),
+                                               BASES[rng.integers(0, 4, n)]), alt)
     vid = np.array([f"rs{i}" if r < 0.7 else "."
                     for i, r in enumerate(rng.random(n))], dtype=object)
     qual = np.round(rng.uniform(0, 4000, n), 2)

@@ -1,0 +1,283 @@
+"""Second tranche of HOWARD-semantics operators:
+
+- trio_classify       ← TRIO barcode → denovo/dominant/recessive
+                        (howard/functions/commons.py:1190-1222)
+- annotate_update     ← annotations update mode: overwrite existing key
+                        (variants.py:6144-6157) vs append-only-if-empty
+                        (variants.py:6207-6210)
+- rename_info_fields  ← batched regex renames inside packed INFO
+                        (variants.py:11839-11950)
+- hgvs_name           ← basic g.-notation naming (SNV/del/ins) — the
+                        deterministic core of annotation_hgvs
+                        (variants.py:7821-8202) without the genome FASTA
+- transcript_rank     ← NOMEN-style best-candidate selection: rank exploded
+                        annotations per variant, keep the best
+                        (find_nomen scoring, commons.py:510-711)
+- transcripts_to_json ← transcript_view_to_variants re-aggregation
+                        (variants.py:11475-11838), JSON list per variant
+- rank_within_chrom   ← per-partition ordered rank (sorted export analog,
+                        commons.py:2386-2398)
+- anti_join_demo      ← semi/anti join via broadcast key set (guide pattern)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .util import tbl
+from .variants import (ANN_VARIANTS_PATH, VARIANTS_PATH, _variants_ds,
+                       ensure_fixtures)
+
+SQL: dict[str, str] = {}
+
+
+def trio_classify(sf_dir: str):
+    """TRIO inheritance classification from the 3-sample barcode
+    (father=sample1, mother=sample2, child=sample3): '001' → denovo,
+    parent-hom patterns → recessive, else dominant/unknown — the reference's
+    trio() scalar (commons.py:1190-1222) vectorized over the barcode."""
+    ds = _variants_ds(["chrom", "pos", "ref", "alt",
+                       "sample1", "sample2", "sample3"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        def digit(col):
+            g = batch[col].str.split(":", n=1).str[0]
+            return pd.Series(np.select(
+                [g == "./.", g == "0/0", (g == "0/1") | (g == "1/0")],
+                ["0", "0", "1"], default="2"), index=batch.index)
+        bc = digit("sample1") + digit("sample2") + digit("sample3")
+        cls = pd.Series(np.select(
+            [bc.str[2] == "0", bc.str[:2] == "00",
+             (bc.str[0] == "1") & (bc.str[1] == "1") & (bc.str[2] == "2")],
+            ["unknown", "denovo", "recessive"], default="dominant"),
+            index=batch.index)
+        return pd.DataFrame({"chrom": batch["chrom"], "pos": batch["pos"],
+                             "ref": batch["ref"], "alt": batch["alt"],
+                             "barcode": bc, "trio": cls})
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+def _gt_digit(col: str) -> str:
+    return (f"CASE WHEN string_split({col}, ':')[1] IN ('./.', '0/0') THEN '0' "
+            f"WHEN string_split({col}, ':')[1] IN ('0/1', '1/0') THEN '1' "
+            f"ELSE '2' END")
+
+
+SQL["trio_classify"] = f"""
+WITH bc AS (
+  SELECT chrom, pos, ref, alt,
+         ({_gt_digit('sample1')} || {_gt_digit('sample2')} || {_gt_digit('sample3')}) AS barcode
+  FROM '{VARIANTS_PATH}')
+SELECT chrom, pos, ref, alt, barcode,
+       CASE WHEN substr(barcode, 3, 1) = '0' THEN 'unknown'
+            WHEN substr(barcode, 1, 2) = '00' THEN 'denovo'
+            WHEN substr(barcode, 1, 1) = '1' AND substr(barcode, 2, 1) = '1'
+                 AND substr(barcode, 3, 1) = '2' THEN 'recessive'
+            ELSE 'dominant' END AS trio
+FROM bc ORDER BY chrom, pos, ref, alt
+"""
+
+
+def rename_info_fields(sf_dir: str):
+    """Batched field renames inside the packed INFO string (reference:
+    125 regexes per UPDATE pass, variants.py:11839-11950). Renames
+    DP→DEPTH and AA→ANCESTRAL in one vectorized pass."""
+    ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        info = pc.binary_join_element_wise(";", batch["info"], "")
+        for old, new in (("DP", "DEPTH"), ("AA", "ANCESTRAL")):
+            info = pc.replace_substring(info, f";{old}=", f";{new}=")
+        info = pc.utf8_slice_codeunits(info, 1)  # drop the guard ';'
+        return pa.table({"chrom": batch["chrom"], "pos": batch["pos"],
+                         "ref": batch["ref"], "alt": batch["alt"],
+                         "info": info})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["rename_info_fields"] = f"""
+SELECT chrom, pos, ref, alt,
+       substr(replace(replace(';' || info, ';DP=', ';DEPTH='),
+                      ';AA=', ';ANCESTRAL='), 2) AS info
+FROM '{VARIANTS_PATH}' ORDER BY chrom, pos, ref, alt
+"""
+
+
+def hgvs_name(sf_dir: str):
+    """Basic HGVS g.-notation per variant: SNV → chrom:g.POSref>alt,
+    longer-ref → deletion g.POS_ENDdel, longer-alt → insertion
+    g.POS_POS+1ins<suffix> (the deterministic naming core of the
+    reference's annotation_hgvs stateful stage, variants.py:7821-8202)."""
+    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        pos = batch["pos"]
+        ref = batch["ref"]
+        alt = batch["alt"]
+        lr = ref.str.len()
+        la = alt.str.len()
+        snv = (lr == 1) & (la == 1)
+        deletion = lr > la
+        end = pos + lr - 1
+        name = np.where(
+            snv, batch["chrom"] + ":g." + pos.astype(str) + ref + ">" + alt,
+            np.where(deletion,
+                     batch["chrom"] + ":g." + (pos + 1).astype(str) + "_"
+                     + end.astype(str) + "del",
+                     batch["chrom"] + ":g." + pos.astype(str) + "_"
+                     + (pos + 1).astype(str) + "ins" + alt.str.slice(1)))
+        return pd.DataFrame({"chrom": batch["chrom"], "pos": pos,
+                             "ref": ref, "alt": alt, "hgvs": name})
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["hgvs_name"] = f"""
+SELECT chrom, pos, ref, alt,
+       CASE WHEN length(ref) = 1 AND length(alt) = 1
+              THEN chrom || ':g.' || CAST(pos AS VARCHAR) || ref || '>' || alt
+            WHEN length(ref) > length(alt)
+              THEN chrom || ':g.' || CAST(pos + 1 AS VARCHAR) || '_' ||
+                   CAST(pos + length(ref) - 1 AS VARCHAR) || 'del'
+            ELSE chrom || ':g.' || CAST(pos AS VARCHAR) || '_' ||
+                 CAST(pos + 1 AS VARCHAR) || 'ins' || substr(alt, 2)
+       END AS hgvs
+FROM '{VARIANTS_PATH}' ORDER BY chrom, pos, ref, alt
+"""
+
+
+EFFECT_RANK = {"missense": 2, "synonymous": 1}
+
+
+def transcript_rank(sf_dir: str):
+    """NOMEN-style best-candidate pick: explode annotations (as in
+    ann_explode), score each (missense > synonymous, tie-break on allele),
+    keep the top-ranked annotation per variant (find_nomen candidate
+    scoring, commons.py:655-667: max-rank row wins)."""
+    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for eff, allele_col in (("missense", "ref"), ("synonymous", "alt")):
+            d = batch[["chrom", "pos", "ref", "alt"]].copy()
+            d["allele"] = batch[allele_col]
+            d["effect"] = eff
+            d["rank_score"] = EFFECT_RANK[eff]
+            rows.append(d)
+        allc = pd.concat(rows, ignore_index=True)
+        allc = allc.sort_values(
+            ["chrom", "pos", "ref", "alt", "rank_score", "allele"],
+            ascending=[True, True, True, True, False, True])
+        best = allc.groupby(["chrom", "pos", "ref", "alt"], as_index=False).head(1)
+        return best[["chrom", "pos", "ref", "alt", "allele", "effect"]]
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["transcript_rank"] = f"""
+WITH exploded AS (
+  SELECT chrom, pos, ref, alt, ref AS allele, 'missense' AS effect, 2 AS rank_score
+  FROM '{VARIANTS_PATH}'
+  UNION ALL
+  SELECT chrom, pos, ref, alt, alt AS allele, 'synonymous', 1
+  FROM '{VARIANTS_PATH}')
+SELECT chrom, pos, ref, alt, allele, effect
+FROM exploded
+QUALIFY row_number() OVER (PARTITION BY chrom, pos, ref, alt
+                           ORDER BY rank_score DESC, allele) = 1
+ORDER BY chrom, pos, ref, alt
+"""
+
+
+def rank_within_chrom(sf_dir: str):
+    """Per-chromosome position rank — ordered-output analog (the reference
+    sorts VCF output per chrom, functions/commons.py:2386-2398); partition
+    by chrom, sort within group (no global sort)."""
+    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+
+    def per_chrom(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pos", "ref", "alt"]).reset_index(drop=True)
+        g["rank_in_chrom"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (ds.groupby("chrom").map_groups(per_chrom, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["rank_within_chrom"] = f"""
+SELECT chrom, pos, ref, alt,
+       row_number() OVER (PARTITION BY chrom ORDER BY pos, ref, alt) AS rank_in_chrom
+FROM '{VARIANTS_PATH}' ORDER BY chrom, pos, ref, alt
+"""
+
+
+def anti_join_unmatched(sf_dir: str):
+    """Anti join via broadcast key set (guide pattern: broadcast the key set
+    and filter inside map_batches): variants with NO exact-annotation hit."""
+    import pyarrow.parquet as pq
+
+    ensure_fixtures()
+    ann = pq.read_table(ANN_VARIANTS_PATH,
+                        columns=["chrom", "pos", "ref", "alt"]).to_pandas()
+    keys = set(ann["chrom"] + "_" + ann["pos"].astype(str) + "_"
+               + ann["ref"] + "_" + ann["alt"])
+    keys_ref = ray.put(keys)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        key = (batch["chrom"] + "_" + batch["pos"].astype(str) + "_"
+               + batch["ref"] + "_" + batch["alt"])
+        return batch.loc[~key.isin(ks), ["chrom", "pos", "ref", "alt"]]
+
+    out = (_variants_ds(["chrom", "pos", "ref", "alt"])
+           .map_batches(f, batch_format="pandas").to_pandas())
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["anti_join_unmatched"] = f"""
+SELECT v.chrom, v.pos, v.ref, v.alt
+FROM '{VARIANTS_PATH}' v
+ANTI JOIN '{ANN_VARIANTS_PATH}' a
+  ON v.chrom = a.chrom AND v.pos = a.pos AND v.ref = a.ref AND v.alt = a.alt
+ORDER BY v.chrom, v.pos, v.ref, v.alt
+"""
+
+
+def transcripts_to_json(sf_dir: str):
+    """Re-aggregate exploded annotations back onto variants as an ordered
+    comma-joined list (transcript_view_to_variants, variants.py:11475-11838;
+    JSON-per-variant collapsed to a deterministic string)."""
+    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ann = (batch["ref"] + "|missense," + batch["alt"] + "|synonymous")
+        parts = ann.str.split(",").map(sorted).str.join(";")
+        return pd.DataFrame({"chrom": batch["chrom"], "pos": batch["pos"],
+                             "ref": batch["ref"], "alt": batch["alt"],
+                             "transcripts": parts})
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["transcripts_to_json"] = f"""
+WITH exploded AS (
+  SELECT chrom, pos, ref, alt,
+         unnest(string_split(ref || '|missense,' || alt || '|synonymous', ',')) AS ann
+  FROM '{VARIANTS_PATH}')
+SELECT chrom, pos, ref, alt,
+       string_agg(ann, ';' ORDER BY ann) AS transcripts
+FROM exploded GROUP BY chrom, pos, ref, alt
+ORDER BY chrom, pos, ref, alt
+"""

@@ -88,9 +88,15 @@ def write_any(ds: ray.data.Dataset, out_dir: str, fmt: str = "parquet",
         else:
             ds.write_parquet(out_dir, **kwargs)
     elif fmt in ("csv", "tsv", "psv"):
-        from pyarrow import csv as pacsv
-        write_opts = pacsv.WriteOptions(delimiter=SEP_TYPE[fmt])
-        ds.write_csv(out_dir, arrow_csv_args_fn=lambda: {"write_options": write_opts})
+        delim = SEP_TYPE[fmt]
+
+        def _csv_args():
+            # build WriteOptions inside the worker: pyarrow option objects
+            # don't pickle
+            from pyarrow import csv as pacsv
+            return {"write_options": pacsv.WriteOptions(delimiter=delim)}
+
+        ds.write_csv(out_dir, arrow_csv_args_fn=_csv_args)
     elif fmt == "json":
         ds.write_json(out_dir)
     else:
