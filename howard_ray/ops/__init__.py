@@ -70,6 +70,9 @@ def all_queries():
     # oracle SQL for the F2 family reads the fixture parquet by absolute
     # path — materialize it before the driver runs either side
     variants.ensure_fixtures()
+    # plugin surface (reference plugins/, SURVEY.md §2.14)
+    from ..plugins import discover_plugins
+    q.update(discover_plugins().queries)
     return q
 
 
@@ -78,4 +81,6 @@ def all_oracle_sql():
     sql: dict[str, str] = {}
     for m in MODULES:
         sql.update(m.SQL)
+    from ..plugins import discover_plugins
+    sql.update(discover_plugins().oracle_sql)
     return sql
