@@ -161,3 +161,67 @@ FROM votes v
 WHERE c = (SELECT max(c) FROM votes v2 WHERE v2.query_id = v.query_id)
 GROUP BY query_id ORDER BY query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN: coarse k-means quantizer + per-centroid inverted lists
+# ---------------------------------------------------------------------------
+
+def _kmeans(x: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means (numpy). At 100 TB the trainer would run
+    on a sample (the reference's sample-to-decide idiom); centroids are then
+    broadcast and assignment is a map_batches matmul."""
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            m = assign == c
+            if m.any():
+                centroids[c] = x[m].mean(axis=0)
+    return centroids
+
+
+def ann_ivf_topk(sf_dir: str, nlist: int = 16, nprobe: int = 4):
+    """IVF-flat approximate top-k: train a coarse quantizer, bucket vectors
+    by nearest centroid (`groupby(bucket)` is the scale-out partition key),
+    then probe only the nprobe closest buckets per query. Approximate →
+    rows-only check; recall vs the exact search is asserted in pytest."""
+    emb = tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    x = _embed_matrix(emb)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    centroids = _kmeans(xn, nlist)
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    cent_ref = ray.put(cn)
+
+    class Assign:
+        def __init__(self):
+            self.cn = ray.get(cent_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            em = _embed_matrix(batch)
+            em /= np.linalg.norm(em, axis=1, keepdims=True)
+            bucket = (em @ self.cn.T).argmax(axis=1)
+            return pd.DataFrame({"vec_id": batch["vec_id"].astype("int64"),
+                                 "bucket": bucket.astype("int64")})
+
+    assignment = (tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+                  .map_batches(Assign, batch_format="pandas", concurrency=(1, 4))
+                  .to_pandas())
+    id2bucket = dict(zip(assignment["vec_id"], assignment["bucket"]))
+
+    q_ids = sorted(emb["vec_id"][emb["vec_id"] < N_QUERIES])
+    id2row = {v: i for i, v in enumerate(emb["vec_id"])}
+    out = []
+    for q_id in q_ids:
+        qv = xn[id2row[q_id]]
+        probes = np.argsort(-(cn @ qv))[:nprobe]
+        cand_ids = [v for v, b in id2bucket.items()
+                    if b in set(probes.tolist()) and v != q_id]
+        cand_rows = np.array([id2row[v] for v in cand_ids])
+        sims = xn[cand_rows] @ qv
+        order = np.argsort(-sims)[:TOP_K]
+        for rank, oi in enumerate(order, 1):
+            out.append((int(q_id), int(cand_ids[oi]), rank, round(float(sims[oi]), 5)))
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "score"])

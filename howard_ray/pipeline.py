@@ -98,6 +98,9 @@ def _encode_tables_to_blocks(tables: list[pa.Table], store_dir: str, key: str,
             "encoded_bytes": len(file_bytes),
             "codecs": {c: e.get("meta", e.get("val_meta", {})).get("codec", e["kind"])
                        for c, e in meta["columns"].items()},
+            # per-column zone maps in the footer → block pruning at read time
+            "columns": {c: {"stats": e.get("stats", {})}
+                        for c, e in meta["columns"].items()},
             "crc32": zlib.crc32(file_bytes),
             "input": input_info,
             "encode_sec": round(time.perf_counter() - t0, 4),
@@ -310,10 +313,36 @@ def encode_dataset(
     return footer
 
 
-def decode_store(store_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Decode an encoded store back to a lazy Dataset (block-parallel)."""
+def decode_store(store_dir: str, columns: list[str] | None = None,
+                 zone_filter: dict | None = None) -> ray.data.Dataset:
+    """Decode an encoded store back to a lazy Dataset (block-parallel).
+
+    ``zone_filter`` prunes whole blocks using the footer's per-column
+    min/max zone maps before any block is read — the engine's index
+    (analog of the reference's tabix index + per-chrom min/max planning,
+    howard/objects/variants.py:6290-6306). Example:
+    ``zone_filter={"n_tok": (1000, None)}`` keeps only blocks whose n_tok
+    range intersects [1000, inf); string columns compare lexically.
+    """
     footer = load_footer(store_dir)
-    paths = [{"path": block_path(store_dir, b["block_id"])} for b in footer["blocks"]]
+    blocks = footer["blocks"]
+    if zone_filter:
+        def survives(b: dict) -> bool:
+            meta = b.get("columns") or {}
+            for col, (lo, hi) in zone_filter.items():
+                stats = meta.get(col, {}).get("stats") if meta else None
+                if stats is None or "min" not in stats:
+                    continue  # no zone map → cannot prune
+                if hi is not None and stats["min"] > hi:
+                    return False
+                if lo is not None and stats["max"] < lo:
+                    return False
+            return True
+        blocks = [b for b in blocks if survives(b)]
+    paths = [{"path": block_path(store_dir, b["block_id"])} for b in blocks]
+    if not paths:
+        import pyarrow.parquet  # noqa: F401  (keep imports consistent)
+        return ray.data.from_items([]).map_batches(lambda b: b)
 
     def decode_one(batch: pa.Table) -> list[pa.Table]:
         return [read_block_file(p.as_py(), columns) for p in batch["path"]]
