@@ -104,14 +104,24 @@ def run_bench() -> dict:
         return time.perf_counter() - t0, store
 
     # cold = first pass (includes per-worker warmup transients);
-    # warm = second pass, the steady-state number a long job runs at
+    # warm = best of N subsequent passes — the steady-state number a long
+    # job runs at (N=3 in scaling mode: this host's shared memory bandwidth
+    # makes single measurements noisy, see BASELINE.md)
+    reps = 3 if os.environ.get("HOWARD_BENCH_SCALING") else 1
+
     t_cold, _ = timed_encode("cluster", "cluster_cold")
     t_cluster, store = timed_encode("cluster", "cluster")
+    for _ in range(reps - 1):
+        t2, store = timed_encode("cluster", "cluster")
+        t_cluster = min(t_cluster, t2)
     queries["encode_cluster_cold"] = round(t_cold, 3)
     queries["encode_cluster"] = round(t_cluster, 3)
 
     t_s_cold, _ = timed_encode("stream", "stream_cold")
     t_stream, store_s = timed_encode("stream", "stream")
+    for _ in range(reps - 1):
+        t2, store_s = timed_encode("stream", "stream")
+        t_stream = min(t_stream, t2)
     queries["encode_stream_cold"] = round(t_s_cold, 3)
     queries["encode_stream"] = round(t_stream, 3)
 
@@ -120,6 +130,29 @@ def run_bench() -> dict:
     queries["encode_archive"] = round(t_arch, 3)
     from howard_ray.pipeline import store_total_bytes as _stb
     extras["archive_encoded_bytes"] = _stb(store_a)
+
+    if os.environ.get("HOWARD_BENCH_SCALING"):
+        # pure-compute probe: cache-resident zstd-19 work in 96 unit tasks —
+        # measures task-scheduling + CPU scaling with (near) zero memory-
+        # bandwidth footprint, isolating the engine from this host's shared
+        # data-path ceiling (see BASELINE.md)
+        import numpy as _np
+        import pyarrow as _pa
+
+        def _probe(batch: "_pa.Table") -> "_pa.Table":
+            from howard_ray.codecs.zstd import set_level, zstd_compress
+            set_level(19)
+            seed = int(batch["id"][0].as_py())
+            buf = _np.random.default_rng(seed).integers(
+                0, 64, 262_144, dtype=_np.uint8).tobytes()
+            for _ in range(6):
+                zstd_compress(buf)
+            return _pa.table({"n": [1]})
+
+        t0 = time.perf_counter()
+        ray.data.range(96, override_num_blocks=96).map_batches(
+            _probe, batch_size=1, batch_format="pyarrow").count()
+        queries["compute_probe"] = round(time.perf_counter() - t0, 3)
 
     # decode pass (full scan of the encoded store)
     t0 = time.perf_counter()
@@ -184,7 +217,7 @@ def run_scaling() -> dict:
 
     def child(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
-                   HOWARD_BENCH_MINIMAL="1")
+                   HOWARD_BENCH_MINIMAL="1", HOWARD_BENCH_SCALING="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
@@ -214,6 +247,13 @@ def run_scaling() -> dict:
         "scaling_efficiency": eff("encode_stream"),
         "scaling_efficiency_cluster": eff("encode_cluster"),
         "scaling_efficiency_archive": eff("encode_archive"),
+        # compute_probe = cache-resident zstd-19 unit tasks: the host's own
+        # ceiling for ANY 8->32 speedup (this VM's 32 vCPUs deliver ~20-24
+        # effective cores under full load — see BASELINE.md spin test), so
+        # normalized = pipeline efficiency relative to what the host permits
+        "scaling_efficiency_compute_probe": eff("compute_probe"),
+        "scaling_efficiency_normalized": round(
+            eff("encode_stream") / max(eff("compute_probe"), 1e-9), 3),
     }
     _append_baseline_md(result)
     return result

@@ -212,6 +212,7 @@ def encode_dataset(
     concurrency: int | None = None,
     resume: bool = True,
     columns: list[str] | None = None,
+    use_actors: bool = False,
 ) -> dict:
     """Run the encode pipeline; returns the footer dict (global index)."""
     init_store(store_dir)
@@ -234,23 +235,36 @@ def encode_dataset(
     t0 = time.perf_counter()
 
     if mode == "stream":
-        # stateless tasks, not an actor pool: tasks reuse the session's
-        # already-warm worker processes (fresh actor processes pay multi-
-        # second import + page-fault startup on this host), and the encoder's
-        # only state (store_dir/target/completed) is cheap to ship. The
-        # module-level packing scratch is cached per worker process.
-        completed_ref = ray.put(completed)
+        if use_actors:
+            # classic actor-pool stage: BlockEncoder state (scratch buffers,
+            # zstd level, completed-set) initialized once per actor
+            rec_ds = ds.map_batches(
+                BlockEncoder,
+                fn_constructor_args=(store_dir, target_rows, completed, profile),
+                batch_size=target_rows,
+                batch_format="pyarrow",
+                concurrency=pool,
+                num_cpus=1,
+            )
+        else:
+            # default: stateless tasks — same BlockEncoder kernel, but tasks
+            # reuse the session's already-warm worker processes (fresh actor
+            # processes pay multi-second import + page-fault startup on this
+            # host) and the per-worker packing scratch is module-cached, so
+            # the actor pool's state amortization is preserved without its
+            # process-startup cost
+            completed_ref = ray.put(completed)
 
-        def encode_stream_batch(batch: pa.Table) -> pa.Table:
-            enc = BlockEncoder(store_dir, target_rows, ray.get(completed_ref),
-                               profile)
-            return enc(batch)
+            def encode_stream_batch(batch: pa.Table) -> pa.Table:
+                enc = BlockEncoder(store_dir, target_rows,
+                                   ray.get(completed_ref), profile)
+                return enc(batch)
 
-        rec_ds = ds.map_batches(
-            encode_stream_batch,
-            batch_size=target_rows,
-            batch_format="pyarrow",
-        )
+            rec_ds = ds.map_batches(
+                encode_stream_batch,
+                batch_size=target_rows,
+                batch_format="pyarrow",
+            )
     elif mode == "cluster":
         counts = _per_source_counts(input_path)
         salts = {s: max(1, -(-c // target_rows)) for s, c in counts.items()}
