@@ -3,11 +3,11 @@
 ``__ray_entry__.oracle_sql()``. See SURVEY.md §2 for the reference mapping.
 """
 
-from . import (dedup, multimodal, relational, rules, similarity, text,
-               variants, variants2, windows)
+from . import (dedup, engine_queries, multimodal, relational, rules,
+               similarity, text, variants, variants2, windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
-           variants2]
+           variants2, engine_queries]
 
 
 def all_queries():
@@ -65,6 +65,10 @@ def all_queries():
         "rank_within_chrom": variants2.rank_within_chrom,
         "anti_join_unmatched": variants2.anti_join_unmatched,
         "transcripts_to_json": variants2.transcripts_to_json,
+        # engine round-trips with SQL oracles + streaming running total
+        "roundtrip_documents": engine_queries.roundtrip_documents,
+        "roundtrip_lineitem": engine_queries.roundtrip_lineitem,
+        "running_total": engine_queries.running_total,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,
     }

@@ -1,0 +1,113 @@
+"""Engine correctness as ORACLE-CHECKED queries: encode a real test table
+through the columnar engine, decode it, and aggregate the DECODED rows —
+the oracle runs the same aggregate on the ORIGINAL table in DuckDB, so any
+codec/block/footer corruption breaks the value-hash equality.
+
+This extends the pytest bit-identical gate (tests/) with a driver-visible
+proof that the engine round-trips arbitrary tables (strings, ints, floats,
+timestamps → int/str/list and 'other' codec kinds), not just the tokens
+corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..pipeline import decode_store, encode_dataset
+
+SQL: dict[str, str] = {}
+
+CACHE = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
+
+
+def _encode_decode(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE, f"store_{table}_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="stream", target_rows=20_000,
+                   resume=False, columns=columns)
+    return decode_store(store)
+
+
+def roundtrip_documents(sf_dir: str):
+    """documents → encode (dict/fsst/plain_str + int codecs) → decode →
+    per-lang aggregate of the decoded rows."""
+    ds = _encode_decode(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = (ds.groupby("lang")
+             .aggregate(Count(alias_name="n_docs"),
+                        Sum("n_chars", alias_name="sum_chars"),
+                        Sum("doc_id", alias_name="sum_ids"))
+             .to_pandas())
+    for c in ["n_docs", "sum_chars", "sum_ids"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL["roundtrip_documents"] = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT)  AS sum_ids
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def roundtrip_lineitem(sf_dir: str):
+    """lineitem (floats → 'other' Arrow-IPC+zstd codec kind) → encode →
+    decode → grouped money aggregate of the decoded rows."""
+    ds = _encode_decode(sf_dir, "lineitem",
+                        ["l_orderkey", "l_returnflag", "l_quantity",
+                         "l_extendedprice"])
+    out = (ds.groupby("l_returnflag")
+             .aggregate(Count(alias_name="n"),
+                        Sum("l_quantity", alias_name="sum_qty"),
+                        Sum("l_extendedprice", alias_name="sum_price"))
+             .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_price"] = out["sum_price"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL["roundtrip_lineitem"] = """
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_quantity), 2)      AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def running_total(sf_dir: str):
+    """Per-user running cumulative sum over the ordered event log — the
+    stream-shaped stateful aggregate (ray_guide streaming pattern: partition
+    by key, sort by ts within group, sequential state inside map_groups)."""
+    import pandas as pd
+
+    from .util import tbl
+
+    ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "running_value": g["value"].cumsum().round(2),
+        })
+
+    out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL["running_total"] = """
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events ORDER BY event_id
+"""

@@ -145,9 +145,14 @@ class BlockEncoder:
         if batch.num_rows == 0:
             return _records_table([])
         # content-derived deterministic block id (batch boundaries are
-        # deterministic for a fixed input + batch_size in scan order)
-        first = batch["doc_id"][0].as_py()
-        h = stable_hash_u64(batch["doc_id"])
+        # deterministic for a fixed input + batch_size in scan order);
+        # schema-agnostic: keyed on the first non-nested column
+        key_col = next((n for n, t in zip(batch.schema.names, batch.schema.types)
+                        if not pa.types.is_nested(t)), batch.schema.names[0])
+        col = batch[key_col]
+        first = str(col[0].as_py())[:64]
+        h = stable_hash_u64(np.asarray(
+            col.cast(pa.string()).to_pandas(), dtype=object))
         key = f"s{np.bitwise_xor.reduce(h):016x}"
         recs = _encode_tables_to_blocks(
             [batch], self.store_dir, key, sort_key=first,
