@@ -3,11 +3,11 @@
 ``__ray_entry__.oracle_sql()``. See SURVEY.md §2 for the reference mapping.
 """
 
-from . import (dedup, engine_queries, multimodal, relational, rules,
-               similarity, text, variants, variants2, windows)
+from . import (dedup, engine_queries, multimodal, process, relational,
+               rules, similarity, text, variants, variants2, windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
-           variants2, engine_queries]
+           variants2, engine_queries, process]
 
 
 def all_queries():
@@ -65,6 +65,8 @@ def all_queries():
         "rank_within_chrom": variants2.rank_within_chrom,
         "anti_join_unmatched": variants2.anti_join_unmatched,
         "transcripts_to_json": variants2.transcripts_to_json,
+        # composite flagship pipeline (howard process analog)
+        "process_pipeline": process.process_pipeline,
         # engine round-trips with SQL oracles + streaming running total
         "roundtrip_documents": engine_queries.roundtrip_documents,
         "roundtrip_lineitem": engine_queries.roundtrip_lineitem,
