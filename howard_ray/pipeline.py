@@ -188,6 +188,46 @@ def auto_target_rows(input_path: str | list[str]) -> int:
         return TARGET_ROWS_PER_BLOCK
 
 
+def _narrowable_token_type(input_path: str | list[str]) -> pa.DataType | None:
+    """If parquet column statistics PROVE every tokens value fits uint16/
+    uint8, return the narrow type — the salted shuffle then moves half (or a
+    quarter) of the token bytes. Metadata-only: no data is read. Returns
+    None when stats are missing or the range doesn't fit (optimization is
+    skipped, never unsound)."""
+    import pyarrow.parquet as pq
+
+    paths = input_path if isinstance(input_path, list) else [input_path]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files += [os.path.join(p, n) for n in sorted(os.listdir(p))
+                      if n.endswith(".parquet")]
+        else:
+            files.append(p)
+    lo, hi = None, None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = next(i for i in range(md.num_columns)
+                       if md.row_group(0).column(i).path_in_schema
+                       .startswith("tokens."))
+        except (StopIteration, IndexError):
+            return None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None or lo < 0:
+        return None
+    if hi < 2**8:
+        return pa.list_(pa.uint8())
+    if hi < 2**16:
+        return pa.list_(pa.uint16())
+    return None
+
+
 def _per_source_counts(input_path: str | list[str]) -> dict[str, int]:
     """Tiny stats pass: column-pruned read of `source` only → per-batch
     partial counts → small groupby (the pre-aggregate-then-shuffle rule;
@@ -273,12 +313,25 @@ def encode_dataset(
     elif mode == "cluster":
         counts = _per_source_counts(input_path)
         salts = {s: max(1, -(-c // target_rows)) for s, c in counts.items()}
+        # shuffle-volume narrowing: metadata-proven safe cast of tokens to
+        # uint16/uint8 before the all-to-all halves (or quarters) the bytes
+        # moved; the group stage casts back before encoding
+        narrow = _narrowable_token_type(input_path)
+        wide_type = None
+        if narrow is not None:
+            schema = ds.schema().base_schema
+            if "tokens" in schema.names:
+                wide_type = schema.field("tokens").type
 
         def add_salt(batch: pa.Table) -> pa.Table:
             n_salt = np.array([salts.get(s, 1) for s in batch["source"].to_pylist()],
                               dtype=np.uint64)
             h = stable_hash_u64(batch["doc_id"])
-            return batch.append_column("salt", pa.array((h % n_salt).astype(np.int64)))
+            out = batch.append_column("salt", pa.array((h % n_salt).astype(np.int64)))
+            if wide_type is not None:
+                idx = out.schema.get_field_index("tokens")
+                out = out.set_column(idx, "tokens", out["tokens"].cast(narrow))
+            return out
 
         def encode_group(group: pa.Table) -> pa.Table:
             if group.num_rows == 0:
@@ -290,6 +343,9 @@ def encode_dataset(
             source = group["source"][0].as_py()
             salt = group["salt"][0].as_py()
             body = group.drop_columns(["salt"])
+            if wide_type is not None:
+                idx = body.schema.get_field_index("tokens")
+                body = body.set_column(idx, "tokens", body["tokens"].cast(wide_type))
             key = f"{source}-{salt:05d}"
             recs = _encode_tables_to_blocks(
                 [body], store_dir, key, sort_key=f"{source}/{salt:05d}",
