@@ -26,6 +26,8 @@ def all_queries():
         "topk_orders": relational.topk_orders,
         "distinct_langs": relational.distinct_langs,
         "string_agg_by_nation": relational.string_agg_by_nation,
+        "median_by_type": relational.median_by_type,
+        "latest_order_per_customer": relational.latest_order_per_customer,
         # text analysis
         "explode_word_counts": text.explode_word_counts,
         "parse_props": text.parse_props,

@@ -418,3 +418,53 @@ SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS customers,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """
+
+
+def median_by_type(sf_dir: str):
+    """Exact per-group median (the reference's QUAL stats include median,
+    variants.py:716-729): groups are bounded, so an exact in-group sort via
+    map_groups beats a distributed approximate sketch at this cardinality."""
+    ds = tbl(sf_dir, "events", ["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "median_value": [round(float(g["value"].median()), 4)],
+                             "n": np.int64(len(g))})
+
+    out = (ds.groupby("event_type").map_groups(med, batch_format="pandas")
+             .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL["median_by_type"] = """
+SELECT event_type, round(median(value), 4) AS median_value, count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def latest_order_per_customer(sf_dir: str):
+    """Argmax-per-group (latest order per customer, orderkey tie-break) —
+    the reference's max-rank row selection shape (find_nomen,
+    commons.py:655-667) on a relational key."""
+    ds = tbl(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"],
+                          ascending=[False, False])
+        return g.head(1)[["o_custkey", "o_orderkey"]]
+
+    out = (ds.groupby("o_custkey").map_groups(latest, batch_format="pandas")
+             .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL["latest_order_per_customer"] = """
+SELECT o_custkey, o_orderkey
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+ORDER BY o_custkey
+"""
