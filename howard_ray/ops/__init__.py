@@ -44,6 +44,7 @@ def all_queries():
         "dedup_minhash_candidates": dedup.dedup_minhash_candidates,
         "dedup_ngram_verified": dedup.dedup_ngram_verified,
         "simhash_fingerprints": dedup.simhash_fingerprints,
+        "dedup_embedding": dedup.dedup_embedding,
         # similarity
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,

@@ -180,3 +180,68 @@ def simhash_fingerprints(sf_dir: str):
            .map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51);
+# 0.42 yields a non-trivial verified pair set at sf0.01
+EMBED_DUP_THRESHOLD = 0.42
+
+
+def dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs: per-batch matmul against the
+    broadcast (normalized) full matrix, emit pairs with cosine >= threshold
+    (a < b dedup of the symmetric pair). The scale path replaces the
+    broadcast with LSH/IVF bucket co-partitioning (ann_lsh_buckets /
+    ann_ivf_topk) so each batch only scores its own buckets."""
+    import ray as _ray
+
+    from .util import tbl
+
+    emb = tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    ref = _ray.put((ids, m))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.m = _ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            bm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+            sims = bm @ self.m.T
+            bi = batch["vec_id"].to_numpy()
+            rows_a, rows_b, rows_s = [], [], []
+            hits = np.argwhere(sims >= EMBED_DUP_THRESHOLD)
+            for r, c in hits:
+                a, b = int(bi[r]), int(self.ids[c])
+                if a < b:
+                    rows_a.append(a)
+                    rows_b.append(b)
+                    rows_s.append(round(float(sims[r, c]), 4))
+            return pd.DataFrame({
+                "vec_a": pd.Series(rows_a, dtype="int64"),
+                "vec_b": pd.Series(rows_b, dtype="int64"),
+                "cosine": pd.Series(rows_s, dtype="float64"),
+            })
+
+    out = (tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .map_batches(Pairs, batch_format="pandas", concurrency=(1, 4))
+           .to_pandas())
+    if out.empty:
+        out = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                            "vec_b": pd.Series([], dtype="int64"),
+                            "cosine": pd.Series([], dtype="float64")})
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+SQL["dedup_embedding"] = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {EMBED_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
