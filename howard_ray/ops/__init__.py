@@ -39,6 +39,7 @@ def all_queries():
         "window_hourly": windows.window_hourly,
         "asof_prev_event": windows.asof_prev_event,
         "sessionize": windows.sessionize,
+        "window_sliding": windows.window_sliding,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_candidates": dedup.dedup_minhash_candidates,

@@ -129,3 +129,54 @@ SELECT user_id, CAST(sum(session_events) AS BIGINT) AS n_events,
        CAST(max(session_events) AS BIGINT) AS max_session_events
 FROM sized GROUP BY user_id ORDER BY user_id
 """
+
+
+SLIDE_US = 30 * 60 * 1_000_000   # 30-min slide
+WIN_US = 60 * 60 * 1_000_000     # 1-h window
+
+
+def window_sliding(sf_dir: str):
+    """Sliding window (1h length, 30min slide): every event belongs to
+    exactly WIN/SLIDE = 2 windows — emitted per batch as a vectorized
+    2x row expansion (flat_map shape), then an ordinary grouped count.
+    Ray Data has no native windows (nor does the reference, SURVEY.md §1.3);
+    the expansion IS the window assignment."""
+    ds = tbl(sf_dir, "events", ["event_type", "ts", "value"])
+    k = WIN_US // SLIDE_US  # windows per event
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch["ts"], pa.int64()))
+        last_start = (ts // SLIDE_US) * SLIDE_US
+        parts = []
+        et = batch["event_type"].to_pandas().to_numpy()
+        val = np.asarray(batch["value"])
+        for i in range(k):
+            start = last_start - i * SLIDE_US
+            parts.append(pa.table({
+                "event_type": pa.array(et),
+                "window_start": pa.array(start // 1_000_000, type=pa.int64()),
+                "value": pa.array(val),
+            }))
+        return pa.concat_tables(parts)
+
+    out = (ds.map_batches(expand, batch_format="pyarrow")
+             .groupby(["event_type", "window_start"])
+             .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+             .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return (out.sort_values(["event_type", "window_start"])
+               .reset_index(drop=True))
+
+
+SQL["window_sliding"] = """
+WITH expanded AS (
+  SELECT event_type, value,
+         (epoch_us(ts) // 1800000000) * 1800 - offs * 1800 AS window_start
+  FROM events, (SELECT unnest([0, 1]) AS offs)
+)
+SELECT event_type, window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM expanded
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
