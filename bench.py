@@ -55,7 +55,7 @@ def prepare_corpus(sf: float) -> str:
     from howard_ray.fixtures import write_corpus_dir
     os.makedirs(CACHE, exist_ok=True)
     n_rows = max(10_000, int(ROWS_PER_SF * sf))
-    return write_corpus_dir(os.path.join(CACHE, f"corpus_n{n_rows}"), n_rows)
+    return write_corpus_dir(os.path.join(CACHE, f"corpus_v2_n{n_rows}"), n_rows)
 
 
 def run_bench() -> dict:

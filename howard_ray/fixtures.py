@@ -18,6 +18,13 @@ import pyarrow.parquet as pq
 VOCAB = 50257
 SOURCES = ["web", "books", "code", "wiki", "news", "forum", "papers", "legal"]
 SOURCE_P = [0.55, 0.20, 0.10, 0.06, 0.04, 0.03, 0.015, 0.005]
+# per-source effective vocabulary (different domains use different slices of
+# the tokenizer): token = zipf_draw % cap. This is what makes the salted
+# groupby('source') clustering pay: single-source blocks have narrower value
+# ranges and tighter distributions than scan-order blocks.
+SOURCE_VOCAB = {"web": VOCAB, "books": 32_000, "code": 8_192, "wiki": 40_000,
+                "news": 20_000, "forum": 16_384, "papers": 45_000,
+                "legal": 12_000}
 
 
 _ZIPF_CDF = None
@@ -48,6 +55,11 @@ def make_tokens_corpus(n_rows: int, seed: int = 42, variant: str = "base") -> pa
     total = int(n_tok.sum())
     values = _zipf_tokens(rng, total)
     offsets = np.concatenate(([0], np.cumsum(n_tok))).astype(np.int64)
+
+    # fold each row's tokens into its source's effective vocabulary
+    caps = np.array([SOURCE_VOCAB[SOURCES[i]] for i in src_idx], dtype=np.int64)
+    per_value_cap = np.repeat(caps, n_tok)
+    np.mod(values, per_value_cap.astype(np.int32), out=values)
 
     # 5% of rows: overwrite a middle segment with a constant run
     run_rows = rng.choice(n_rows, size=max(1, n_rows // 20), replace=False)
@@ -120,7 +132,7 @@ def write_corpus(path: str, n_rows: int, seed: int = 42, variant: str = "base",
 
 def corpus_path(tmp_root: str, n_rows: int, seed: int = 42, variant: str = "base") -> str:
     """Canonical cached location for a generated corpus file."""
-    return os.path.join(tmp_root, f"tokens_corpus_{variant}_s{seed}_n{n_rows}.parquet")
+    return os.path.join(tmp_root, f"tokens_corpus_v2_{variant}_s{seed}_n{n_rows}.parquet")
 
 
 def write_corpus_dir(dir_path: str, n_rows: int, shards: int = 32,
