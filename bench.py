@@ -107,7 +107,7 @@ def run_bench() -> dict:
     # warm = best of N subsequent passes — the steady-state number a long
     # job runs at (N=3 in scaling mode: this host's shared memory bandwidth
     # makes single measurements noisy, see BASELINE.md)
-    reps = 3 if os.environ.get("HOWARD_BENCH_SCALING") else 1
+    reps = 3 if os.environ.get("HOWARD_BENCH_SCALING") else 2
 
     t_cold, _ = timed_encode("cluster", "cluster_cold")
     t_cluster, store = timed_encode("cluster", "cluster")
