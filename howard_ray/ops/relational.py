@@ -266,12 +266,23 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
     once on the bucket, merge matching buckets pairwise inside map_groups.
     The portable both-sides-large join (ray_guide.md pattern); bucket count
     is the partitioning knob, salt-able for hot keys."""
-    left_schema = left.schema().base_schema
-    right_schema = right.schema().base_schema
-    left_cols = list(left_schema.names)
-    right_cols = list(right_schema.names)
-    all_fields = {f.name: f.type for f in left_schema}
-    all_fields.update({f.name: f.type for f in right_schema})
+    def _fields(ds) -> dict[str, pa.DataType]:
+        sch = ds.schema()
+        base = sch.base_schema
+        if isinstance(base, pa.Schema):
+            return {f.name: f.type for f in base}
+        # pandas-block datasets expose numpy dtypes
+        out = {}
+        for name, typ in zip(sch.names, sch.types):
+            out[name] = typ if isinstance(typ, pa.DataType) \
+                else pa.from_numpy_dtype(np.dtype(typ))
+        return out
+
+    lf, rf = _fields(left), _fields(right)
+    left_cols = list(lf)
+    right_cols = list(rf)
+    all_fields = dict(lf)
+    all_fields.update(rf)
 
     def tag(side: int, key_col: str):
         def f(batch: pa.Table) -> pa.Table:

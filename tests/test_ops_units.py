@@ -1,0 +1,91 @@
+"""Unit tests for operator internals: rule-engine modes, calculations
+compiler, cogroup join with skewed keys, FSST invertibility edge."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_rule_engine_varank_max_mode():
+    from howard_ray.ops.rules import compile_profile
+
+    profile = [
+        {"field": "x", "type": "gt", "value": 5, "score": 2, "flag": True},
+        {"field": "x", "type": "gt", "value": 8, "score": 7, "flag": True},
+    ]
+    batch = pa.table({"doc_id": ["a", "b", "c"], "x": [3, 6, 9]})
+    howard = compile_profile(profile)(batch)
+    assert howard["pzscore"].to_pylist() == [0, 2, 9]  # accumulate
+    varank = compile_profile(profile, mode="vvarank")(batch)
+    assert varank["pzscore"].to_pylist() == [0, 2, 7]  # max
+
+
+def test_rule_engine_flag_and():
+    from howard_ray.ops.rules import compile_profile
+
+    profile = [{"field": "x", "type": "gte", "value": 5, "score": 0, "flag": False}]
+    batch = pa.table({"doc_id": ["a", "b"], "x": [3, 7]})
+    out = compile_profile(profile)(batch)
+    assert out["pzflag"].to_pylist() == [0, 1]
+
+
+def test_calculations_compiler_ops():
+    from howard_ray.plugins import compile_calculations
+
+    specs = [
+        {"name": "s", "op": "add", "args": ["a", {"const": 10}]},
+        {"name": "p", "op": "round", "ndigits": 1,
+         "args": [{"op": "mul", "args": ["a", {"const": 0.5}]}]},
+        {"name": "c", "op": "concat", "args": ["name", {"const": "!"}]},
+        {"name": "l", "op": "length", "args": ["name"]},
+    ]
+    batch = pa.table({"a": [1.0, 3.0], "name": ["x", "yy"]})
+    out = compile_calculations(specs)(batch)
+    assert out["s"].to_pylist() == [11.0, 13.0]
+    assert out["p"].to_pylist() == [0.5, 1.5]
+    assert out["c"].to_pylist() == ["x!", "yy!"]
+    assert out["l"].to_pylist() == [1, 2]
+
+
+def test_cogroup_join_with_skewed_key(ray_session):
+    import ray.data as rd
+
+    from howard_ray.ops.relational import cogroup_join
+
+    # hot key 7 holds 90% of the left side
+    left = pd.DataFrame({"k": [7] * 900 + list(range(100)), "v": 1.0})
+    right = pd.DataFrame({"k": list(range(100)), "w": 2.0})
+
+    def merge(l, r):
+        m = l.merge(r, on="k")
+        return m.groupby("k", as_index=False).agg(n=("v", "size"))
+
+    out = (cogroup_join(rd.from_pandas(left), rd.from_pandas(right), "k", "k",
+                        merge, num_buckets=8)
+           .to_pandas().groupby("k", as_index=False).agg(n=("n", "sum")))
+    got = dict(zip(out["k"], out["n"]))
+    assert got[7] == 901  # 900 dupes + the one in range(100)
+    assert got[3] == 1
+    assert len(got) == 100
+
+
+def test_plugin_discovery():
+    from howard_ray.plugins import discover_plugins
+
+    reg = discover_plugins()
+    assert "plugin_minimalize" in reg.queries
+    assert "plugin_minimalize" in reg.oracle_sql
+
+
+def test_fsst_handles_code_byte_absent_from_symbols():
+    """Symbols must never contain code bytes: construct strings whose
+    frequent substrings would collide if codes were drawn from used bytes."""
+    from howard_ray.codecs import fsst_decode, fsst_encode
+
+    strings = [b"abcabcabc" * 5, b"bcabca" * 7, b"cab" * 11] * 50
+    payload, meta = fsst_encode(strings, post_zstd=False)
+    assert fsst_decode(payload, meta) == strings
+    used = set(b"".join(strings))
+    for _, code in meta["symbols"]:
+        assert code not in used
