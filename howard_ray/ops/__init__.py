@@ -22,6 +22,7 @@ def all_queries():
         "filter_project": relational.filter_project,
         "join_broadcast": relational.join_broadcast,
         "join_hash": relational.join_hash,
+        "join_native": relational.join_native,
         "range_join_bands": relational.range_join_bands,
         "topk_orders": relational.topk_orders,
         "distinct_langs": relational.distinct_langs,
@@ -68,6 +69,7 @@ def all_queries():
         "transcript_rank": variants2.transcript_rank,
         "rank_within_chrom": variants2.rank_within_chrom,
         "anti_join_unmatched": variants2.anti_join_unmatched,
+        "annotate_update": variants2.annotate_update,
         "transcripts_to_json": variants2.transcripts_to_json,
         # composite flagship pipeline (howard process analog)
         "process_pipeline": process.process_pipeline,

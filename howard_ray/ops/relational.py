@@ -479,3 +479,28 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
                            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
 ORDER BY o_custkey
 """
+
+
+def join_native(sf_dir: str):
+    """Equi-join via Ray Data's native hash-partitioned ``Dataset.join``
+    (available in this Ray release) — the same semantics as ``join_hash``'s
+    explicit cogroup implementation, kept separately so both the native and
+    the portable join paths stay exercised."""
+    li = tbl(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    od = tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(od, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    out = (joined.groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_items"),
+                      Sum("l_quantity", alias_name="sum_qty"))
+           .to_pandas())
+    out["n_items"] = out["n_items"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL["join_native"] = """
+SELECT o_orderpriority, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -281,3 +281,33 @@ SELECT chrom, pos, ref, alt,
 FROM exploded GROUP BY chrom, pos, ref, alt
 ORDER BY chrom, pos, ref, alt
 """
+
+
+def annotate_update(sf_dir: str):
+    """Annotation UPDATE mode: remove any existing value for the key from
+    INFO first, then append the fresh one (the reference deletes the old
+    key via regexp before re-annotating, variants.py:6144-6157 — vs append
+    mode which only fills empties, :6207-6210). Here DP is 'refreshed' to
+    DP*2 to exercise delete-then-append."""
+    ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        padded = ";" + batch["info"]
+        dp = padded.str.extract(r";DP=([^;]*)", expand=False).astype("int64")
+        stripped = padded.str.replace(r";DP=[^;]*", "", regex=True)
+        new_info = (stripped + ";DP=" + (dp * 2).astype(str)).str.lstrip(";")
+        return pd.DataFrame({"chrom": batch["chrom"], "pos": batch["pos"],
+                             "ref": batch["ref"], "alt": batch["alt"],
+                             "info": new_info})
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["annotate_update"] = f"""
+SELECT chrom, pos, ref, alt,
+       ltrim(regexp_replace(';' || info, ';DP=[^;]*', '', 'g')
+             || ';DP=' || CAST(CAST(regexp_extract(';' || info, ';DP=([^;]*)', 1) AS BIGINT) * 2 AS VARCHAR),
+             ';') AS info
+FROM '{VARIANTS_PATH}' ORDER BY chrom, pos, ref, alt
+"""

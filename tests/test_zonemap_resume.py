@@ -71,3 +71,20 @@ def test_ivf_recall_vs_exact(ray_session):
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_manifest_torn_line_recovery(tmp_path):
+    """A killed writer can leave a torn trailing line; load_manifest must
+    drop it and resume must still work."""
+    import json
+
+    from howard_ray.manifest import append_lineage, init_store, load_manifest
+
+    store = str(tmp_path / "s")
+    init_store(store)
+    append_lineage(store, {"block_id": "a", "n_rows": 1, "encoded_bytes": 10})
+    append_lineage(store, {"block_id": "b", "n_rows": 2, "encoded_bytes": 20})
+    with open(f"{store}/manifest.jsonl", "a") as f:
+        f.write('{"block_id": "c", "n_ro')  # torn write
+    recs = load_manifest(store)
+    assert [r["block_id"] for r in recs] == ["a", "b"]
