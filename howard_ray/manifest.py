@@ -64,15 +64,27 @@ def load_manifest(store_dir: str) -> list[dict]:
     return records
 
 
-def completed_blocks(store_dir: str) -> dict[str, dict]:
+def completed_blocks(store_dir: str, verify: bool = False) -> dict[str, dict]:
     """block_id -> lineage record, for records whose block file exists with
-    the recorded size (the resume diff)."""
+    the recorded size (the resume diff). ``verify=True`` additionally
+    re-checksums every block file against its lineage crc32 — full-scan
+    paranoia for audits; the default size check is the cheap path a resumed
+    100-TB job runs (atomic tmp+rename writes mean a file of the right size
+    is a completed write, and per-column crc32s are still verified at every
+    decode)."""
+    import zlib
+
     done: dict[str, dict] = {}
     for rec in load_manifest(store_dir):
         path = block_path(store_dir, rec["block_id"])
         try:
-            if os.path.getsize(path) == rec["encoded_bytes"]:
-                done[rec["block_id"]] = rec
+            if os.path.getsize(path) != rec["encoded_bytes"]:
+                continue
+            if verify and "crc32" in rec:
+                with open(path, "rb") as f:
+                    if zlib.crc32(f.read()) != rec["crc32"]:
+                        continue
+            done[rec["block_id"]] = rec
         except OSError:
             continue
     return done

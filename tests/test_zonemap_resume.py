@@ -88,3 +88,22 @@ def test_manifest_torn_line_recovery(tmp_path):
         f.write('{"block_id": "c", "n_ro')  # torn write
     recs = load_manifest(store)
     assert [r["block_id"] for r in recs] == ["a", "b"]
+
+
+def test_verify_mode_detects_same_size_corruption(ray_session, tmp_path):
+    """A same-size corrupted block passes the cheap resume diff but fails
+    verify=True (and decode's per-column crc still catches it)."""
+    from howard_ray.fixtures import write_corpus
+    from howard_ray.manifest import completed_blocks
+    from howard_ray.pipeline import encode_dataset
+
+    src = write_corpus(str(tmp_path / "c.parquet"), 1000)
+    st = str(tmp_path / "store")
+    encode_dataset(src, st, mode="stream", target_rows=500)
+    blocks = sorted(glob.glob(os.path.join(st, "blocks", "*.hrb")))
+    with open(blocks[0], "r+b") as f:
+        f.seek(-5, os.SEEK_END)
+        f.write(b"\xff\xff\xff\xff\xff")  # same size, corrupt payload
+    cheap = completed_blocks(st)
+    strict = completed_blocks(st, verify=True)
+    assert len(cheap) == len(strict) + 1
