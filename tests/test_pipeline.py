@@ -129,3 +129,24 @@ def test_edge_corpus_roundtrip(ray_session, tmp_path):
     import ray
     out = pa.concat_tables([ray.get(r) for r in decode_store(store).to_arrow_refs()])
     _assert_same(pq.read_table(path), out)
+
+
+def test_cluster_exchange_roundtrip(ray_session, corpus_file, tmp_path):
+    """Compressed-exchange cluster mode: mini-blocks through the shuffle,
+    bit-identical result, deterministic block ids/content across runs."""
+    import ray
+
+    st1 = str(tmp_path / "s1")
+    st2 = str(tmp_path / "s2")
+    f1 = encode_dataset(corpus_file, st1, mode="cluster-exchange", target_rows=1000)
+    f2 = encode_dataset(corpus_file, st2, mode="cluster-exchange", target_rows=1000,
+                        resume=False)
+    assert f1["n_rows"] == 5000
+    assert {b["block_id"] for b in f1["blocks"]} == \
+           {b["block_id"] for b in f2["blocks"]}
+    # deterministic content: same crc per block across independent runs
+    c1 = {b["block_id"]: b["crc32"] for b in f1["blocks"]}
+    c2 = {b["block_id"]: b["crc32"] for b in f2["blocks"]}
+    assert c1 == c2
+    out = pa.concat_tables(ray.get(decode_store(st1).to_arrow_refs()))
+    _assert_same(pq.read_table(corpus_file), out)
