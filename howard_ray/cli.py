@@ -93,7 +93,8 @@ def main(argv=None) -> int:
     e = sub.add_parser("encode")
     e.add_argument("input")
     e.add_argument("store")
-    e.add_argument("--mode", choices=["stream", "cluster"], default="cluster")
+    e.add_argument("--mode", choices=["stream", "cluster", "cluster-exchange"],
+                   default="cluster")
     e.add_argument("--target-rows", type=int, default=None)
     e.add_argument("--no-resume", action="store_true")
     e.set_defaults(fn=cmd_encode)
