@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .intcodecs import decode_ints, encode_ints
-from .fsst import FsstNotApplicable, fsst_decode, fsst_encode
+from .fsst import fsst_decode, fsst_encode
 from .zstd import maybe_post_compress, maybe_post_decompress
 
 STR_CODECS = ("plain_str", "dict_str", "fsst")

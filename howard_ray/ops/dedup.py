@@ -15,8 +15,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from ray.data.aggregate import Sum
-
 from ..pipeline import stable_hash_u64
 from .util import tbl
 

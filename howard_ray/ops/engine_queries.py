@@ -15,7 +15,6 @@ import os
 import shutil
 import tempfile
 
-import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
 

@@ -16,7 +16,6 @@ handle per actor (howard/objects/variants.py:3266-3619).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 

@@ -14,7 +14,6 @@ masks evaluated in a single embarrassingly-parallel pass — no shuffle.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -28,7 +28,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from .util import tbl
 from .variants import (ANN_VARIANTS_PATH, VARIANTS_PATH, _variants_ds,
                        ensure_fixtures)
 

@@ -490,7 +490,6 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
         blocks = [b for b in blocks if survives(b)]
     paths = [{"path": block_path(store_dir, b["block_id"])} for b in blocks]
     if not paths:
-        import pyarrow.parquet  # noqa: F401  (keep imports consistent)
         return ray.data.from_items([]).map_batches(lambda b: b)
 
     def decode_one(batch: pa.Table) -> list[pa.Table]:
