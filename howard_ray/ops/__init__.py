@@ -29,6 +29,8 @@ def all_queries():
         "string_agg_by_nation": relational.string_agg_by_nation,
         "median_by_type": relational.median_by_type,
         "latest_order_per_customer": relational.latest_order_per_customer,
+        "parts_by_brand": relational.parts_by_brand,
+        "supplier_by_region": relational.supplier_by_region,
         # text analysis
         "explode_word_counts": text.explode_word_counts,
         "parse_props": text.parse_props,

@@ -504,3 +504,67 @@ SELECT o_orderpriority, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qt
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+def parts_by_brand(sf_dir: str):
+    """Pattern filter + grouped average over `part` (LIKE predicate +
+    aggregate — the reference's WHERE surface on a catalog table)."""
+    ds = tbl(sf_dir, "part", ["p_brand", "p_type", "p_retailprice"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.match_substring(batch["p_type"], "PROMO")
+        return batch.filter(m)
+
+    out = (ds.map_batches(f, batch_format="pyarrow")
+             .groupby("p_brand")
+             .aggregate(Count(alias_name="n"),
+                        Sum("p_retailprice", alias_name="s"))
+             .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["avg_price"] = (out["s"] / out["n"]).round(2)
+    return (out[["p_brand", "n", "avg_price"]]
+            .sort_values("p_brand").reset_index(drop=True))
+
+
+SQL["parts_by_brand"] = """
+SELECT p_brand, count(*) AS n, round(sum(p_retailprice) / count(*), 2) AS avg_price
+FROM part WHERE p_type LIKE '%PROMO%'
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def supplier_by_region(sf_dir: str):
+    """Two-hop broadcast dimension chain supplier ⋈ nation ⋈ region —
+    the reference's assembly-folder lookup chains (database discovery →
+    store → header), and the classic star-schema snowflake walk. Both dims
+    are tiny: one composed driver-side lookup, zero shuffles."""
+    nation = tbl(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = tbl(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        batch["r_name"] = batch["s_nationkey"].map(lookup)
+        return batch[["r_name", "s_acctbal"]]
+
+    out = (tbl(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+           .map_batches(f, batch_format="pandas")
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_suppliers"),
+                      Sum("s_acctbal", alias_name="s"))
+           .to_pandas())
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["total_acctbal"] = out["s"].round(2)
+    return (out[["r_name", "n_suppliers", "total_acctbal"]]
+            .sort_values("r_name").reset_index(drop=True))
+
+
+SQL["supplier_by_region"] = """
+SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
