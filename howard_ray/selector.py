@@ -25,8 +25,9 @@ from .codecs import (
 SAMPLE_FRACTION = 0.01
 MIN_SAMPLE = 1024
 
-INT_CANDIDATES = ("for_bytes", "for_bitpack", "delta_bitpack", "rle_bitpack",
-                  "plain")
+INT_CANDIDATES = ("for_bytes", "for_split", "for_bitpack", "delta_bitpack",
+                  "rle_bitpack", "plain")
+FAST_CANDIDATES = ("for_bytes", "for_split")
 # prefer the byte-aligned cast codec (5-10x cheaper encode/decode) unless a
 # bit-exact codec is >10% smaller on the sample
 SPEED_BIAS = 1.10
@@ -54,8 +55,9 @@ def choose_int_codec(vals: np.ndarray) -> str:
         payload, _ = encode_ints(sample, codec)
         sizes[codec] = len(payload)
     best = min(sizes, key=sizes.get)
-    if sizes["for_bytes"] <= sizes[best] * SPEED_BIAS:
-        return "for_bytes"
+    fast_best = min(FAST_CANDIDATES, key=lambda c: sizes[c])
+    if sizes[fast_best] <= sizes[best] * SPEED_BIAS:
+        return fast_best
     return best
 
 
