@@ -45,7 +45,8 @@ def test_pack_bits_roundtrip(width):
     np.testing.assert_array_equal(out, vals)
 
 
-@pytest.mark.parametrize("codec", ["plain", "for_bitpack", "delta_bitpack", "rle_bitpack"])
+@pytest.mark.parametrize("codec", ["plain", "for_bitpack", "for_bytes",
+                                   "for_split", "delta_bitpack", "rle_bitpack"])
 @pytest.mark.parametrize("i", range(len(INT_ARRAYS)))
 def test_int_roundtrip(codec, i):
     arr = INT_ARRAYS[i]

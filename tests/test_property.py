@@ -26,7 +26,7 @@ int_arrays = st.one_of(signed_arrays, unsigned_arrays)
 
 @settings(max_examples=40, deadline=None)
 @given(arr=int_arrays,
-       codec=st.sampled_from(["plain", "for_bitpack", "for_bytes",
+       codec=st.sampled_from(["plain", "for_bitpack", "for_bytes", "for_split",
                               "delta_bitpack", "rle_bitpack"]))
 def test_int_codec_roundtrip_property(arr, codec):
     payload, meta = encode_ints(arr, codec)
