@@ -71,17 +71,36 @@ def _encode_roundtrip_query(sf_dir: str):
     _, _, store = _run_encode_pipeline(_corpus_rows_for(sf_dir))
     ds = decode_store(store, columns=["source", "n_tok", "tokens"])
 
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
     def agg(batch: pa.Table) -> pa.Table:
-        tok_sum = pc.sum(pc.list_flatten(batch["tokens"])).as_py() or 0
+        # group WITHIN the batch by source: Ray's rebatching may coalesce
+        # rows from several decoded blocks (different sources) into one batch,
+        # so assuming a single-source batch would mislabel the partial sums
+        tok_per_row = pc.list_value_length(batch["tokens"])
+        flat_sum = pa.table({
+            "source": batch["source"],
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "n_tok": pc.cast(batch["n_tok"], pa.int64()),
+            "tok_sum": pc.cast(tok_per_row, pa.int64()),
+        })
+        # per-row token sums: segment-sum the flattened values by row length
+        vals = pc.list_flatten(batch["tokens"]).to_numpy(zero_copy_only=False)
+        lens = tok_per_row.to_numpy(zero_copy_only=False).astype(np.int64)
+        ends = np.cumsum(lens)
+        csum = np.concatenate(([0], np.cumsum(vals, dtype=np.int64)))
+        row_tok_sums = csum[ends] - csum[ends - lens]
+        flat_sum = flat_sum.set_column(
+            3, "tok_sum", pa.array(row_tok_sums, type=pa.int64()))
+        g = flat_sum.group_by("source").aggregate(
+            [("one", "sum"), ("n_tok", "sum"), ("tok_sum", "sum")])
         return pa.table({
-            "source": [batch["source"][0].as_py()],
-            "n_docs": pa.array([batch.num_rows], type=pa.int64()),
-            "sum_n_tok": pa.array([pc.sum(batch["n_tok"]).as_py() or 0],
-                                  type=pa.int64()),
-            "sum_tokens": pa.array([tok_sum], type=pa.int64()),
+            "source": g["source"],
+            "n_docs": g["one_sum"],
+            "sum_n_tok": g["n_tok_sum"],
+            "sum_tokens": g["tok_sum_sum"],
         })
 
     from ray.data.aggregate import Sum

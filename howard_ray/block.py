@@ -150,9 +150,11 @@ def encode_block(table: pa.Table, block_id: str,
         payloads.append(payload)
         columns[name] = entry
     body = b"".join(payloads)
+    # encoded_bytes is NOT stored in the on-disk meta (it is derivable from
+    # len(file) and recorded authoritatively in the lineage manifest); it is
+    # only patched into the in-memory return value below.
     meta = {"block_id": block_id, "n_rows": table.num_rows,
-            "columns": columns, "body_crc32": zlib.crc32(body),
-            "encoded_bytes": None}
+            "columns": columns, "body_crc32": zlib.crc32(body)}
     meta_json = json.dumps(meta, separators=(",", ":")).encode()
     file_bytes = MAGIC + len(meta_json).to_bytes(4, "little") + meta_json + body
     meta["encoded_bytes"] = len(file_bytes)

@@ -154,7 +154,16 @@ class BlockEncoder:
         first = str(col[0].as_py())[:64]
         h = stable_hash_u64(np.asarray(
             col.cast(pa.string()).to_pandas(), dtype=object))
-        key = f"s{np.bitwise_xor.reduce(h):016x}"
+        # order-sensitive polynomial combine (NOT xor: xor is commutative and
+        # self-cancelling, so reordered or pair-duplicated batches could
+        # collide on the same block id and overwrite each other's block file)
+        mult = np.uint64(1099511628211)  # FNV prime, mod 2^64 wraparound
+        pows = np.full(h.shape[0], mult, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        np.cumprod(pows, out=pows)
+        mix = np.uint64(int(np.sum(h * pows, dtype=np.uint64))
+                        ^ (h.shape[0] * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        key = f"s{int(mix):016x}"
         recs = _encode_tables_to_blocks(
             [batch], self.store_dir, key, sort_key=first,
             target_rows=self.target_rows, completed=self.completed,
