@@ -4,10 +4,11 @@
 """
 
 from . import (dedup, engine_queries, multimodal, process, relational,
-               rules, similarity, text, variants, variants2, windows)
+               rules, similarity, text, variants, variants2, vcf_ops,
+               windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
-           variants2, engine_queries, process]
+           variants2, engine_queries, process, vcf_ops]
 
 
 def all_queries():
@@ -81,6 +82,9 @@ def all_queries():
         "running_total": engine_queries.running_total,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,
+        # VCF format surface over the sf-scaled fixture
+        "vcf_roundtrip": vcf_ops.vcf_roundtrip,
+        "explode_infos_hdr": vcf_ops.explode_infos_hdr,
     }
     # oracle SQL for the F2 family reads the fixture parquet by absolute
     # path — materialize it before the driver runs either side

@@ -43,10 +43,21 @@ def read_any(path: str, columns: list[str] | None = None,
              schema: pa.Schema | None = None) -> ray.data.Dataset:
     """Extension-dispatched reader (the reference's get_sql_from,
     database.py:1365-1469). Parquet paths may be files or hive-partitioned
-    directories — ray.data.read_parquet handles both natively."""
-    fmt = "parquet" if os.path.isdir(path) else infer_format(path)
+    directories — ray.data.read_parquet handles both natively. ``.gz``
+    text inputs decompress transparently (reference database.py:1320-1401);
+    ``.vcf[.gz]`` goes through the VCF header/body reader."""
+    if os.path.isdir(path):
+        names = os.listdir(path)
+        fmt = ("vcf" if any(n.endswith((".vcf", ".vcf.gz")) for n in names)
+               else "parquet")
+    else:
+        fmt = infer_format(path)
     if fmt == "parquet":
         return ray.data.read_parquet(path, columns=columns)
+    if fmt == "vcf":
+        from .vcf import read_vcf
+        ds, _ = read_vcf(path, columns=columns)
+        return ds
     if fmt in ("json", "ndjson", "jsonl"):
         ds = ray.data.read_json(path)
         return ds.select_columns(columns) if columns else ds
@@ -60,6 +71,8 @@ def read_any(path: str, columns: list[str] | None = None,
         kwargs = {"parse_options": parse}
         if convert is not None:
             kwargs["convert_options"] = convert
+        if path.endswith(".gz"):
+            kwargs["arrow_open_stream_args"] = {"compression": "gzip"}
         ds = ray.data.read_csv(path, **kwargs)
         return ds.select_columns(columns) if columns else ds
     raise ValueError(f"unsupported input format: {fmt} ({path})")

@@ -1,0 +1,110 @@
+"""VCF surface: header parse/reconstruct, read/write round-trip, sharded
+write, header-driven typing, and the vfix numpy-vs-SQL twin equality."""
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from howard_ray.ops import vfix
+from howard_ray.vcf import (VCFHeader, fixture_header, read_vcf,
+                            read_vcf_header, write_vcf)
+
+REF_VCF = "/root/reference/tests/data/example.vcf"
+SF = "/root/testdata/sf0.001"
+
+
+def test_vfix_numpy_matches_sql_twin():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    sql_df = con.execute(
+        f"{vfix.V_WITH} SELECT * FROM v ORDER BY vidx").fetchdf()
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_orderkey", "l_linenumber"])
+    py = (vfix.gen_variants_batch(t).to_pandas()
+          .sort_values("vidx").reset_index(drop=True))
+    assert len(sql_df) == len(py) == t.num_rows * vfix.FANOUT
+    for c in py.columns:
+        a, b = py[c], sql_df[c]
+        if a.dtype.kind == "f":
+            assert (a - b).abs().max() < 1e-12, c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+
+
+@pytest.mark.skipif(not os.path.exists(REF_VCF), reason="reference absent")
+def test_parse_reference_example_vcf_header():
+    header, n_skip = read_vcf_header(REF_VCF)
+    assert header.fileformat == "VCFv4.1"
+    assert header.infos["NS"] == {"number": "1", "type": "Integer",
+                                  "desc": "Number of Samples With Data"}
+    assert header.info_arrow_type("NS") == pa.int64()
+    assert header.info_arrow_type("AA") == pa.string()
+    # FORMAT HQ has Number=2
+    assert header.formats["HQ"]["number"] == "2"
+    assert header.samples == ["sample1", "sample2", "sample3", "sample4"]
+    assert n_skip > 10
+
+
+@pytest.mark.skipif(not os.path.exists(REF_VCF), reason="reference absent")
+def test_read_reference_example_vcf_body(ray_session):
+    ds, header = read_vcf(REF_VCF)
+    df = ds.to_pandas()
+    assert len(df) == 7  # example.vcf body rows
+    assert set(df.columns) == {"chrom", "pos", "vid", "ref", "alt", "qual",
+                               "filter", "info", "format", "sample1",
+                               "sample2", "sample3", "sample4"}
+    assert df["pos"].dtype.kind == "i"
+    assert df["qual"].dtype.kind == "f"
+
+
+def test_vcf_write_read_roundtrip_gz(ray_session, tmp_path):
+    import ray.data
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_orderkey", "l_linenumber"]).slice(0, 250)
+    body = vfix.gen_variants_batch(t).drop_columns(["vidx"])
+    path = str(tmp_path / "rt.vcf.gz")
+    info = write_vcf(ray.data.from_arrow(body), path, fixture_header())
+    assert info["n_rows"] == body.num_rows == 250 * vfix.FANOUT
+    assert os.path.exists(path + ".hdr")
+    ds, header = read_vcf(path)
+    back = ds.to_pandas().sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+    orig = body.to_pandas().sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+    assert back.equals(orig[back.columns])
+    # header round-trips the typed declarations
+    assert header.infos.keys() == fixture_header().infos.keys()
+    assert header.info_arrow_type("MULTI") == pa.string()  # Number=2 degrades
+
+
+def test_vcf_sharded_write_and_dir_read(ray_session, tmp_path):
+    import ray.data
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_orderkey", "l_linenumber"]).slice(0, 250)
+    body = vfix.gen_variants_batch(t).drop_columns(["vidx"])
+    out = str(tmp_path / "sharded")
+    info = write_vcf(ray.data.from_arrow(body), out, fixture_header(),
+                     shard_by_chrom=True)
+    assert info["shards"] == body.to_pandas()["chrom"].nunique()
+    assert info["n_rows"] == body.num_rows
+    ds, _ = read_vcf(out)
+    assert ds.count() == body.num_rows
+    # read_any dispatches a .vcf directory too
+    from howard_ray.sources import read_any
+    assert read_any(out).count() == body.num_rows
+
+
+def test_hdr_sidecar_overrides_inferred_schema(tmp_path):
+    # a sidecar with declarations takes precedence (reference
+    # variants.py:428-430)
+    p = str(tmp_path / "x.vcf")
+    with open(p, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                "chr1\t1\t.\tA\tC\t1.0\tPASS\tK=5\n")
+    h = VCFHeader()
+    h.add_info("K", "1", "Integer", "test")
+    with open(p + ".hdr", "w") as f:
+        f.write("\n".join(h.to_lines()) + "\n")
+    header, _ = read_vcf_header(p)
+    assert header.info_arrow_type("K") == pa.int64()
