@@ -3,12 +3,13 @@
 ``__ray_entry__.oracle_sql()``. See SURVEY.md §2 for the reference mapping.
 """
 
-from . import (dedup, engine_queries, multimodal, process, relational,
-               rules, similarity, text, variants, variants2, vcf_ops,
-               windows)
+from . import (dedup, engine_queries, genotype, multimodal, nomen, process,
+               relational, rules, rules2, similarity, text, variants,
+               variants2, vcf_ops, windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
-           variants2, engine_queries, process, vcf_ops]
+           variants2, engine_queries, process, vcf_ops, genotype, nomen,
+           rules2]
 
 
 def all_queries():
@@ -85,6 +86,16 @@ def all_queries():
         # VCF format surface over the sf-scaled fixture
         "vcf_roundtrip": vcf_ops.vcf_roundtrip,
         "explode_infos_hdr": vcf_ops.explode_infos_hdr,
+        # genotype calculation family (sf-scaled fixture)
+        "genotype_concordance": genotype.genotype_concordance,
+        "vaf_normalize": genotype.vaf_normalize,
+        "vaf_stats": genotype.vaf_stats,
+        "barcode_family": genotype.barcode_family,
+        # full NOMEN extraction (candidate scoring + preferred transcripts)
+        "nomen_extract": nomen.nomen_extract,
+        # prioritization completeness: PZ field family + transcript-level
+        "rule_pz_full": rules2.rule_pz_full,
+        "rule_pz_transcripts": rules2.rule_pz_transcripts,
     }
     # oracle SQL for the F2 family reads the fixture parquet by absolute
     # path — materialize it before the driver runs either side
