@@ -49,6 +49,7 @@ def all_queries():
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_candidates": dedup.dedup_minhash_candidates,
         "dedup_ngram_verified": dedup.dedup_ngram_verified,
+        "dedup_jaccard_join": dedup.dedup_jaccard_join,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "dedup_embedding": dedup.dedup_embedding,
         # similarity

