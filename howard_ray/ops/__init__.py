@@ -57,6 +57,8 @@ def all_queries():
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
         "knn_label_vote": similarity.knn_label_vote,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_recall": similarity.ann_recall,
         # rule engine
         "rule_score_docs": rules.rule_score_docs,
         # HOWARD-semantics family over the variants_like fixture (F2)

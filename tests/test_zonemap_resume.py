@@ -60,17 +60,15 @@ def test_stream_resume(ray_session, tmp_path):
     assert len(load_manifest(st)) == n1 + 1
 
 
-def test_ivf_recall_vs_exact(ray_session):
-    """IVF-flat with nprobe=4/16 must recover most exact neighbors."""
-    from howard_ray.ops.similarity import ann_cosine_topk, ann_ivf_topk
+def test_ann_recall_vs_exact(ray_session):
+    """Both distributed approximate paths (sample-trained IVF, multi-table
+    LSH) must recover >= 0.8 of the exact neighbors (measured >= 0.9 on all
+    three sf fixtures; 0.8 leaves headroom for seed-sensitivity)."""
+    from howard_ray.ops.similarity import ann_recall
 
-    sf = "/root/testdata/sf0.001"
-    exact = ann_cosine_topk(sf)
-    approx = ann_ivf_topk(sf)
-    e = set(zip(exact["query_id"], exact["neighbor_id"]))
-    a = set(zip(approx["query_id"], approx["neighbor_id"]))
-    recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    r = ann_recall("/root/testdata/sf0.001").set_index("method")["recall_at_k"]
+    assert r["ivf"] >= 0.8, f"IVF recall {r['ivf']:.2f} too low"
+    assert r["lsh"] >= 0.8, f"LSH recall {r['lsh']:.2f} too low"
 
 
 def test_manifest_torn_line_recovery(tmp_path):
