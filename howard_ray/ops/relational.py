@@ -265,7 +265,13 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
     """Explicit hash-partitioned join: tag sides, bucket by key hash, shuffle
     once on the bucket, merge matching buckets pairwise inside map_groups.
     The portable both-sides-large join (ray_guide.md pattern); bucket count
-    is the partitioning knob, salt-able for hot keys."""
+    is the partitioning knob, salt-able for hot keys.
+
+    Cost note: both sides are padded to the union schema with nulls before
+    the exchange so Dataset.union sees one schema — acceptable when the
+    payloads are narrow (pre-aggregate/prune first, as join_hash does), but
+    for wide payloads prefer the native ``Dataset.join`` (join_native),
+    which shuffles each side's own schema."""
     def _fields(ds) -> dict[str, pa.DataType]:
         sch = ds.schema()
         base = sch.base_schema
@@ -312,14 +318,29 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
 def join_hash(sf_dir: str):
     """Both-sides-large equi-join lineitem⋈orders via cogroup_join, then a
     grouped aggregate (the reference's external-result merge join shape,
-    update_from_vcf_duckdb variants.py:2635-2689)."""
-    li = tbl(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    update_from_vcf_duckdb variants.py:2635-2689).
+
+    The fact side is partially pre-aggregated per l_orderkey INSIDE each
+    read batch before the shuffle (combiner discipline), so the exchange
+    carries (key, count, sum) triples instead of raw line items — this both
+    shrinks shuffle rows ~|lineitem|/|orders|-fold and makes the
+    union-schema padding cost of the cogroup negligible (round-1 verdict
+    item)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select(["l_orderkey", "l_quantity"]).to_pandas()
+             .groupby("l_orderkey", as_index=False)
+             .agg(part_n=("l_quantity", "size"),
+                  part_qty=("l_quantity", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = (tbl(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+          .map_batches(partial, batch_format="pyarrow"))
     od = tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         m = l.merge(r, left_on="l_orderkey", right_on="o_orderkey")
         return m.groupby("o_orderpriority", as_index=False).agg(
-            n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+            n_items=("part_n", "sum"), sum_qty=("part_qty", "sum"))
 
     out = (cogroup_join(li, od, "l_orderkey", "o_orderkey", merge)
            .groupby("o_orderpriority")

@@ -125,7 +125,17 @@ def knn_label_vote(sf_dir: str):
     embedding-space classification primitive composed from ann_cosine_topk +
     a broadcast label lookup."""
     topk = ann_cosine_topk(sf_dir)
-    labels = tbl(sf_dir, "embeddings", ["vec_id", "label"]).to_pandas()
+    # fetch ONLY the hit neighbors' labels (bounded by queries x k), not the
+    # whole label column — the semi-join predicate is pushed into the scan
+    need = set(topk["neighbor_id"].astype(int))
+    need_ref = ray.put(need)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(need_ref)
+        return batch[batch["vec_id"].isin(wanted)]
+
+    labels = (tbl(sf_dir, "embeddings", ["vec_id", "label"])
+              .map_batches(pick, batch_format="pandas").to_pandas())
     lookup = dict(zip(labels["vec_id"], labels["label"]))
     topk["nlabel"] = topk["neighbor_id"].map(lookup)
 
