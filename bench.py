@@ -105,11 +105,14 @@ def run_bench() -> dict:
 
     # cold = first pass (includes per-worker warmup transients);
     # warm = best of N subsequent passes — the steady-state number a long
-    # job runs at (N=3 in scaling mode: this host's shared memory bandwidth
-    # makes single measurements noisy, see BASELINE.md)
-    reps = 3 if os.environ.get("HOWARD_BENCH_SCALING") else 2
+    # job runs at. In LEAN (scaling-child) mode the first pass doubles as
+    # the cold pass so each interleaved child stays short; cross-child
+    # variance is handled by the parent's interleaved best/median protocol.
+    lean = bool(os.environ.get("HOWARD_BENCH_LEAN"))
+    reps = 2
 
-    t_cold, _ = timed_encode("cluster", "cluster_cold")
+    t_cold, _ = (timed_encode("cluster", "cluster") if lean
+                 else timed_encode("cluster", "cluster_cold"))
     t_cluster, store = timed_encode("cluster", "cluster")
     for _ in range(reps - 1):
         t2, store = timed_encode("cluster", "cluster")
@@ -117,7 +120,8 @@ def run_bench() -> dict:
     queries["encode_cluster_cold"] = round(t_cold, 3)
     queries["encode_cluster"] = round(t_cluster, 3)
 
-    t_s_cold, _ = timed_encode("stream", "stream_cold")
+    t_s_cold, _ = (timed_encode("stream", "stream") if lean
+                   else timed_encode("stream", "stream_cold"))
     t_stream, store_s = timed_encode("stream", "stream")
     for _ in range(reps - 1):
         t2, store_s = timed_encode("stream", "stream")
@@ -130,6 +134,11 @@ def run_bench() -> dict:
     queries["encode_archive"] = round(t_arch, 3)
     from howard_ray.pipeline import store_total_bytes as _stb
     extras["archive_encoded_bytes"] = _stb(store_a)
+
+    # compressed-exchange cluster mode: pre-encoded mini-blocks through the
+    # shuffle (~3.6x less exchange volume — the multi-node design point)
+    t_ex, _ = timed_encode("cluster-exchange", "exchange")
+    queries["encode_exchange"] = round(t_ex, 3)
 
     if os.environ.get("HOWARD_BENCH_SCALING"):
         # pure-compute probe: cache-resident zstd-19 work in 96 unit tasks —
@@ -162,19 +171,25 @@ def run_bench() -> dict:
 
     # parquet+zstd baseline (single-threaded pyarrow per shard, the
     # reference's store format): exact total size + write time for the same
-    # sharded table
-    pz_bytes, pz_sec, n_rows_total = 0, 0.0, 0
-    for name in sorted(os.listdir(src)):
-        t = pq.read_table(os.path.join(src, name))
-        n_rows_total += t.num_rows
-        buf = io.BytesIO()
-        t0 = time.perf_counter()
-        pq.write_table(t, buf, compression="zstd")
-        pz_sec += time.perf_counter() - t0
-        pz_bytes += buf.getbuffer().nbytes
-        del t, buf
-    extras["parquet_zstd_write_sec"] = round(pz_sec, 3)
-    extras["parquet_zstd_bytes"] = pz_bytes
+    # sharded table. Skipped in LEAN (scaling-child) mode — it is a
+    # CPU-count-independent constant that would only stretch each child.
+    n_rows_total = 0
+    if not os.environ.get("HOWARD_BENCH_LEAN"):
+        pz_bytes, pz_sec = 0, 0.0
+        for name in sorted(os.listdir(src)):
+            t = pq.read_table(os.path.join(src, name))
+            n_rows_total += t.num_rows
+            buf = io.BytesIO()
+            t0 = time.perf_counter()
+            pq.write_table(t, buf, compression="zstd")
+            pz_sec += time.perf_counter() - t0
+            pz_bytes += buf.getbuffer().nbytes
+            del t, buf
+        extras["parquet_zstd_write_sec"] = round(pz_sec, 3)
+        extras["parquet_zstd_bytes"] = pz_bytes
+        extras["beats_parquet_zstd"] = None  # filled below
+    else:
+        n_rows_total = src_tbl.count()
 
     encoded_bytes = store_total_bytes(store)
     extras.update({
@@ -183,7 +198,9 @@ def run_bench() -> dict:
         "raw_bytes": raw_bytes,
         "encoded_bytes": encoded_bytes,
         "compression_ratio_vs_raw": round(raw_bytes / encoded_bytes, 4),
-        "beats_parquet_zstd": int(encoded_bytes <= extras["parquet_zstd_bytes"]),
+        "beats_parquet_zstd": (
+            int(encoded_bytes <= extras["parquet_zstd_bytes"])
+            if extras.get("parquet_zstd_bytes") else None),
         "encode_gbps": round(raw_bytes / t_cluster / 1e9, 4),
         "encode_tokens_per_sec": round(n_tokens / t_cluster, 1),
     })
@@ -211,49 +228,78 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Fixed measurement protocol (round-1 verdict: reduce variance):
+    INTERLEAVED level pairs — lo,hi,lo,hi,lo,hi child processes on the same
+    cached input — so slow host drift hits both levels equally; per level we
+    report the best AND the median of the 3 children (each child itself
+    takes a best-of-2 warm measurement after a cold pass)."""
     lo_cpus, hi_cpus = 8, 32
+    n_pairs = 3
     sf = _sf_from_dir(SF_DIR)
-    prepare_corpus(sf)  # shared cached input for both child runs
+    prepare_corpus(sf)  # shared cached input for all child runs
 
     def child(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
-                   HOWARD_BENCH_MINIMAL="1", HOWARD_BENCH_SCALING="1")
+                   HOWARD_BENCH_MINIMAL="1", HOWARD_BENCH_SCALING="1",
+                   HOWARD_BENCH_LEAN="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo = child(lo_cpus)
-    hi = child(hi_cpus)
+    runs: dict[int, list[dict]] = {lo_cpus: [], hi_cpus: []}
+    for _ in range(n_pairs):
+        runs[lo_cpus].append(child(lo_cpus))
+        runs[hi_cpus].append(child(hi_cpus))
 
-    def eff(key: str) -> float:
-        return round((lo["queries"][key] / hi["queries"][key])
+    def best(ncpu: int, key: str) -> float:
+        return min(r["queries"][key] for r in runs[ncpu])
+
+    def med(ncpu: int, key: str) -> float:
+        vals = sorted(r["queries"][key] for r in runs[ncpu])
+        return vals[len(vals) // 2]
+
+    def eff(key: str, stat=None) -> float:
+        stat = stat or best
+        return round((stat(lo_cpus, key) / stat(hi_cpus, key))
                      / (hi_cpus / lo_cpus), 3)
 
     result = {
         "metric": "scaling efficiency, flagship encode, "
-                  f"num_cpus {lo_cpus} vs {hi_cpus} (sandbox proxy for N vs 4N nodes)",
+                  f"num_cpus {lo_cpus} vs {hi_cpus} (sandbox proxy for N vs "
+                  f"4N nodes), interleaved best/median of {n_pairs} pairs",
         "sf": sf,
-        f"sec_{lo_cpus}": lo["queries"]["encode_cluster"],
-        f"sec_{hi_cpus}": hi["queries"]["encode_cluster"],
-        f"archive_sec_{lo_cpus}": lo["queries"]["encode_archive"],
-        f"archive_sec_{hi_cpus}": hi["queries"]["encode_archive"],
-        f"gbps_{lo_cpus}": lo.get("encode_gbps"),
-        f"gbps_{hi_cpus}": hi.get("encode_gbps"),
+        f"sec_{lo_cpus}": best(lo_cpus, "encode_cluster"),
+        f"sec_{hi_cpus}": best(hi_cpus, "encode_cluster"),
+        f"sec_med_{lo_cpus}": med(lo_cpus, "encode_cluster"),
+        f"sec_med_{hi_cpus}": med(hi_cpus, "encode_cluster"),
+        f"archive_sec_{lo_cpus}": best(lo_cpus, "encode_archive"),
+        f"archive_sec_{hi_cpus}": best(hi_cpus, "encode_archive"),
         # headline = the stream encode pipeline (no all-to-all). The cluster
         # (shuffle) variants are additionally bounded by this single host's
         # shared memory bandwidth, which both "cluster sizes" share in the
         # sandbox proxy — on a real N- vs 4N-node cluster each node brings
         # its own memory system. See BASELINE.md for the microbenchmarks.
         "scaling_efficiency": eff("encode_stream"),
+        "scaling_efficiency_median": eff("encode_stream", med),
         "scaling_efficiency_cluster": eff("encode_cluster"),
+        "scaling_efficiency_cluster_median": eff("encode_cluster", med),
+        # exchange = compressed mini-blocks through the shuffle (3.6x less
+        # exchange volume): the mode a real multi-node deployment runs, and
+        # the least memory-bandwidth-bound of the shuffle variants here
+        "scaling_efficiency_exchange": eff("encode_exchange"),
+        "scaling_efficiency_exchange_median": eff("encode_exchange", med),
         "scaling_efficiency_archive": eff("encode_archive"),
+        "scaling_efficiency_archive_median": eff("encode_archive", med),
         # compute_probe = cache-resident zstd-19 unit tasks: the host's own
         # ceiling for ANY 8->32 speedup (this VM's 32 vCPUs deliver ~20-24
         # effective cores under full load — see BASELINE.md spin test), so
         # normalized = pipeline efficiency relative to what the host permits
         "scaling_efficiency_compute_probe": eff("compute_probe"),
+        "scaling_efficiency_compute_probe_median": eff("compute_probe", med),
         "scaling_efficiency_normalized": round(
             eff("encode_stream") / max(eff("compute_probe"), 1e-9), 3),
+        "scaling_efficiency_normalized_median": round(
+            eff("encode_stream", med) / max(eff("compute_probe", med), 1e-9), 3),
     }
     _append_baseline_md(result)
     return result

@@ -251,10 +251,15 @@ def _per_source_counts(input_path: str | list[str]) -> dict[str, int]:
         return pa.table({"source": vc.field("values"),
                          "cnt": vc.field("counts")})
     parts = ray.data.read_parquet(input_path, columns=["source"]) \
-        .map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-    out = parts.groupby("source").aggregate(Sum("cnt", alias_name="rows")).take_all()
-    return {r["source"]: int(r["rows"]) for r in out}
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    # final reduce driver-side: the partials are <= n_blocks x |sources| tiny
+    # rows, and skipping the groupby avoids ~2s of fixed shuffle setup that
+    # would sit on the serial critical path before the salted exchange
+    # (round-1 verdict: cluster-mode serial tail)
+    out: dict[str, int] = {}
+    for r in parts:
+        out[r["source"]] = out.get(r["source"], 0) + int(r["cnt"])
+    return out
 
 
 def encode_dataset(
@@ -446,9 +451,13 @@ def encode_dataset(
                 input_info=f"cluster-exchange:{source}:{salt}")
             return _records_table(recs)
 
+        # pack several target blocks per batch: each pack batch splits into
+        # ~|present (source,salt) pairs| minis, so bigger batches mean fewer,
+        # larger minis (less per-mini codec overhead, better mini compression)
+        pack_mult = int(os.environ.get("HOWARD_EXCHANGE_PACK_MULT", "4"))
         rec_ds = (
             ds.map_batches(pack_minis, batch_format="pyarrow",
-                           batch_size=target_rows)
+                           batch_size=target_rows * pack_mult)
               .groupby(["source", "salt"])
               .map_groups(encode_group_minis, batch_format="pyarrow")
         )
