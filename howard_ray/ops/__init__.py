@@ -77,6 +77,7 @@ def all_queries():
         "rank_within_chrom": variants2.rank_within_chrom,
         "anti_join_unmatched": variants2.anti_join_unmatched,
         "annotate_update": variants2.annotate_update,
+        "hgvs_transcript": variants2.hgvs_transcript,
         "transcripts_to_json": variants2.transcripts_to_json,
         # composite flagship pipeline (howard process analog)
         "process_pipeline": process.process_pipeline,

@@ -44,6 +44,7 @@ CACHE = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
 VARIANTS_PATH = os.path.join(CACHE, "variants_like_v2.parquet")
 ANN_VARIANTS_PATH = os.path.join(CACHE, "ann_variants_v2.parquet")
 ANN_REGIONS_PATH = os.path.join(CACHE, "ann_regions_v2.parquet")
+TRANSCRIPTS_PATH = os.path.join(CACHE, "transcripts_v2.parquet")
 
 N_VARIANTS = 10_000
 CHROMS = [f"chr{i}" for i in range(1, 23)] + ["chrX"]
@@ -141,6 +142,23 @@ def make_ann_regions(seed: int = 44) -> pa.Table:
     })
 
 
+def make_transcripts() -> pa.Table:
+    """RefSeq-shaped transcript interval store derived deterministically
+    from the gene regions fixture: one transcript per gene, NM_ (coding) for
+    2 of 3 genes, NR_ (non-coding) otherwise, alternating strand — the index
+    side of the reference's transcript lookup (variants.py:7821-8202)."""
+    reg = pq.read_table(ANN_REGIONS_PATH).to_pandas()
+    idx = np.arange(len(reg))
+    prefix = np.where(idx % 3 == 0, "NR_", "NM_")
+    return pa.table({
+        "chrom": pa.array(reg["chrom"]),
+        "tx_start": pa.array(reg["start"], type=pa.int64()),
+        "tx_end": pa.array(reg["end"], type=pa.int64()),
+        "tx_id": pa.array([f"{p}{i:06d}" for p, i in zip(prefix, idx)]),
+        "strand": pa.array(np.where(idx % 2 == 0, "+", "-")),
+    })
+
+
 def ensure_fixtures() -> None:
     os.makedirs(CACHE, exist_ok=True)
     if not os.path.exists(VARIANTS_PATH):
@@ -154,6 +172,9 @@ def ensure_fixtures() -> None:
     if not os.path.exists(ANN_REGIONS_PATH):
         pq.write_table(make_ann_regions(), ANN_REGIONS_PATH + ".tmp")
         os.replace(ANN_REGIONS_PATH + ".tmp", ANN_REGIONS_PATH)
+    if not os.path.exists(TRANSCRIPTS_PATH):
+        pq.write_table(make_transcripts(), TRANSCRIPTS_PATH + ".tmp")
+        os.replace(TRANSCRIPTS_PATH + ".tmp", TRANSCRIPTS_PATH)
 
 
 def _variants_ds(columns: list[str] | None = None) -> ray.data.Dataset:

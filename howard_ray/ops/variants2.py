@@ -310,3 +310,134 @@ SELECT chrom, pos, ref, alt,
              ';') AS info
 FROM '{VARIANTS_PATH}' ORDER BY chrom, pos, ref, alt
 """
+
+
+# ---------------------------------------------------------------------------
+# hgvs_transcript: broadcast transcript-interval index lookup
+# (reference annotation_hgvs, variants.py:7821-8202 — the refseq interval
+# index side; sequence-context normalization (3'-shift over the genome
+# FASTA, Fasta handle at :8128) requires the genome file and is out of
+# sandbox scope, so positions are reported unnormalized)
+# ---------------------------------------------------------------------------
+
+def hgvs_transcript(sf_dir: str):
+    """Transcript-relative HGVS naming via a broadcast per-chromosome sorted
+    transcript-interval index (ray.put once, actor-held lookup per batch —
+    the broadcast-small-side discipline; no shuffle):
+
+    - candidate transcripts: tx_start <= pos <= tx_end (prefix-max-end
+      bounded window, fully vectorized flat gather as in annotate_regions);
+    - best transcript per variant: NM_ before NR_ (the reference's
+      transcript-precedence rule, commons.py:655-667), then lexicographic
+      tx_id;
+    - coordinate: strand '+' -> pos - tx_start + 1, '-' -> tx_end - pos + 1;
+      prefix c. for NM_ (coding), n. for NR_ (non-coding);
+    - suffix: SNV ref>alt, longer-ref 'del', longer-alt 'ins'+alt[1:].
+    Variants outside every transcript emit empty tx_id/tx_hgvs.
+    """
+    from .variants import TRANSCRIPTS_PATH
+    import pyarrow.parquet as pq
+
+    ensure_fixtures()
+    tx = pq.read_table(TRANSCRIPTS_PATH).to_pandas()
+    by_chrom = {}
+    for c, g in tx.groupby("chrom"):
+        g = g.sort_values(["tx_start", "tx_end", "tx_id"]).reset_index(drop=True)
+        ends = g["tx_end"].to_numpy()
+        by_chrom[c] = (g["tx_start"].to_numpy(), ends,
+                       np.maximum.accumulate(ends),
+                       g["tx_id"].to_numpy(), g["strand"].to_numpy())
+    tx_ref = ray.put(by_chrom)
+
+    class TxLookup:
+        def __init__(self):
+            self.by_chrom = ray.get(tx_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            n = len(batch)
+            tx_out = np.full(n, "", dtype=object)
+            hgvs_out = np.full(n, "", dtype=object)
+            pos = batch["pos"].to_numpy()
+            ref = batch["ref"].to_numpy()
+            alt = batch["alt"].to_numpy()
+            chroms = batch["chrom"].to_numpy()
+            for c in np.unique(chroms):
+                entry = self.by_chrom.get(c)
+                if entry is None:
+                    continue
+                m = chroms == c
+                starts, ends, pmax_end, tx_ids, strands = entry
+                pos_c = pos[m]
+                hi = np.searchsorted(starts, pos_c, side="right")
+                lo = np.minimum(
+                    np.searchsorted(pmax_end, pos_c, side="left"), hi)
+                counts = hi - lo
+                if counts.sum() == 0:
+                    continue
+                rows_rep = np.repeat(np.flatnonzero(m), counts)
+                offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                cand = (np.arange(counts.sum())
+                        - np.repeat(offs, counts) + np.repeat(lo, counts))
+                keep = ends[cand] >= np.repeat(pos_c, counts)
+                rows_k, cand_k = rows_rep[keep], cand[keep]
+                if not len(rows_k):
+                    continue
+                # best per variant: NM_ (prio 0) before NR_, then tx_id
+                cdf = pd.DataFrame({
+                    "row": rows_k,
+                    "prio": np.where(
+                        pd.Series(tx_ids[cand_k]).str.startswith("NM_"), 0, 1),
+                    "tx_id": tx_ids[cand_k],
+                    "tx_start": starts[cand_k],
+                    "tx_end": ends[cand_k],
+                    "strand": strands[cand_k],
+                }).sort_values(["row", "prio", "tx_id"])
+                best = cdf.groupby("row", as_index=False).head(1)
+                r = best["row"].to_numpy()
+                plus = best["strand"].to_numpy() == "+"
+                cpos = np.where(plus, pos[r] - best["tx_start"].to_numpy() + 1,
+                                best["tx_end"].to_numpy() - pos[r] + 1)
+                ctype = np.where(best["prio"].to_numpy() == 0, "c.", "n.")
+                lr = pd.Series(ref[r]).str.len().to_numpy()
+                la = pd.Series(alt[r]).str.len().to_numpy()
+                suffix = np.where(
+                    (lr == 1) & (la == 1),
+                    pd.Series(ref[r]).str.cat(pd.Series(alt[r]), sep=">"),
+                    np.where(lr > la, "del",
+                             "ins" + pd.Series(alt[r]).str.slice(1)))
+                tx_out[r] = best["tx_id"].to_numpy()
+                hgvs_out[r] = (best["tx_id"].to_numpy() + ":" + ctype
+                               + cpos.astype(str) + suffix)
+            return pd.DataFrame({"chrom": batch["chrom"], "pos": batch["pos"],
+                                 "ref": batch["ref"], "alt": batch["alt"],
+                                 "tx_id": tx_out.astype(str),
+                                 "tx_hgvs": hgvs_out.astype(str)})
+
+    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+    out = (ds.map_batches(TxLookup, batch_format="pandas", concurrency=(1, 4))
+           .to_pandas())
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+from .variants import TRANSCRIPTS_PATH as _TX_PATH  # noqa: E402
+
+SQL["hgvs_transcript"] = f"""
+SELECT v.chrom, v.pos, v.ref, v.alt,
+       COALESCE(t.tx_id, '') AS tx_id,
+       COALESCE(t.tx_id || ':'
+         || CASE WHEN t.tx_id LIKE 'NM%' THEN 'c.' ELSE 'n.' END
+         || CAST(CASE WHEN t.strand = '+' THEN v.pos - t.tx_start + 1
+                      ELSE t.tx_end - v.pos + 1 END AS VARCHAR)
+         || CASE WHEN length(v.ref) = 1 AND length(v.alt) = 1
+                   THEN v.ref || '>' || v.alt
+                 WHEN length(v.ref) > length(v.alt) THEN 'del'
+                 ELSE 'ins' || substr(v.alt, 2) END, '') AS tx_hgvs
+FROM '{{VPATH}}' v
+LEFT JOIN '{{TXPATH}}' t
+  ON v.chrom = t.chrom AND t.tx_start <= v.pos AND t.tx_end >= v.pos
+QUALIFY row_number() OVER (
+  PARTITION BY v.chrom, v.pos, v.ref, v.alt
+  ORDER BY CASE WHEN t.tx_id IS NULL THEN 2
+                WHEN t.tx_id LIKE 'NM%' THEN 0 ELSE 1 END, t.tx_id) = 1
+ORDER BY v.chrom, v.pos, v.ref, v.alt
+""".replace("{VPATH}", VARIANTS_PATH).replace("{TXPATH}", _TX_PATH)
