@@ -51,6 +51,7 @@ def all_queries():
         "dedup_ngram_verified": dedup.dedup_ngram_verified,
         "dedup_jaccard_join": dedup.dedup_jaccard_join,
         "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_neardup": dedup.simhash_neardup,
         "dedup_embedding": dedup.dedup_embedding,
         # similarity
         "ann_cosine_topk": similarity.ann_cosine_topk,

@@ -218,23 +218,34 @@ class Fingerprinter:
 
     BASE = 1099511628211  # FNV prime
 
+    # BASE is odd, hence invertible mod 2^64: segmented power reset is a
+    # multiply by INV_BASE^segment_start instead of a per-document cumprod
+    INV_BASE = pow(BASE, -1, 1 << 64)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # polynomial hash sum(byte[i] * BASE^i) mod 2^64, fully vectorized:
-        # one concatenated byte buffer, one cumprod of per-position powers
-        # reset at document boundaries via segmented renormalization.
+        # polynomial hash sum(byte[i] * BASE^i) mod 2^64 with i relative to
+        # each document start, over ONE flat concatenated buffer: global
+        # cumprod of powers, renormalized per segment via the modular
+        # inverse, per-doc sums via add.reduceat — no per-document loop.
         texts = [t.encode("utf-8") for t in batch["text"].to_numpy()]
-        fps = np.empty(len(texts), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for i, data in enumerate(texts):
-                b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-                if b.size == 0:
-                    fps[i] = 0
-                    continue
-                powers = np.empty(b.size, dtype=np.uint64)
-                powers[0] = 1
-                np.cumprod(np.full(b.size - 1, self.BASE, dtype=np.uint64),
-                           out=powers[1:])
-                fps[i] = (b * powers).sum(dtype=np.uint64)
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        fps = np.zeros(len(texts), dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.frombuffer(b"".join(texts), dtype=np.uint8).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                pows = np.full(flat.size, self.BASE, dtype=np.uint64)
+                pows[0] = 1
+                np.cumprod(pows, out=pows)  # BASE^i (global position i)
+                starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
+                # INV_BASE^start via the global cumprod of inverses,
+                # gathered at the segment start offsets
+                inv_all = np.full(flat.size, self.INV_BASE, dtype=np.uint64)
+                inv_all[0] = 1
+                np.cumprod(inv_all, out=inv_all)
+                seg_scale = inv_all[starts]
+                sums = np.add.reduceat(flat * pows, starts)
+                fps[nz] = sums * seg_scale
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "fingerprint": fps.view(np.int64)})
 

@@ -89,3 +89,37 @@ def test_fsst_handles_code_byte_absent_from_symbols():
     used = set(b"".join(strings))
     for _, code in meta["symbols"]:
         assert code not in used
+
+
+def test_simhash_neardup_complete_vs_bruteforce(ray_session):
+    """The 4x16-bit pigeonhole banding must find EXACTLY the pairs a
+    brute-force all-pairs Hamming scan finds at threshold 3 (the banding is
+    complete for d <= 3, not probabilistic)."""
+    import numpy as np
+
+    from howard_ray.ops.dedup import (SIMHASH_HAMMING_T, SimHasher,
+                                      simhash_neardup)
+    from howard_ray.ops.util import tbl
+
+    sf = "/root/testdata/sf0.001"
+    banded = simhash_neardup(sf)
+    docs = tbl(sf, "documents", ["doc_id", "text"]).to_pandas()
+    sh = SimHasher()(docs)
+    ids = sh["doc_id"].to_numpy()
+    h = sh["simhash"].to_numpy().view(np.uint64)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    ham = np.unpackbits((h[ii] ^ h[jj]).view(np.uint8).reshape(-1, 8),
+                        axis=1).sum(axis=1)
+    keep = ham <= SIMHASH_HAMMING_T
+    brute = set(zip(np.minimum(ids[ii], ids[jj])[keep],
+                    np.maximum(ids[ii], ids[jj])[keep]))
+    got = set(zip(banded["doc_a"], banded["doc_b"]))
+    assert got == brute
+
+
+def test_fingerprints_deterministic(ray_session):
+    from howard_ray.ops.text import fingerprints
+
+    a = fingerprints("/root/testdata/sf0.001")
+    b = fingerprints("/root/testdata/sf0.001")
+    assert (a["fingerprint"] == b["fingerprint"]).all()
