@@ -186,20 +186,28 @@ class LangId:
     }
 
     def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in self.MARKERS.items()}
-        self.langs = sorted(self.markers)
+        self.langs = sorted(self.MARKERS)
+        # marker multimap as a merge table ("la" belongs to fr AND es)
+        self.marker_df = pd.DataFrame(
+            [(w, li) for li, l in enumerate(self.langs)
+             for w in self.MARKERS[l]], columns=["word", "li"])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].str.split(" ")
-
-        def predict(ws):
-            s = set(ws)
-            scores = [(len(s & self.markers[l]), l) for l in self.langs]
-            best = max(scores, key=lambda t: (t[0], ), default=(0, "en"))
-            top = [l for c, l in scores if c == best[0]]
-            return min(top) if best[0] > 0 else "unknown"
-
-        pred = words.map(predict)
+        # vectorized scoring: flatten words with row ids, distinct
+        # (row, word), merge against the marker table, scatter-count per
+        # (row, lang); argmax picks the first (= alphabetical) max
+        split = batch["text"].str.split(" ")
+        counts = split.str.len().to_numpy()
+        rows = np.repeat(np.arange(len(batch)), counts)
+        flat = np.concatenate(split.to_numpy()) if len(batch) else np.array([])
+        uniq = pd.DataFrame({"r": rows, "word": flat}).drop_duplicates()
+        hits = uniq.merge(self.marker_df, on="word")
+        score = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
+        if len(hits):
+            np.add.at(score, (hits["r"].to_numpy(), hits["li"].to_numpy()), 1)
+        best = score.argmax(axis=1)
+        pred = np.where(score.max(axis=1) > 0,
+                        np.array(self.langs, dtype=object)[best], "unknown")
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "lang": batch["lang"], "pred_lang": pred})
 
