@@ -31,7 +31,8 @@ CACHE = os.path.join(tempfile.gettempdir(), "howard_ray_bench")
 ROWS_PER_SF = 6_000_000
 
 OPS_IN_BENCH = ["pricing_summary", "join_hash", "dedup_exact",
-                "window_hourly", "token_stats", "ann_cosine_topk"]
+                "window_hourly", "token_stats", "ann_cosine_topk",
+                "dedup_jaccard_join", "ann_ivf_topk"]
 
 
 ALLOCATOR_ENV = {
