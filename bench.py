@@ -55,7 +55,12 @@ def _sf_from_dir(sf_dir: str) -> float:
 def prepare_corpus(sf: float) -> str:
     from howard_ray.fixtures import write_corpus_dir
     os.makedirs(CACHE, exist_ok=True)
-    n_rows = max(10_000, int(ROWS_PER_SF * sf))
+    # HOWARD_BENCH_ROWS overrides the sf-derived size — used to measure
+    # scaling on a larger job where the fixed serial floor (stats pass +
+    # executor startup + footer, ~2 s) is a smaller fraction of the wall,
+    # as it is on any real long-running encode
+    n_rows = int(os.environ.get("HOWARD_BENCH_ROWS", "0")) or \
+        max(10_000, int(ROWS_PER_SF * sf))
     return write_corpus_dir(os.path.join(CACHE, f"corpus_v2_n{n_rows}"), n_rows)
 
 
