@@ -86,6 +86,7 @@ def all_queries():
         "roundtrip_documents": engine_queries.roundtrip_documents,
         "roundtrip_lineitem": engine_queries.roundtrip_lineitem,
         "running_total": engine_queries.running_total,
+        "roundtrip_pruned": engine_queries.roundtrip_pruned,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,
         # VCF format surface over the sf-scaled fixture

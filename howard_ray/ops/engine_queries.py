@@ -110,3 +110,51 @@ SELECT event_id,
                               ROWS UNBOUNDED PRECEDING), 2) AS running_value
 FROM events ORDER BY event_id
 """
+
+
+def roundtrip_pruned(sf_dir: str):
+    """Zone-map-pruned decode (the engine's index path, driver-visible):
+    encode lineitem sorted by quantity band so blocks have tight l_quantity
+    zone maps, then decode with ``zone_filter={"l_quantity": (40, None)}``
+    and column pruning — only blocks whose [min,max] intersects [40, inf)
+    are ever read — and aggregate the survivors with an EXACT row filter on
+    top (zone maps prune blocks, the residual predicate prunes rows). The
+    oracle runs the same filtered aggregate on the original table, so a
+    wrong zone map (over-pruning) breaks the value-hash equality."""
+    import pandas as pd
+    import pyarrow as pa
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE, f"store_pruned_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    # sort by quantity before encoding so zone maps are selective (the
+    # engine's sorted+indexed output shape; footer keeps block order)
+    srt = os.path.join(CACHE, f"lineitem_sorted_{tag}")
+    shutil.rmtree(srt, ignore_errors=True)
+    (ray.data.read_parquet(src, columns=["l_orderkey", "l_quantity"])
+        .sort("l_quantity").write_parquet(srt))
+    encode_dataset(srt, store, mode="stream", target_rows=20_000, resume=False)
+    ds = decode_store(store, zone_filter={"l_quantity": (40, None)})
+
+    def residual(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.greater_equal(batch["l_quantity"], 40))
+
+    out = (ds.map_batches(residual, batch_format="pyarrow")
+             .groupby("l_quantity")
+             .aggregate(Count(alias_name="n"),
+                        Sum("l_orderkey", alias_name="sum_keys"))
+             .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["sum_keys"] = out["sum_keys"].astype("int64")
+    out["l_quantity"] = out["l_quantity"].round(2)
+    return out.sort_values("l_quantity").reset_index(drop=True)
+
+
+SQL["roundtrip_pruned"] = """
+SELECT round(l_quantity, 2) AS l_quantity, count(*) AS n,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_keys
+FROM lineitem WHERE l_quantity >= 40
+GROUP BY l_quantity ORDER BY l_quantity
+"""
