@@ -84,17 +84,44 @@ class MinHasher:
         self.b = rng.integers(0, self.P, NUM_PERM, dtype=np.int64).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text.split(" "))
-        if not sh:
-            return np.zeros(NUM_PERM, dtype=np.uint64)
-        base = stable_hash_u64(np.array(sh, dtype=object)) % self.P
-        # (NUM_PERM, n_shingles) permuted hashes -> row-wise min
-        with np.errstate(over="ignore"):
-            perm = (self.a[:, None] * base[None, :] + self.b[:, None]) % self.P
-        return perm.min(axis=1)
+        return self.signatures([text])[0]
+
+    # bound the (NUM_PERM, n_shingles) permute scratch to ~100 MB regardless
+    # of how many rows Ray packs into one batch
+    CHUNK_SHINGLES = 200_000
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, NUM_PERM) signatures, vectorized across the whole batch:
+        one flat hash call over every shingle, one (NUM_PERM, total) permute,
+        per-doc mins via minimum.reduceat — no per-document loop. Processed
+        in doc slices of <= CHUNK_SHINGLES total shingles to keep the
+        permute scratch memory-bounded."""
+        shingle_lists = [_shingles(t.split(" ")) for t in texts]
+        counts = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+        sigs = np.zeros((len(texts), NUM_PERM), dtype=np.uint64)
+        lo = 0
+        while lo < len(texts):
+            hi, tot = lo, 0
+            while hi < len(texts) and (tot == 0 or
+                                       tot + counts[hi] <= self.CHUNK_SHINGLES):
+                tot += counts[hi]
+                hi += 1
+            c = counts[lo:hi]
+            nz = c > 0
+            if nz.any():
+                flat = np.array([s for sl in shingle_lists[lo:hi] for s in sl],
+                                dtype=object)
+                base = stable_hash_u64(flat) % self.P
+                starts = np.concatenate(([0], np.cumsum(c)))[:-1][nz]
+                with np.errstate(over="ignore"):
+                    perm = (self.a[:, None] * base[None, :]
+                            + self.b[:, None]) % self.P
+                sigs[lo:hi][nz] = np.minimum.reduceat(perm, starts, axis=1).T
+            lo = hi
+        return sigs
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"].to_numpy()])
+        sigs = self.signatures(batch["text"].to_numpy())
         # emit one row per (band, band_hash, doc): LSH banding
         r = NUM_PERM // LSH_BANDS
         rows = {"doc_id": np.repeat(batch["doc_id"].to_numpy(), LSH_BANDS),
