@@ -85,6 +85,14 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from .sqlmini import run_sql
+
+    out = run_sql(args.sf_dir, args.statement)
+    print(out.head(args.limit).to_string())
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="howard-ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -122,6 +130,13 @@ def main(argv=None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    sq = sub.add_parser("sql", help="run a mini-SQL query on the Ray engine "
+                        "(reference `howard query` surface)")
+    sq.add_argument("statement")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--limit", type=int, default=20)
+    sq.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     ray = _ray_init(args.num_cpus)

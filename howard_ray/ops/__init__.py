@@ -4,12 +4,12 @@
 """
 
 from . import (dedup, engine_queries, genotype, multimodal, nomen, process,
-               relational, rules, rules2, similarity, text, variants,
-               variants2, vcf_ops, windows)
+               relational, rules, rules2, similarity, sql_surface, text,
+               variants, variants2, vcf_ops, windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
-           rules2]
+           rules2, sql_surface]
 
 
 def all_queries():
@@ -103,6 +103,8 @@ def all_queries():
         "rule_pz_full": rules2.rule_pz_full,
         "rule_pz_transcripts": rules2.rule_pz_transcripts,
     }
+    # SQL query surface: same SQL text on both engines
+    q.update(sql_surface.QUERIES)
     # oracle SQL for the F2 family reads the fixture parquet by absolute
     # path — materialize it before the driver runs either side
     variants.ensure_fixtures()

@@ -1,0 +1,225 @@
+"""Mini-SQL surface: compile a small SQL subset to a Ray Data plan.
+
+The reference's primary user surface is arbitrary SQL over the variants
+table (``howard query``, howard/tools/query.py:22-74; the CLI --query
+path). A full SQL engine is out of scope here, but the shape of the
+surface matters: this module parses the subset
+
+    SELECT item [, item ...]
+    FROM <table>
+    [WHERE col OP literal [AND ...]]
+    [GROUP BY col [, col ...]]
+    [ORDER BY col [DESC] [, ...]]
+    [LIMIT n]
+
+    item := col
+          | COUNT(*) AS alias
+          | [ROUND(] SUM|MIN|MAX|AVG|COUNT (col) [, nd )] AS alias
+    OP   := = != <> < <= > >= LIKE (with %substr% pattern)
+
+and compiles it to the idiomatic Ray pipeline: column-pruned
+``read_parquet`` → vectorized Arrow predicate in ``map_batches`` →
+``groupby().aggregate()`` (Ray's partial-then-final grouped aggregation)
+→ ordered driver-side finish on the (small) result. AVG is computed as
+SUM/COUNT so the distributed part stays mergeable.
+
+The correctness gate runs THE SAME SQL TEXT through DuckDB as the oracle —
+one string, two engines, value-hash-equal results.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+
+_ITEM_RE = re.compile(
+    r"^(?:(?P<round>ROUND\()\s*)?"
+    r"(?:(?P<agg>COUNT|SUM|MIN|MAX|AVG)\(\s*(?P<arg>\*|[A-Za-z_][\w]*)\s*\)"
+    r"|(?P<col>[A-Za-z_][\w]*))"
+    r"(?:\s*,\s*(?P<nd>\d+)\s*\))?"
+    r"(?:\s+AS\s+(?P<alias>[A-Za-z_][\w]*))?$",
+    re.IGNORECASE)
+
+_COND_RE = re.compile(
+    r"^(?P<col>[A-Za-z_][\w]*)\s*"
+    r"(?P<op>>=|<=|!=|<>|=|<|>|LIKE)\s*"
+    r"(?P<lit>'(?:[^']*)'|-?\d+(?:\.\d+)?)$",
+    re.IGNORECASE)
+
+_SQL_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>[A-Za-z_][\w]*)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _split_commas(s: str) -> list[str]:
+    """Split on commas not inside parentheses."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def parse(sql: str) -> dict:
+    m = _SQL_RE.match(sql)
+    if not m:
+        raise ValueError(f"unsupported SQL: {sql!r}")
+    items = []
+    for raw in _split_commas(m.group("select")):
+        im = _ITEM_RE.match(raw.strip())
+        if not im:
+            raise ValueError(f"unsupported SELECT item: {raw!r}")
+        d = im.groupdict()
+        if d["round"] and d["nd"] is None:
+            raise ValueError(f"ROUND(...) needs a digit count: {raw!r}")
+        items.append({
+            "agg": d["agg"].upper() if d["agg"] else None,
+            "arg": d["arg"],
+            "col": d["col"],
+            "nd": int(d["nd"]) if d["nd"] is not None else None,
+            "alias": d["alias"] or d["col"],
+        })
+    conds = []
+    if m.group("where"):
+        for raw in re.split(r"\s+AND\s+", m.group("where"), flags=re.IGNORECASE):
+            cm = _COND_RE.match(raw.strip())
+            if not cm:
+                raise ValueError(f"unsupported WHERE condition: {raw!r}")
+            lit = cm.group("lit")
+            val = lit[1:-1] if lit.startswith("'") else (
+                float(lit) if "." in lit else int(lit))
+            conds.append({"col": cm.group("col"),
+                          "op": cm.group("op").upper(), "val": val})
+    group = ([c.strip() for c in m.group("group").split(",")]
+             if m.group("group") else [])
+    order = []
+    if m.group("order"):
+        for raw in m.group("order").split(","):
+            parts = raw.strip().split()
+            order.append((parts[0], len(parts) > 1
+                          and parts[1].upper() == "DESC"))
+    return {"items": items, "table": m.group("table"), "conds": conds,
+            "group": group, "order": order,
+            "limit": int(m.group("limit")) if m.group("limit") else None}
+
+
+def _needed_columns(plan: dict) -> list[str]:
+    cols = set()
+    for it in plan["items"]:
+        if it["col"]:
+            cols.add(it["col"])
+        elif it["arg"] and it["arg"] != "*":
+            cols.add(it["arg"])
+    for c in plan["conds"]:
+        cols.add(c["col"])
+    cols.update(plan["group"])
+    for c, _ in plan["order"]:
+        cols.add(c)
+    return sorted(cols)
+
+
+def _predicate(batch: pa.Table, conds: list[dict]) -> pa.Table:
+    mask = None
+    for c in conds:
+        col = batch[c["col"]]
+        op, val = c["op"], c["val"]
+        if op == "LIKE":
+            pat = str(val)
+            if pat.startswith("%") and pat.endswith("%"):
+                m = pc.match_substring(col, pat.strip("%"))
+            elif pat.endswith("%"):
+                m = pc.starts_with(col, pat.rstrip("%"))
+            elif pat.startswith("%"):
+                m = pc.ends_with(col, pat.lstrip("%"))
+            else:
+                m = pc.equal(col, pat)
+        else:
+            fn = {"=": pc.equal, "!=": pc.not_equal, "<>": pc.not_equal,
+                  "<": pc.less, "<=": pc.less_equal,
+                  ">": pc.greater, ">=": pc.greater_equal}[op]
+            m = fn(col, val)
+        mask = m if mask is None else pc.and_(mask, m)
+    return batch.filter(mask) if mask is not None else batch
+
+
+def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
+    """Parse + compile + execute over the sf tables; returns pandas."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .ops.util import tbl
+
+    plan = parse(sql)
+    ds = tbl(sf_dir, plan["table"], _needed_columns(plan))
+    if plan["conds"]:
+        conds = plan["conds"]
+        ds = ds.map_batches(lambda b: _predicate(b, conds),
+                            batch_format="pyarrow")
+
+    if any(it["agg"] for it in plan["items"]):
+        # grouped (or global) aggregate: build Ray aggregates; AVG becomes
+        # SUM + COUNT merged driver-side (mergeable-partial discipline)
+        aggs, post = [], []
+        for i, it in enumerate(plan["items"]):
+            if not it["agg"]:
+                continue
+            key = f"__a{i}"
+            if it["agg"] == "COUNT":
+                aggs.append(Count(alias_name=key))
+            elif it["agg"] == "SUM":
+                aggs.append(Sum(it["arg"], alias_name=key))
+            elif it["agg"] == "MIN":
+                aggs.append(Min(it["arg"], alias_name=key))
+            elif it["agg"] == "MAX":
+                aggs.append(Max(it["arg"], alias_name=key))
+            elif it["agg"] == "AVG":
+                aggs.append(Sum(it["arg"], alias_name=key + "_s"))
+                aggs.append(Count(alias_name=key + "_c"))
+            post.append((i, key, it))
+        if plan["group"]:
+            out = ds.groupby(plan["group"]).aggregate(*aggs).to_pandas()
+        else:
+            out = ds.groupby(None).aggregate(*aggs).to_pandas()
+        for _, key, it in post:
+            if it["agg"] == "AVG":
+                out[it["alias"]] = out[key + "_s"] / out[key + "_c"]
+                out = out.drop(columns=[key + "_s", key + "_c"])
+            else:
+                out = out.rename(columns={key: it["alias"]})
+            if it["agg"] == "COUNT":
+                out[it["alias"]] = out[it["alias"]].astype("int64")
+            if it["nd"] is not None:
+                out[it["alias"]] = out[it["alias"]].astype(float).round(it["nd"])
+        cols = [it["alias"] for it in plan["items"]]
+        out = out[cols]
+    else:
+        out = ds.to_pandas()
+        if out.empty:  # empty Datasets lose their schema through to_pandas
+            out = pd.DataFrame({it["col"]: [] for it in plan["items"]})
+        out = out.rename(columns={it["col"]: it["alias"]
+                                  for it in plan["items"] if it["col"]})
+        out = out[[it["alias"] for it in plan["items"]]]
+
+    if plan["order"]:
+        out = out.sort_values([c for c, _ in plan["order"]],
+                              ascending=[not d for _, d in plan["order"]])
+    if plan["limit"] is not None:
+        out = out.head(plan["limit"])
+    return out.reset_index(drop=True)

@@ -123,3 +123,25 @@ def test_fingerprints_deterministic(ray_session):
     a = fingerprints("/root/testdata/sf0.001")
     b = fingerprints("/root/testdata/sf0.001")
     assert (a["fingerprint"] == b["fingerprint"]).all()
+
+
+def test_sqlmini_parser_and_errors(ray_session):
+    import pytest as _pytest
+
+    from howard_ray.sqlmini import parse, run_sql
+
+    p = parse("SELECT a, COUNT(*) AS n, ROUND(SUM(b), 2) AS s FROM t "
+              "WHERE c >= 5 AND d LIKE '%x%' GROUP BY a ORDER BY a DESC LIMIT 3")
+    assert p["table"] == "t" and p["limit"] == 3
+    assert p["items"][2]["agg"] == "SUM" and p["items"][2]["nd"] == 2
+    assert p["conds"][1]["op"] == "LIKE"
+    assert p["order"] == [("a", True)]
+    for bad in ("DELETE FROM t", "SELECT a FROM t JOIN u ON 1=1",
+                "SELECT ROUND(SUM(b)) AS s FROM t"):
+        with _pytest.raises(ValueError):
+            parse(bad)
+    # empty result keeps schema
+    out = run_sql("/root/testdata/sf0.001",
+                  "SELECT o_orderkey, o_totalprice FROM orders "
+                  "WHERE o_totalprice >= 99999999 ORDER BY o_orderkey")
+    assert list(out.columns) == ["o_orderkey", "o_totalprice"] and len(out) == 0
