@@ -115,3 +115,37 @@ def test_variants_fixture_deterministic(tmp_path):
     b = make_variants_like(500)
     assert a.equals(b)
     assert a.num_rows == 500
+
+
+def test_duckdb_attach_roundtrip(ray_session, tmp_path):
+    """write_duckdb -> read_duckdb round-trip (reference ATTACH/CREATE
+    TABLE AS path, database.py:1410-1468 / 2472-2499)."""
+    import ray.data
+
+    from howard_ray.sources import read_duckdb, write_duckdb
+
+    src = ray.data.read_parquet("/root/testdata/sf0.001/nation.parquet")
+    db = str(tmp_path / "t.duckdb")
+    info = write_duckdb(src, db, table="nation")
+    assert info["n_rows"] == src.count()
+    back = read_duckdb(db, table="nation").to_pandas()
+    orig = src.to_pandas()
+    assert sorted(back["n_name"]) == sorted(orig["n_name"])
+    # query form + shard-keyed call (degrades to single-task on DuckDB)
+    q = read_duckdb(db, query="SELECT n_nationkey FROM nation WHERE n_nationkey < 5",
+                    shard_keys=["n_nationkey"], override_num_blocks=2).to_pandas()
+    assert len(q) == 5
+
+
+def test_sqlite_attach(ray_session, tmp_path):
+    import sqlite3
+
+    from howard_ray.sources import read_sqlite
+
+    db = str(tmp_path / "t.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE v (k INTEGER, s TEXT)")
+    con.executemany("INSERT INTO v VALUES (?, ?)", [(i, f"s{i}") for i in range(10)])
+    con.commit(); con.close()
+    out = read_sqlite(db, table="v").to_pandas()
+    assert len(out) == 10 and set(out.columns) == {"k", "s"}
