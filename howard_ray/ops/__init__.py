@@ -71,6 +71,7 @@ def all_queries():
         "annotate_regions": variants.annotate_regions,
         "genotype_calcs": variants.genotype_calcs,
         "ann_explode": variants.ann_explode,
+        "snpeff_hgvs": variants.snpeff_hgvs,
         "trio_classify": variants2.trio_classify,
         "rename_info_fields": variants2.rename_info_fields,
         "hgvs_name": variants2.hgvs_name,

@@ -548,3 +548,59 @@ SELECT chrom, pos, ref, alt,
 FROM exploded
 ORDER BY chrom, pos, ref, alt, allele, effect
 """
+
+
+def snpeff_hgvs(sf_dir: str):
+    """extract_snpeff_hgvs (commons.py:806-882, applied variants.py:
+    8658-8669): parse each ANN entry's pipe fields (Allele|Annotation|
+    Impact|Gene_Name|Feature_ID|HGVS.c), emit 'gene:hgvs_c' per entry,
+    comma-join per variant. The ANN string is synthesized closed-form from
+    the variant fields (snpEff itself is an external tool), then REALLY
+    parsed with Arrow list kernels — split entries, split fields, gather,
+    join back through a ListArray — no Python loop."""
+    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        pos_s = pc.cast(batch["pos"], pa.string())
+        change = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(pos_s, batch["ref"], ""),
+            batch["alt"], ">")
+        e1 = pc.binary_join_element_wise(
+            batch["alt"], "missense_variant", "MODERATE", "GENE_A", "NM_0001",
+            pc.binary_join_element_wise("c.", change, ""), "|")
+        e2 = pc.binary_join_element_wise(
+            batch["alt"], "synonymous_variant", "LOW", "GENE_B", "NR_0002",
+            pc.binary_join_element_wise("n.", change, ""), "|")
+        ann = pc.binary_join_element_wise(e1, e2, ",")
+        # --- the actual parser (what the reference does on snpEff output) ---
+        entries = pc.split_pattern(ann, ",")
+        n_per = pc.list_value_length(entries).to_numpy().astype(np.int64)
+        fields = pc.split_pattern(pc.list_flatten(entries), "|")
+        cand = pc.binary_join_element_wise(
+            pc.list_element(fields, 3), pc.list_element(fields, 5), ":")
+        offsets = pa.array(np.concatenate(([0], np.cumsum(n_per))),
+                           type=pa.int32())
+        cand_lists = pa.ListArray.from_arrays(offsets, cand.combine_chunks())
+        joined = pc.binary_join(cand_lists, ",")
+        return pa.table({"chrom": batch["chrom"], "pos": batch["pos"],
+                         "ref": batch["ref"], "alt": batch["alt"],
+                         "snpeff_hgvs": joined})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["snpeff_hgvs"] = f"""
+WITH a AS (
+  SELECT chrom, pos, ref, alt,
+         alt || '|missense_variant|MODERATE|GENE_A|NM_0001|c.'
+             || CAST(pos AS VARCHAR) || ref || '>' || alt || ','
+         || alt || '|synonymous_variant|LOW|GENE_B|NR_0002|n.'
+             || CAST(pos AS VARCHAR) || ref || '>' || alt AS ann
+  FROM '{{VP}}')
+SELECT chrom, pos, ref, alt,
+       array_to_string(list_transform(string_split(ann, ','),
+         e -> string_split(e, '|')[4] || ':' || string_split(e, '|')[6]),
+         ',') AS snpeff_hgvs
+FROM a ORDER BY chrom, pos, ref, alt
+""".replace("{VP}", VARIANTS_PATH)
