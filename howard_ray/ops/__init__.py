@@ -3,13 +3,13 @@
 ``__ray_entry__.oracle_sql()``. See SURVEY.md §2 for the reference mapping.
 """
 
-from . import (dedup, engine_queries, genotype, multimodal, nomen, process,
-               relational, rules, rules2, similarity, sql_surface, text,
-               variants, variants2, vcf_ops, windows)
+from . import (dedup, engine_queries, external, genotype, multimodal, nomen,
+               process, relational, rules, rules2, similarity, sql_surface,
+               text, variants, variants2, vcf_ops, windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
-           rules2, sql_surface]
+           rules2, sql_surface, external]
 
 
 def all_queries():
@@ -90,6 +90,8 @@ def all_queries():
         "roundtrip_pruned": engine_queries.roundtrip_pruned,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,
+        # external-tool shell-out stage (SURVEY.md 2.10)
+        "external_gzip_compress": external.external_gzip_compress,
         # VCF format surface over the sf-scaled fixture
         "vcf_roundtrip": vcf_ops.vcf_roundtrip,
         "explode_infos_hdr": vcf_ops.explode_infos_hdr,

@@ -145,3 +145,15 @@ def test_sqlmini_parser_and_errors(ray_session):
                   "SELECT o_orderkey, o_totalprice FROM orders "
                   "WHERE o_totalprice >= 99999999 ORDER BY o_orderkey")
     assert list(out.columns) == ["o_orderkey", "o_totalprice"] and len(out) == 0
+
+
+def test_external_gzip_stage(ray_session):
+    """External-tool actor stage (gzip shell-out): runs, compresses, and is
+    deterministic across invocations (fixed chunking + scan order)."""
+    from howard_ray.ops.external import external_gzip_compress
+
+    a = external_gzip_compress("/root/testdata/sf0.001")
+    b = external_gzip_compress("/root/testdata/sf0.001")
+    assert a["gz_bytes"][0] > 0
+    assert a["gz_bytes"][0] < a["raw_bytes"][0]
+    assert a.equals(b)
