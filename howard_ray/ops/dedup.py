@@ -137,30 +137,49 @@ class MinHasher:
 
 
 def _minhash_candidates_ds(sf_dir: str):
-    """Distinct LSH candidate pairs as a Dataset: shingle→minhash→band→bucket
-    groupby→pairs→pair-groupby (distinct). Stays distributed end-to-end; the
-    pair-distinct is itself a grouped shuffle, not a driver drop_duplicates."""
-    import ray
+    """Distinct LSH candidate pairs as a Dataset, bucketed-shuffle form:
+    shingle→minhash→band rows, then ONE grouped shuffle on a small
+    ``bucket = band_hash % 64`` key with the (mostly-singleton) band groups
+    aggregated by a vectorized pandas groupby INSIDE each bucket — a
+    per-band map_groups would pay per-group Python overhead ~|docs|x|bands|
+    times. Pair-distinct is the same trick on a pair-hash bucket. Stays
+    distributed end-to-end."""
+    n_buckets = 64
     ds = tbl(sf_dir, "documents", ["doc_id", "text"])
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(g["doc_id"]))
-        if len(docs) < 2:
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bucket"] = (batch["band_hash"].to_numpy() % n_buckets)
+        return batch
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # drop singleton band groups vectorized, iterate only collisions
+        sizes = g.groupby(["band", "band_hash"])["doc_id"].transform("size")
+        g = g[sizes > 1]
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "band_hash"]):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) >= 2:
+                ii, jj = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ii])
+                out_b.append(ids[jj])
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
-        a, b = zip(*[(docs[i], docs[j]) for i in range(len(docs))
-                     for j in range(i + 1, len(docs))])
-        return pd.DataFrame({"doc_a": np.array(a, dtype=np.int64),
-                             "doc_b": np.array(b, dtype=np.int64)})
+        df = pd.DataFrame({"doc_a": np.concatenate(out_a),
+                           "doc_b": np.concatenate(out_b)})
+        df["pbucket"] = ((df["doc_a"] * 2654435761 + df["doc_b"])
+                         % n_buckets).astype(np.int64)
+        return df.drop_duplicates(["doc_a", "doc_b"])
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
 
     return (ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 4))
-              .groupby(["band", "band_hash"])
-              .map_groups(pairs, batch_format="pandas")
-              .groupby(["doc_a", "doc_b"])
-              .map_groups(first_row, batch_format="pandas"))
+              .map_batches(add_bucket, batch_format="pandas")
+              .groupby("bucket")
+              .map_groups(bucket_pairs, batch_format="pandas")
+              .groupby("pbucket")
+              .map_groups(bucket_distinct, batch_format="pandas"))
 
 
 def dedup_minhash_candidates(sf_dir: str):
@@ -245,8 +264,6 @@ def dedup_jaccard_join(sf_dir: str):
     output rows — the standard mitigation is prefix filtering / a
     document-frequency cap, left off here so the result stays exact
     against the SQL oracle."""
-    from ray.data.aggregate import Count, Max
-
     def shingle_rows(left: bool):
         sfx = "a" if left else "b"
 
@@ -270,30 +287,43 @@ def dedup_jaccard_join(sf_dir: str):
     joined = sh_a.join(sh_b, join_type="inner", num_partitions=8,
                        on=("sh_a",), right_on=("sh_b",))
 
+    # pair aggregation via BUCKETED shuffle + vectorized block aggregate:
+    # the pair count is near-|join output| (mostly singleton groups), and a
+    # per-group aggregate pays per-group Python overhead a million times
+    # over. Instead co-locate pairs by a small bucket key (one shuffle of
+    # the same volume) and run ONE pandas groupby per bucket — and push the
+    # Jaccard threshold into the bucket kernel so only survivors (tiny)
+    # leave the stage.
+    n_buckets = 64
+
     def ordered(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy()
         b = batch["doc_b"].to_numpy()
         keep = a < b
-        return pa.table({"doc_a": pa.array(a[keep]),
-                         "doc_b": pa.array(b[keep]),
+        a, b = a[keep], b[keep]
+        bucket = ((a * np.int64(2654435761) + b) % n_buckets).astype(np.int64)
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
                          "na": pa.array(batch["na"].to_numpy()[keep]),
-                         "nb": pa.array(batch["nb"].to_numpy()[keep])})
+                         "nb": pa.array(batch["nb"].to_numpy()[keep]),
+                         "bucket": pa.array(bucket)})
 
-    agg = (joined.map_batches(ordered, batch_format="pyarrow")
-             .groupby(["doc_a", "doc_b"])
-             .aggregate(Count(alias_name="i"),
-                        Max("na", alias_name="na"),
-                        Max("nb", alias_name="nb"))
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            i=("na", "size"), na=("na", "max"), nb=("nb", "max"))
+        jac = agg["i"] / (agg["na"] + agg["nb"] - agg["i"])
+        out = pd.DataFrame({"doc_a": agg["doc_a"].astype("int64"),
+                            "doc_b": agg["doc_b"].astype("int64"),
+                            "jaccard": jac.round(4)})
+        return out[jac >= JACCARD_THRESHOLD]
+
+    out = (joined.map_batches(ordered, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(per_bucket, batch_format="pandas")
              .to_pandas())
-    if agg.empty:
+    if out.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    jac = agg["i"] / (agg["na"] + agg["nb"] - agg["i"])
-    out = pd.DataFrame({"doc_a": agg["doc_a"].astype("int64"),
-                        "doc_b": agg["doc_b"].astype("int64"),
-                        "jaccard": jac.round(4)})
-    out = out[jac >= JACCARD_THRESHOLD]
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
