@@ -32,26 +32,28 @@ def ray_from_items(items: list[dict]):
     return ray.data.from_items(items, override_num_blocks=len(items))
 
 
-def dedup_exact(sf_dir: str):
-    """Exact dedup: vectorized content hash per batch → hash-partitioned
-    groupby → keep min doc_id per group (the guide's canonical exact-dedup
-    shape). Output: survivor doc_id + duplicate count."""
+def dedup_exact(sf_dir: str, n_buckets: int = 256):
+    """Exact dedup: vectorized content hash per batch → ONE grouped shuffle
+    on ``hash % n_buckets`` (all rows of a text land in one bucket) → per-
+    bucket vectorized pandas groupby over the exact text (hash-collision
+    safe, and no per-unique-text Python call — the group count equals the
+    corpus size, so a per-group map_groups would be a driver-scale Python
+    loop in disguise). Output: survivor doc_id + duplicate count."""
     ds = tbl(sf_dir, "documents", ["doc_id", "text"])
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    def add_bucket(batch: pa.Table) -> pa.Table:
         h = stable_hash_u64(batch["text"])
         return pa.table({"doc_id": batch["doc_id"],
                          "text": batch["text"],
-                         "h": pa.array(h.view(np.int64))})
+                         "b": pa.array((h % n_buckets).view(np.int64))})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # guard against 64-bit hash collisions: group further by exact text
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("text", as_index=False).agg(
             doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
         return out[["doc_id", "n_dups"]]
 
-    out = (ds.map_batches(add_hash, batch_format="pyarrow")
-             .groupby("h").map_groups(keep_first, batch_format="pandas")
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("b").map_groups(per_bucket, batch_format="pandas")
              .to_pandas())
     out["n_dups"] = out["n_dups"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
