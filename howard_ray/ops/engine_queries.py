@@ -92,14 +92,21 @@ def running_total(sf_dir: str):
 
     ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def add_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        # bounded bucket key (user count scales); grouped cumsum inside the
+        # bucket is one vectorized pass over all of its users
+        g["b"] = (g["user_id"] * 2654435761) % 64
+        return g
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["user_id", "ts", "event_id"])
         return pd.DataFrame({
             "event_id": g["event_id"],
-            "running_value": g["value"].cumsum().round(2),
+            "running_value": g.groupby("user_id")["value"].cumsum().round(2),
         })
 
-    out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = (ds.map_batches(add_bucket, batch_format="pandas")
+             .groupby("b").map_groups(per_bucket, batch_format="pandas")
              .to_pandas())
     return out.sort_values("event_id").reset_index(drop=True)
 

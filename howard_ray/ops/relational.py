@@ -481,12 +481,19 @@ def latest_order_per_customer(sf_dir: str):
     commons.py:655-667) on a relational key."""
     ds = tbl(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"],
-                          ascending=[False, False])
-        return g.head(1)[["o_custkey", "o_orderkey"]]
+    def add_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # customer count scales with the data: bucket the shuffle key and
+        # pick every bucket's argmax rows in one vectorized pass
+        g["b"] = (g["o_custkey"] * 2654435761) % 64
+        return g
 
-    out = (ds.groupby("o_custkey").map_groups(latest, batch_format="pandas")
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          ascending=[True, False, False])
+        return g.drop_duplicates("o_custkey")[["o_custkey", "o_orderkey"]]
+
+    out = (ds.map_batches(add_bucket, batch_format="pandas")
+             .groupby("b").map_groups(latest, batch_format="pandas")
              .to_pandas())
     for c in out.columns:
         out[c] = out[c].astype("int64")

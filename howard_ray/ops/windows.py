@@ -59,16 +59,24 @@ def asof_prev_event(sf_dir: str):
     merge_asof/map_groups pattern; oracle: lag() window fn)."""
     ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def add_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # user count scales with the data: shuffle on a BOUNDED bucket key
+        # (all of a user's rows co-located) and diff all users of a bucket
+        # in one vectorized grouped pass — not one Python call per user
+        g["b"] = (g["user_id"] * 2654435761) % 64
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
         ts_us = g["ts"].astype("int64")
-        gap = ts_us.diff()
+        gap = ts_us.groupby(g["user_id"].to_numpy()).diff()
         return pd.DataFrame({
             "event_id": g["event_id"],
             "gap_us": gap.fillna(-1).astype("int64"),
         })
 
-    out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = (ds.map_batches(add_bucket, batch_format="pandas")
+             .groupby("b").map_groups(per_bucket, batch_format="pandas")
              .to_pandas())
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -87,22 +95,31 @@ def sessionize(sf_dir: str):
     engine's windowed extension, per-partition sequential with pandas)."""
     ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts_us = g["ts"].astype("int64").to_numpy()
-        new_session = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            new_session[1:] = np.diff(ts_us) > SESSION_GAP_US
-        sid = np.cumsum(new_session)
-        sizes = np.bincount(sid)[1:]
-        return pd.DataFrame({
-            "user_id": [np.int64(g["user_id"].iloc[0])],
-            "n_events": np.int64(len(g)),
-            "n_sessions": np.int64(sid[-1]),
-            "max_session_events": np.int64(sizes.max()),
-        })
+    def add_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g["b"] = (g["user_id"] * 2654435761) % 64
+        return g
 
-    out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # all users of the bucket sessionized in ONE vectorized pass:
+        # grouped ts-diff marks session starts (a user's first row has NaN
+        # diff -> new session), a global cumsum numbers sessions uniquely
+        # across users, grouped aggregates produce the per-user stats
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        gap = g["ts"].astype("int64").groupby(uid).diff()
+        new_session = gap.isna() | (gap > SESSION_GAP_US)
+        sid = new_session.cumsum().to_numpy()
+        sess_size = pd.Series(sid).map(pd.Series(sid).value_counts()).to_numpy()
+        df = pd.DataFrame({"user_id": uid, "new_session": new_session.to_numpy(),
+                           "sess_size": sess_size})
+        out = df.groupby("user_id", as_index=False).agg(
+            n_events=("user_id", "size"),
+            n_sessions=("new_session", "sum"),
+            max_session_events=("sess_size", "max"))
+        return out
+
+    out = (ds.map_batches(add_bucket, batch_format="pandas")
+             .groupby("b").map_groups(per_bucket, batch_format="pandas")
              .to_pandas())
     for c in out.columns:
         out[c] = out[c].astype("int64")
