@@ -9,7 +9,7 @@ from . import (dedup, engine_queries, external, genotype, multimodal, nomen,
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
-           rules2, sql_surface, external]
+           rules2, sql_surface, external, multimodal]
 
 
 def all_queries():
@@ -108,9 +108,11 @@ def all_queries():
     }
     # SQL query surface: same SQL text on both engines
     q.update(sql_surface.QUERIES)
-    # oracle SQL for the F2 family reads the fixture parquet by absolute
-    # path — materialize it before the driver runs either side
+    # oracle SQL for the F2 family and the media corpus reads fixture
+    # parquet by absolute path — materialize before the driver runs either
+    # side
     variants.ensure_fixtures()
+    multimodal.ensure_media_fixture()
     # plugin surface (reference plugins/, SURVEY.md §2.14)
     from ..plugins import discover_plugins
     q.update(discover_plugins().queries)

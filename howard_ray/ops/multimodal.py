@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+SQL: dict[str, str] = {}
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.string()),
     ("payload", pa.binary()),       # opaque encoded bytes (e.g. JPEG)
@@ -89,10 +91,9 @@ def media_pipeline(ds: ray.data.Dataset, concurrency=(1, 4),
                           num_cpus=1)
 
 
-def media_features(sf_dir: str):
-    """queries() entry: synthesize the deterministic media corpus, run the
-    decode stage, aggregate per aspect bucket (rows-only oracle — payload
-    bytes are not a registered view)."""
+def ensure_media_fixture() -> str:
+    """Materialize the deterministic media corpus once; both the Ray query
+    and the DuckDB oracle read this same parquet file."""
     import os
     import tempfile
 
@@ -104,6 +105,16 @@ def media_features(sf_dir: str):
     if not os.path.exists(path):
         pq.write_table(make_media_table(2000), path + ".tmp")
         os.replace(path + ".tmp", path)
+    return path
+
+
+def media_features(sf_dir: str):
+    """queries() entry: synthesize the deterministic media corpus, run the
+    decode stage, aggregate per aspect bucket. The SQL oracle cross-checks
+    the decoder's byte-derived output against the parquet's metadata
+    columns (payload header encodes width/height; body = bytes after the
+    8-byte header)."""
+    path = ensure_media_fixture()
     ds = ray.data.read_parquet(path)
     feats = media_pipeline(ds)
     from ray.data.aggregate import Count, Sum
@@ -114,3 +125,21 @@ def media_features(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("aspect_gt_1").reset_index(drop=True)
+
+
+def _media_sql() -> str:
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "howard_ray_cache",
+                        "media.parquet")
+    return f"""
+SELECT CAST(width > height AS BIGINT) AS aspect_gt_1,
+       count(*) AS n,
+       CAST(sum(octet_length(payload) - 8) AS BIGINT) AS total_bytes
+FROM read_parquet('{path}')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL["media_features"] = _media_sql()

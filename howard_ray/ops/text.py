@@ -175,7 +175,7 @@ FROM per_doc GROUP BY source ORDER BY source
 class LangId:
     """n-gram/stopword-score language-ID heuristic: score each language by
     marker-word hits, argmax with deterministic tie-break (alphabetical).
-    Not SQL-expressible — driver records a rows-only check."""
+    SQL twin: distinct-word ⋈ marker-table join + windowed argmax."""
 
     MARKERS = {
         "en": {"the", "and", "of", "fast", "slow"},
@@ -217,6 +217,31 @@ def lang_id(sf_dir: str):
            .map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_MARKER_VALUES = ",".join(
+    f"('{w}','{l}')" for l in sorted(LangId.MARKERS)
+    for w in sorted(LangId.MARKERS[l]))
+
+SQL["lang_id"] = f"""
+WITH markers(word, mlang) AS (VALUES {_MARKER_VALUES}),
+words AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents),
+scores AS (
+  SELECT w.doc_id, m.mlang, count(*) AS score
+  FROM words w JOIN markers m USING (word)
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, mlang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, mlang ASC) AS rn
+  FROM scores)
+SELECT d.doc_id, d.lang, coalesce(b.pred_lang, 'unknown') AS pred_lang
+FROM documents d
+LEFT JOIN (SELECT doc_id, pred_lang FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY doc_id
+"""
 
 
 class Fingerprinter:
@@ -263,3 +288,28 @@ def fingerprints(sf_dir: str):
            .map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 4))
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# SQL twin of the rolling hash: hex-decode the UTF-8 bytes, Horner-reduce
+# over the reversed byte list in HUGEINT arithmetic mod 2^64 (list_reduce
+# acc*BASE + b == sum(byte[i] * BASE^i)), reinterpret as signed int64.
+SQL["fingerprints"] = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents),
+fp AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(range(n - 1, -1, -1),
+          i -> ((strpos('0123456789ABCDEF', h[2*i+1:2*i+1]) - 1) * 16
+               + (strpos('0123456789ABCDEF', h[2*i+2:2*i+2]) - 1))::HUGEINT)),
+      (acc, b) -> (acc * {Fingerprinter.BASE} + b)
+                  % 18446744073709551616::HUGEINT) AS u
+  FROM hx)
+SELECT doc_id,
+  (CASE WHEN u >= 9223372036854775808::HUGEINT
+        THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT
+    AS fingerprint
+FROM fp ORDER BY doc_id
+"""
