@@ -324,27 +324,36 @@ def annotate_exact(sf_dir: str):
     ann = pq.read_table(ANN_VARIANTS_PATH).to_pandas()
     key = (ann["chrom"] + "_" + ann["pos"].astype(str) + "_"
            + ann["ref"] + "_" + ann["alt"])
-    lookup_ref = ray.put(dict(zip(key, ann["nci60"])))
+    # broadcast pre-formatted value strings: formatting happens once at
+    # store build, not per batch
+    lookup_ref = ray.put((key.tolist(),
+                          [f"{x:.3f}" for x in ann["nci60"]]))
 
     class Annotator:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            keys, vals = ray.get(lookup_ref)
+            self.keys = pa.array(keys)
+            self.vals = pa.array(vals)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            key = (batch["chrom"] + "_" + batch["pos"].astype(str) + "_"
-                   + batch["ref"] + "_" + batch["alt"])
-            val = key.map(self.lookup)
-            hit = val.notna()
-            info = batch["info"].where(
-                ~hit, batch["info"] + ";nci60=" + val.map(
-                    lambda x: f"{x:.3f}" if pd.notna(x) else ""))
-            return pd.DataFrame({"chrom": batch["chrom"], "pos": batch["pos"],
-                                 "ref": batch["ref"], "alt": batch["alt"],
-                                 "info": info,
-                                 "annotated": hit.astype("int64")})
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            key = pc.binary_join_element_wise(
+                batch["chrom"], pc.cast(batch["pos"], pa.string()),
+                batch["ref"], batch["alt"], "_")
+            val = pc.take(self.vals, pc.index_in(key, value_set=self.keys))
+            hit = pc.is_valid(val)
+            info = pc.if_else(
+                hit,
+                pc.binary_join_element_wise(
+                    batch["info"], ";nci60=", pc.fill_null(val, ""), ""),
+                batch["info"])
+            return pa.table({"chrom": batch["chrom"], "pos": batch["pos"],
+                             "ref": batch["ref"], "alt": batch["alt"],
+                             "info": info,
+                             "annotated": pc.cast(hit, pa.int64())})
 
     ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
-    out = (ds.map_batches(Annotator, batch_format="pandas", concurrency=(1, 4))
+    out = (ds.map_batches(Annotator, batch_format="pyarrow",
+                          concurrency=(1, 4))
            .to_pandas())
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 

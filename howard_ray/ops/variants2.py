@@ -42,23 +42,28 @@ def trio_classify(sf_dir: str):
     ds = _variants_ds(["chrom", "pos", "ref", "alt",
                        "sample1", "sample2", "sample3"])
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
+    def f(batch: pa.Table) -> pa.Table:
         def digit(col):
-            g = batch[col].str.split(":", n=1).str[0]
-            return pd.Series(np.select(
-                [g == "./.", g == "0/0", (g == "0/1") | (g == "1/0")],
-                ["0", "0", "1"], default="2"), index=batch.index)
-        bc = digit("sample1") + digit("sample2") + digit("sample3")
-        cls = pd.Series(np.select(
-            [bc.str[2] == "0", bc.str[:2] == "00",
-             (bc.str[0] == "1") & (bc.str[1] == "1") & (bc.str[2] == "2")],
-            ["unknown", "denovo", "recessive"], default="dominant"),
-            index=batch.index)
-        return pd.DataFrame({"chrom": batch["chrom"], "pos": batch["pos"],
-                             "ref": batch["ref"], "alt": batch["alt"],
-                             "barcode": bc, "trio": cls})
+            g = pc.list_element(pc.split_pattern(batch[col], ":"), 0)
+            return pc.if_else(
+                pc.is_in(g, value_set=pa.array(["./.", "0/0"])), "0",
+                pc.if_else(pc.is_in(g, value_set=pa.array(["0/1", "1/0"])),
+                           "1", "2"))
+        bc = pc.binary_join_element_wise(
+            digit("sample1"), digit("sample2"), digit("sample3"), "")
+        child = pc.utf8_slice_codeunits(bc, 2, 3)
+        parents = pc.utf8_slice_codeunits(bc, 0, 2)
+        cls = pc.if_else(
+            pc.equal(child, "0"), "unknown",
+            pc.if_else(pc.equal(parents, "00"), "denovo",
+                       pc.if_else(pc.and_(pc.equal(parents, "11"),
+                                          pc.equal(child, "2")),
+                                  "recessive", "dominant")))
+        return pa.table({"chrom": batch["chrom"], "pos": batch["pos"],
+                         "ref": batch["ref"], "alt": batch["alt"],
+                         "barcode": bc, "trio": cls})
 
-    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
@@ -117,26 +122,30 @@ def hgvs_name(sf_dir: str):
     reference's annotation_hgvs stateful stage, variants.py:7821-8202)."""
     ds = _variants_ds(["chrom", "pos", "ref", "alt"])
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
+    def f(batch: pa.Table) -> pa.Table:
         pos = batch["pos"]
         ref = batch["ref"]
         alt = batch["alt"]
-        lr = ref.str.len()
-        la = alt.str.len()
-        snv = (lr == 1) & (la == 1)
-        deletion = lr > la
-        end = pos + lr - 1
-        name = np.where(
-            snv, batch["chrom"] + ":g." + pos.astype(str) + ref + ">" + alt,
-            np.where(deletion,
-                     batch["chrom"] + ":g." + (pos + 1).astype(str) + "_"
-                     + end.astype(str) + "del",
-                     batch["chrom"] + ":g." + pos.astype(str) + "_"
-                     + (pos + 1).astype(str) + "ins" + alt.str.slice(1)))
-        return pd.DataFrame({"chrom": batch["chrom"], "pos": pos,
-                             "ref": ref, "alt": alt, "hgvs": name})
+        lr = pc.utf8_length(ref)
+        la = pc.utf8_length(alt)
+        snv = pc.and_(pc.equal(lr, 1), pc.equal(la, 1))
+        deletion = pc.greater(lr, la)
+        s = lambda x: pc.cast(x, pa.string())
+        prefix = pc.binary_join_element_wise(batch["chrom"], ":g.", "")
+        snv_name = pc.binary_join_element_wise(
+            prefix, s(pos), ref, ">", alt, "")
+        del_name = pc.binary_join_element_wise(
+            prefix, s(pc.add(pos, 1)), "_",
+            s(pc.subtract(pc.add(pos, lr), 1)), "del", "")
+        ins_name = pc.binary_join_element_wise(
+            prefix, s(pos), "_", s(pc.add(pos, 1)), "ins",
+            pc.utf8_slice_codeunits(alt, 1), "")
+        name = pc.if_else(snv, snv_name,
+                          pc.if_else(deletion, del_name, ins_name))
+        return pa.table({"chrom": batch["chrom"], "pos": pos,
+                         "ref": ref, "alt": alt, "hgvs": name})
 
-    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
@@ -290,16 +299,20 @@ def annotate_update(sf_dir: str):
     DP*2 to exercise delete-then-append."""
     ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        padded = ";" + batch["info"]
-        dp = padded.str.extract(r";DP=([^;]*)", expand=False).astype("int64")
-        stripped = padded.str.replace(r";DP=[^;]*", "", regex=True)
-        new_info = (stripped + ";DP=" + (dp * 2).astype(str)).str.lstrip(";")
-        return pd.DataFrame({"chrom": batch["chrom"], "pos": batch["pos"],
-                             "ref": batch["ref"], "alt": batch["alt"],
-                             "info": new_info})
+    def f(batch: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            pa.array([";"] * batch.num_rows), batch["info"], "")
+        dp = pc.cast(pc.struct_field(
+            pc.extract_regex(padded, r";DP=(?P<v>[^;]*)"), "v"), pa.int64())
+        stripped = pc.replace_substring_regex(padded, r";DP=[^;]*", "")
+        new_info = pc.utf8_ltrim(pc.binary_join_element_wise(
+            stripped, ";DP=", pc.cast(pc.multiply(dp, 2), pa.string()), ""),
+            characters=";")
+        return pa.table({"chrom": batch["chrom"], "pos": batch["pos"],
+                         "ref": batch["ref"], "alt": batch["alt"],
+                         "info": new_info})
 
-    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
