@@ -7,9 +7,11 @@ Reference behaviors re-expressed (all file:line in /root/reference):
 - INFO/FORMAT fields typed Integer|Float|String|Flag with arity Number;
   any ``Number != 1`` degrades to string (variants.py:1889-1891)
 - body read as TSV with forced core types (database.py:72-83)
-- VCF export: reconstructed header + ordered body, optional gzip
-  (variants.py:2446-2546; bgzip/tabix shell-outs are out of scope — plain
-  gzip is written and transparently re-read)
+- VCF export: reconstructed header + ordered body; ``.gz`` output is real
+  BGZF framing (what bgzip produces — SAMv1 §4.1 gzip members + EOF
+  marker) with a chrom→virtual-offset linear index sidecar enabling
+  ``read_vcf_region`` seeks (variants.py:2446-2546; the tabix binning
+  index proper is replaced by the linear index — no htslib in scope)
 - header sidecar writer in VCF-header format (variants.py:2351-2444)
 
 Ray-Data mapping: the body is a block-parallel ``read_csv`` (tab-separated,
@@ -23,6 +25,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import json
 import os
 import re
 
@@ -108,6 +111,77 @@ class VCFHeader:
             cols += ["FORMAT"] + self.samples
         lines.append("\t".join(cols))
         return lines
+
+
+class BGZFWriter:
+    """Blocked-gzip (BGZF) writer — the framing ``bgzip`` produces and the
+    reference emits for ``.vcf.gz`` (functions/commons.py:2274-2415): a
+    stream of independent <=64 KiB gzip members, each carrying the BC extra
+    subfield with its compressed size, terminated by the 28-byte EOF
+    marker. Readable by plain ``gzip`` (concatenated members) AND
+    block-seekable by htslib-style virtual offsets — which is what makes
+    the format tabix-indexable, unlike a monolithic gzip stream.
+
+    Format is the public SAM/BGZF spec (samtools/hts-specs SAMv1 §4.1)."""
+
+    MAX_BLOCK = 65280  # uncompressed payload per block (bgzip's default)
+    EOF_MARKER = bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+    def __init__(self, raw):
+        self.raw = raw
+        self.buf = bytearray()
+        self.block_starts: list[int] = []   # compressed offset of each block
+        self.block_usizes: list[int] = []   # uncompressed payload sizes
+        self.coffset = 0
+
+    def write(self, data) -> int:
+        self.buf += data.encode() if isinstance(data, str) else data
+        while len(self.buf) >= self.MAX_BLOCK:
+            self._flush_block(self.buf[:self.MAX_BLOCK])
+            del self.buf[:self.MAX_BLOCK]
+        return len(data)
+
+    def _flush_block(self, payload: bytes) -> None:
+        import zlib
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        deflated = co.compress(payload) + co.flush()
+        bsize = len(deflated) + 25 + 1  # header(18) + crc/isize(8) - 1 + 1
+        header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+                  + (6).to_bytes(2, "little")          # XLEN
+                  + b"BC" + (2).to_bytes(2, "little")  # BC subfield
+                  + (bsize - 1).to_bytes(2, "little"))
+        trailer = (zlib.crc32(payload).to_bytes(4, "little")
+                   + (len(payload) & 0xFFFFFFFF).to_bytes(4, "little"))
+        self.block_starts.append(self.coffset)
+        self.block_usizes.append(len(payload))
+        block = header + deflated + trailer
+        self.raw.write(block)
+        self.coffset += len(block)
+
+    def close(self) -> None:
+        if self.buf:
+            self._flush_block(bytes(self.buf))
+            self.buf.clear()
+        self.raw.write(self.EOF_MARKER)
+        self.raw.close()
+
+    def virtual_offset(self, upos: int) -> int:
+        """htslib virtual offset (coffset << 16 | within-block offset) for
+        an uncompressed stream position — call after close()."""
+        import bisect
+        ustarts = [0]
+        for s in self.block_usizes:
+            ustarts.append(ustarts[-1] + s)
+        i = bisect.bisect_right(ustarts, upos) - 1
+        i = min(i, len(self.block_starts) - 1)
+        return (self.block_starts[i] << 16) | (upos - ustarts[i])
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def _open_text(path: str):
@@ -254,17 +328,102 @@ def write_vcf(ds: ray.data.Dataset, path: str, header: VCFHeader,
     tmp = path + ".tmp"
     n = 0
     raw = open(tmp, "wb")
-    f = gzip.open(raw, "wt") if gz else io.TextIOWrapper(raw)
+    f = BGZFWriter(raw) if gz else io.TextIOWrapper(raw)
+    upos = len(hdr_text.encode())
+    chrom_upos: dict[str, int] = {}   # chrom -> uncompressed start offset
     with f:
         f.write(hdr_text)
         for batch in ds.iter_batches(batch_format="pyarrow",
                                      batch_size=65536):
             lines = _body_lines(batch, samples)
-            f.write("\n".join(lines) + "\n")
+            if gz:
+                chroms = batch["chrom"].to_pylist()
+                if any(c not in chrom_upos for c in chroms):
+                    # few batches contain a chrom's first row (input is
+                    # chrom-sorted) — only those pay the per-line encode
+                    lens = np.fromiter((len(s.encode()) + 1 for s in lines),
+                                       dtype=np.int64, count=len(lines))
+                    starts = upos + np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    for i, c in enumerate(chroms):
+                        if c not in chrom_upos:
+                            chrom_upos[c] = int(starts[i])
+                chunk = ("\n".join(lines) + "\n").encode()
+                f.write(chunk)
+                upos += len(chunk)
+            else:
+                f.write("\n".join(lines) + "\n")
             n += len(lines)
     os.replace(tmp, path)
     write_hdr_sidecar(path, header)
+    if gz:
+        # linear chrom index over BGZF virtual offsets (the tabix linear-
+        # index idea, hts-specs tabix.pdf; enables read_vcf_region seeks)
+        idx = {c: f.virtual_offset(u) for c, u in chrom_upos.items()}
+        with open(path + ".cidx.json", "w") as jf:
+            json.dump(idx, jf)
     return {"path": path, "n_rows": n}
+
+
+def read_vcf_region(path: str, chrom: str) -> pa.Table:
+    """Seek-read one chromosome from an indexed ``.vcf.gz``: jump to the
+    chrom's BGZF virtual offset from the ``.cidx.json`` linear index,
+    inflate members forward, stop at the first row of the next chrom —
+    the reference's sorted+tabix-indexed region query shape
+    (variants.py:2446-2546) without scanning the file."""
+    import zlib
+
+    header, _ = read_vcf_header(path)
+    names = CORE_COLS + (["format"] + header.samples if header.samples else [])
+    with open(path + ".cidx.json") as f:
+        idx = json.load(f)
+    empty = pa.table({n: pa.array([], pa.string()) for n in names})
+    if chrom not in idx:
+        return empty
+    voff = int(idx[chrom])
+    coff, uoff = voff >> 16, voff & 0xFFFF
+    want = chrom.encode() + b"\t"
+    kept: list[bytes] = []
+    with open(path, "rb") as fh:
+        fh.seek(coff)
+        buf = b""
+        first = True
+        done = False
+        while not done:
+            head = fh.read(18)
+            if len(head) < 18 or head[:4] != b"\x1f\x8b\x08\x04":
+                break
+            bsize = int.from_bytes(head[16:18], "little") + 1
+            rest = fh.read(bsize - 18)
+            payload = zlib.decompress(rest[:-8], -15)
+            if not payload:        # EOF marker member
+                break
+            if first:
+                payload = payload[uoff:]
+                first = False
+            buf += payload
+            *complete, buf = buf.split(b"\n")
+            for line in complete:
+                if not line.startswith(want):
+                    done = True
+                    break
+                kept.append(line)
+    if buf and not kept and buf.startswith(want):
+        kept.append(buf)
+    if not kept:
+        return empty
+    from pyarrow import csv as pacsv
+    data = b"\n".join(kept) + b"\n"
+    tbl = pacsv.read_csv(
+        pa.BufferReader(data),
+        read_options=pacsv.ReadOptions(column_names=names),
+        parse_options=pacsv.ParseOptions(delimiter="\t", quote_char=False),
+        convert_options=pacsv.ConvertOptions(
+            column_types={"pos": pa.int64(),
+                          **{c: pa.string() for c in names if c != "pos"}}))
+    q = tbl["qual"]
+    q = pc.if_else(pc.equal(q, "."), pa.scalar(None, pa.string()), q)
+    return tbl.set_column(tbl.column_names.index("qual"), "qual",
+                          pc.cast(q, pa.float64()))
 
 
 def write_hdr_sidecar(path: str, header: VCFHeader) -> str:

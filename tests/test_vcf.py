@@ -95,6 +95,65 @@ def test_vcf_sharded_write_and_dir_read(ray_session, tmp_path):
     assert read_any(out).count() == body.num_rows
 
 
+def test_bgzf_framing(tmp_path):
+    """.vcf.gz output is real BGZF (SAMv1 §4.1): every gzip member carries
+    the BC extra subfield with its compressed size, the stream ends with
+    the standard 28-byte EOF marker, and each block decompresses
+    independently (the property tabix virtual offsets rely on)."""
+    import zlib
+
+    from howard_ray.vcf import BGZFWriter
+
+    p = str(tmp_path / "x.bin")
+    payload = b"line-%d\n" * 1 % 0 + bytes(200_000)  # force multiple blocks
+    with BGZFWriter(open(p, "wb")) as w:
+        w.write(payload)
+    raw = open(p, "rb").read()
+    assert raw.endswith(BGZFWriter.EOF_MARKER)
+    # walk the members via their self-declared BSIZE
+    off, out, blocks = 0, b"", 0
+    while off < len(raw) - len(BGZFWriter.EOF_MARKER):
+        assert raw[off:off + 4] == b"\x1f\x8b\x08\x04"
+        assert raw[off + 12:off + 14] == b"BC"
+        bsize = int.from_bytes(raw[off + 16:off + 18], "little") + 1
+        member = raw[off:off + bsize]
+        body = zlib.decompress(member[18:-8], -15)  # independent inflate
+        assert zlib.crc32(body) == int.from_bytes(member[-8:-4], "little")
+        assert len(body) <= BGZFWriter.MAX_BLOCK
+        out += body
+        off += bsize
+        blocks += 1
+    assert out == payload and blocks >= 3
+    # plain gzip reads the concatenated members transparently
+    import gzip
+    assert gzip.open(p, "rb").read() == payload
+
+
+def test_vcf_region_seek_read(ray_session, tmp_path):
+    """The .cidx.json linear index + BGZF virtual offsets let a region
+    query inflate only from the target chrom's block."""
+    import ray.data
+
+    from howard_ray.vcf import read_vcf_region
+
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_orderkey", "l_linenumber"]).slice(0, 400)
+    body = vfix.gen_variants_batch(t).drop_columns(["vidx"])
+    path = str(tmp_path / "r.vcf.gz")
+    write_vcf(ray.data.from_arrow(body), path, fixture_header())
+    assert os.path.exists(path + ".cidx.json")
+    df = body.to_pandas()
+    for chrom in sorted(df["chrom"].unique()):
+        got = read_vcf_region(path, chrom).to_pandas()
+        exp = (df[df["chrom"] == chrom]
+               .sort_values(["pos", "ref", "alt"]).reset_index(drop=True))
+        got = got.sort_values(["pos", "ref", "alt"]).reset_index(drop=True)
+        assert len(got) == len(exp), chrom
+        assert (got["pos"].to_numpy() == exp["pos"].to_numpy()).all()
+        assert (got["info"] == exp["info"]).all()
+    assert read_vcf_region(path, "chrNOPE").num_rows == 0
+
+
 def test_hdr_sidecar_overrides_inferred_schema(tmp_path):
     # a sidecar with declarations takes precedence (reference
     # variants.py:428-430)
