@@ -94,6 +94,7 @@ def all_queries():
         "external_gzip_compress": external.external_gzip_compress,
         # VCF format surface over the sf-scaled fixture
         "vcf_roundtrip": vcf_ops.vcf_roundtrip,
+        "vcf_region": vcf_ops.vcf_region,
         "explode_infos_hdr": vcf_ops.explode_infos_hdr,
         # genotype calculation family (sf-scaled fixture)
         "genotype_concordance": genotype.genotype_concordance,

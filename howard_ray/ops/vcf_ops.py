@@ -39,7 +39,8 @@ def ensure_vcf(sf_dir: str) -> str:
     """Write the sf-scaled fixture as a gzip VCF (+.hdr) once per sf."""
     os.makedirs(CACHE, exist_ok=True)
     path = os.path.join(CACHE, f"variants_{_sf_name(sf_dir)}.vcf.gz")
-    if not os.path.exists(path):
+    # regenerate pre-BGZF caches that lack the linear-index sidecar
+    if not os.path.exists(path) or not os.path.exists(path + ".cidx.json"):
         ds = variants_ds(sf_dir, columns=_BODY_COLS)
         write_vcf(ds, path, fixture_header(), sort=True)
     return path
@@ -60,6 +61,25 @@ SQL["vcf_roundtrip"] = f"""
 {V_WITH}
 SELECT {", ".join(_BODY_COLS)} FROM v
 ORDER BY chrom, pos, ref, alt
+"""
+
+
+def vcf_region(sf_dir: str):
+    """Indexed region query: seek straight to chr1's BGZF virtual offset
+    via the ``.cidx.json`` linear index and inflate only its blocks — the
+    reference's sorted+tabix-indexed access shape (variants.py:2446-2546)
+    as a point lookup, not a scan."""
+    from ..vcf import read_vcf_region
+
+    path = ensure_vcf(sf_dir)
+    out = read_vcf_region(path, "chr1").to_pandas()
+    return out.sort_values(["pos", "ref", "alt"]).reset_index(drop=True)
+
+
+SQL["vcf_region"] = f"""
+{V_WITH}
+SELECT {", ".join(_BODY_COLS)} FROM v WHERE chrom = 'chr1'
+ORDER BY pos, ref, alt
 """
 
 
