@@ -290,7 +290,8 @@ def _body_lines(batch: pa.Table, samples: list[str]) -> list[str]:
 
 
 def write_vcf(ds: ray.data.Dataset, path: str, header: VCFHeader,
-              sort: bool = True, shard_by_chrom: bool = False) -> dict:
+              sort: bool = True, shard_by_chrom: bool = False,
+              compress_shards: bool = False) -> dict:
     """Dataset -> VCF file (or per-chromosome shard directory), with
     reconstructed header + ``.hdr`` sidecar. ``.gz`` paths gzip-compress.
 
@@ -308,11 +309,22 @@ def write_vcf(ds: ray.data.Dataset, path: str, header: VCFHeader,
 
         def write_shard(group: pa.Table) -> pa.Table:
             chrom = group["chrom"][0].as_py()
-            shard = os.path.join(path, f"{chrom}.vcf")
+            ext = ".vcf.gz" if compress_shards else ".vcf"
+            shard = os.path.join(path, f"{chrom}{ext}")
             text = hdr_text + "\n".join(_body_lines(group, samples)) + "\n"
             tmp = shard + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(text)
+            if compress_shards:
+                with BGZFWriter(open(tmp, "wb")) as w:
+                    w.write(text)
+                # per-shard linear index: the one chrom starts right after
+                # the header text
+                with open(tmp + ".cidx", "w") as jf:
+                    json.dump({chrom: w.virtual_offset(
+                        len(hdr_text.encode()))}, jf)
+                os.replace(tmp + ".cidx", shard + ".cidx.json")
+            else:
+                with open(tmp, "w") as f:
+                    f.write(text)
             os.replace(tmp, shard)
             return pa.table({"chrom": [chrom],
                              "n_rows": pa.array([group.num_rows], pa.int64())})

@@ -93,6 +93,23 @@ def test_vcf_sharded_write_and_dir_read(ray_session, tmp_path):
     # read_any dispatches a .vcf directory too
     from howard_ray.sources import read_any
     assert read_any(out).count() == body.num_rows
+    # BGZF-compressed shards (the scale path a multi-node writer uses):
+    # parallel per-chrom .vcf.gz with per-shard linear indexes
+    out_gz = str(tmp_path / "sharded_gz")
+    info_gz = write_vcf(ray.data.from_arrow(body), out_gz, fixture_header(),
+                        shard_by_chrom=True, compress_shards=True)
+    assert info_gz["n_rows"] == body.num_rows
+    shards = [n for n in os.listdir(out_gz) if n.endswith(".vcf.gz")]
+    assert len(shards) == info_gz["shards"]
+    assert all(os.path.exists(os.path.join(out_gz, n + ".cidx.json"))
+               for n in shards)
+    ds_gz, _ = read_vcf(out_gz)
+    assert ds_gz.count() == body.num_rows
+    from howard_ray.vcf import read_vcf_region
+    chrom = shards[0][:-len(".vcf.gz")]
+    reg = read_vcf_region(os.path.join(out_gz, shards[0]), chrom)
+    exp = body.to_pandas()
+    assert reg.num_rows == (exp["chrom"] == chrom).sum()
 
 
 def test_bgzf_framing(tmp_path):
