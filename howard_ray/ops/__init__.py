@@ -80,6 +80,7 @@ def all_queries():
         "anti_join_unmatched": variants2.anti_join_unmatched,
         "annotate_update": variants2.annotate_update,
         "hgvs_transcript": variants2.hgvs_transcript,
+        "hgvs_context": variants2.hgvs_context,
         "transcripts_to_json": variants2.transcripts_to_json,
         # composite flagship pipeline (howard process analog)
         "process_pipeline": process.process_pipeline,

@@ -45,6 +45,7 @@ VARIANTS_PATH = os.path.join(CACHE, "variants_like_v2.parquet")
 ANN_VARIANTS_PATH = os.path.join(CACHE, "ann_variants_v2.parquet")
 ANN_REGIONS_PATH = os.path.join(CACHE, "ann_regions_v2.parquet")
 TRANSCRIPTS_PATH = os.path.join(CACHE, "transcripts_v2.parquet")
+GENOME_PATH = os.path.join(CACHE, "genome_v1.parquet")
 
 N_VARIANTS = 10_000
 CHROMS = [f"chr{i}" for i in range(1, 23)] + ["chrX"]
@@ -175,6 +176,27 @@ def ensure_fixtures() -> None:
     if not os.path.exists(TRANSCRIPTS_PATH):
         pq.write_table(make_transcripts(), TRANSCRIPTS_PATH + ".tmp")
         os.replace(TRANSCRIPTS_PATH + ".tmp", TRANSCRIPTS_PATH)
+    if not os.path.exists(GENOME_PATH):
+        pq.write_table(make_genome(), GENOME_PATH + ".tmp")
+        os.replace(GENOME_PATH + ".tmp", GENOME_PATH)
+
+
+def make_genome() -> pa.Table:
+    """Deterministic synthetic per-chromosome reference sequence covering
+    every fixture variant position (+margin) — the stand-in for the FASTA
+    the reference's HGVS stage holds per worker (variants.py:7821-8202,
+    Fasta handle at :8128). Both the Ray actor and the DuckDB oracle read
+    this same parquet."""
+    v = pq.read_table(VARIANTS_PATH, columns=["chrom", "pos"]).to_pandas()
+    maxpos = v.groupby("chrom")["pos"].max()
+    chroms, seqs = [], []
+    for i, ch in enumerate(CHROMS):
+        n = int(maxpos.get(ch, 100)) + 10
+        rng = np.random.default_rng(1000 + i)
+        seq = BASES[rng.integers(0, 4, n)].astype("S1").tobytes().decode()
+        chroms.append(ch)
+        seqs.append(seq)
+    return pa.table({"chrom": chroms, "seq": seqs})
 
 
 def _variants_ds(columns: list[str] | None = None) -> ray.data.Dataset:

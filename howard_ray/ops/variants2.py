@@ -454,3 +454,70 @@ QUALIFY row_number() OVER (
                 WHEN t.tx_id LIKE 'NM%' THEN 0 ELSE 1 END, t.tx_id) = 1
 ORDER BY v.chrom, v.pos, v.ref, v.alt
 """.replace("{VPATH}", VARIANTS_PATH).replace("{TXPATH}", _TX_PATH)
+
+
+# ---------------------------------------------------------------------------
+# hgvs_context: stateful sequence-context actor (the reference's FASTA-holding
+# HGVS stage, variants.py:7821-8202 — Fasta handle per worker at :8128)
+# ---------------------------------------------------------------------------
+
+def hgvs_context(sf_dir: str):
+    """Per-variant reference-sequence context: each actor holds the genome
+    (broadcast ONCE via ray.put, materialized to per-chrom uint8 arrays in
+    ``__init__``), and per batch gathers the trinucleotide window around
+    every position with vectorized fancy indexing — the model-scorer shape:
+    heavyweight state per actor, zero state per batch. Emits the REF-vs-
+    genome agreement flag and the pos-1..pos+1 context string."""
+    import pyarrow.parquet as pq
+
+    from .variants import GENOME_PATH, ensure_fixtures
+
+    ensure_fixtures()
+    g = pq.read_table(GENOME_PATH)
+    genome_ref = ray.put({c: s for c, s in zip(g["chrom"].to_pylist(),
+                                               g["seq"].to_pylist())})
+
+    class SeqContext:
+        def __init__(self):
+            self.genome = {c: np.frombuffer(s.encode(), dtype=np.uint8)
+                           for c, s in ray.get(genome_ref).items()}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            chrom = np.asarray(batch["chrom"].to_pylist(), dtype=object)
+            pos = batch["pos"].to_numpy()
+            ref1 = pc.utf8_slice_codeunits(batch["ref"], 0, 1).to_pylist()
+            match = np.zeros(len(pos), dtype=np.int64)
+            ctx = np.empty(len(pos), dtype=object)
+            for ch in np.unique(chrom):
+                m = chrom == ch
+                seq = self.genome[ch]
+                idx = pos[m] - 1                      # 1-based -> 0-based
+                tri = np.stack([seq[idx - 1], seq[idx], seq[idx + 1]],
+                               axis=1).astype(np.uint8)
+                ctx[m] = [t.tobytes().decode() for t in tri]
+                match[m] = (seq[idx] ==
+                            np.frombuffer("".join(
+                                np.asarray(ref1, dtype=object)[m]).encode(),
+                                dtype=np.uint8)).astype(np.int64)
+            return pa.table({"chrom": batch["chrom"], "pos": batch["pos"],
+                             "ref": batch["ref"], "alt": batch["alt"],
+                             "ref_match": pa.array(match),
+                             "context": pa.array(ctx.tolist())})
+
+    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+    out = (ds.map_batches(SeqContext, batch_format="pyarrow",
+                          concurrency=(1, 4))
+           .to_pandas())
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+from .variants import GENOME_PATH as _GENOME_PATH  # noqa: E402
+
+SQL["hgvs_context"] = f"""
+SELECT v.chrom, v.pos, v.ref, v.alt,
+       CAST(substr(g.seq, v.pos, 1) = substr(v.ref, 1, 1) AS BIGINT)
+         AS ref_match,
+       substr(g.seq, v.pos - 1, 3) AS context
+FROM '{VARIANTS_PATH}' v JOIN '{_GENOME_PATH}' g USING (chrom)
+ORDER BY v.chrom, v.pos, v.ref, v.alt
+"""
