@@ -339,8 +339,20 @@ def encode_dataset(
                 wide_type = schema.field("tokens").type
 
         def add_salt(batch: pa.Table) -> pa.Table:
-            n_salt = np.array([salts.get(s, 1) for s in batch["source"].to_pylist()],
-                              dtype=np.uint64)
+            # vectorized salt-count lookup: dictionary-encode source (few
+            # uniques), map only the dictionary through the salts dict, then
+            # gather per row — no per-row Python iteration in the hot path
+            import pyarrow.compute as pc
+            enc = pc.dictionary_encode(
+                batch["source"].combine_chunks()
+                if isinstance(batch["source"], pa.ChunkedArray)
+                else batch["source"])
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            dict_vals = enc.dictionary.to_pylist()
+            per_dict = np.array([salts.get(s, 1) for s in dict_vals],
+                                dtype=np.uint64)
+            n_salt = per_dict[np.asarray(enc.indices)]
             h = stable_hash_u64(batch["doc_id"])
             out = batch.append_column("salt", pa.array((h % n_salt).astype(np.int64)))
             if wide_type is not None:
