@@ -136,7 +136,13 @@ def run_bench() -> dict:
     queries["encode_stream"] = round(t_stream, 3)
 
     # archive profile (zstd-19 per block): the compute-dominant configuration
+    # best-of-reps like cluster/stream: single samples on this shared host
+    # swing 2x with neighbor noise and would read as phantom regressions
     t_arch, store_a = timed_encode("cluster", "archive", profile="archive")
+    if not lean:
+        for _ in range(reps - 1):
+            t2, store_a = timed_encode("cluster", "archive", profile="archive")
+            t_arch = min(t_arch, t2)
     queries["encode_archive"] = round(t_arch, 3)
     from howard_ray.pipeline import store_total_bytes as _stb
     extras["archive_encoded_bytes"] = _stb(store_a)
@@ -144,6 +150,9 @@ def run_bench() -> dict:
     # compressed-exchange cluster mode: pre-encoded mini-blocks through the
     # shuffle (~3.6x less exchange volume — the multi-node design point)
     t_ex, _ = timed_encode("cluster-exchange", "exchange")
+    for _ in range(reps - 1):
+        t2, _ = timed_encode("cluster-exchange", "exchange")
+        t_ex = min(t_ex, t2)
     queries["encode_exchange"] = round(t_ex, 3)
 
     if os.environ.get("HOWARD_BENCH_SCALING"):
@@ -169,10 +178,14 @@ def run_bench() -> dict:
             _probe, batch_size=1, batch_format="pyarrow").count()
         queries["compute_probe"] = round(time.perf_counter() - t0, 3)
 
-    # decode pass (full scan of the encoded store)
-    t0 = time.perf_counter()
-    n_dec = decode_store(store).count()
-    queries["decode"] = round(time.perf_counter() - t0, 3)
+    # decode pass (full scan of the encoded store), best-of-reps
+    t_dec = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n_dec = decode_store(store).count()
+        dt = time.perf_counter() - t0
+        t_dec = dt if t_dec is None else min(t_dec, dt)
+    queries["decode"] = round(t_dec, 3)
     assert n_dec > 0
 
     # parquet+zstd baseline (single-threaded pyarrow per shard, the

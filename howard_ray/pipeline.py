@@ -412,8 +412,13 @@ def encode_dataset(
                        "tokens": "for_bytes", "n_tok": "for_bytes"}
 
         def pack_minis(batch: pa.Table) -> pa.Table:
+            from .codecs import zstd as zstd_mod
             from .codecs.bitpack import warmup
             warmup()
+            # reset the worker-local zstd level explicitly: workers are
+            # long-lived and a prior archive-profile run leaves LEVEL=19
+            # behind, which would silently zstd-19 every mini-block here
+            zstd_mod.set_level(ENCODE_PROFILES["standard"]["zstd_level"])
             src_arr = np.asarray(batch["source"].to_pandas(), dtype=object)
             n_salt = np.array([salts.get(s, 1) for s in src_arr], dtype=np.uint64)
             h = stable_hash_u64(batch["doc_id"])
