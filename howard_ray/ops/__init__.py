@@ -5,7 +5,7 @@
 
 from . import (dedup, engine_queries, external, genotype, multimodal, nomen,
                process, relational, rules, rules2, similarity, sql_surface,
-               text, variants, variants2, vcf_ops, windows)
+               text, variants, variants2, vcf_ops, vfix, windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
@@ -110,10 +110,10 @@ def all_queries():
     }
     # SQL query surface: same SQL text on both engines
     q.update(sql_surface.QUERIES)
-    # oracle SQL for the F2 family and the media corpus reads fixture
-    # parquet by absolute path — materialize before the driver runs either
-    # side
-    variants.ensure_fixtures()
+    # sf-independent fixture twins the oracle SQL reads by absolute path —
+    # materialize before the driver runs either side (the sf-scaled variants
+    # themselves are closed-form CTEs, nothing to materialize)
+    vfix.ensure_genome()
     multimodal.ensure_media_fixture()
     # plugin surface (reference plugins/, SURVEY.md §2.14)
     from ..plugins import discover_plugins

@@ -1,8 +1,8 @@
-"""HOWARD-semantics operator family over the ``variants_like`` fixture
-(FIXTURES.md F2): packed-INFO explode / re-pack, exact annotation join,
-region (interval) join with string_agg collapse, VARTYPE classifier,
-variant-id derivation, per-sample genotype calculations, snpEff-ANN-style
-explode, and append/update annotation modes.
+"""HOWARD-semantics operator family over the sf-scaled ``vfix`` variants
+fixture (FIXTURES.md F2v2): packed-INFO explode / re-pack, exact annotation
+join, region (interval) join with string_agg collapse, VARTYPE classifier,
+variant-id derivation, per-sample genotype calculations, and snpEff-ANN-style
+explode.
 
 These are the reference's core operators re-expressed Ray-Data-first:
 - explode_infos      ← howard/objects/variants.py:1771-1986 (regex extract
@@ -10,7 +10,8 @@ These are the reference's core operators re-expressed Ray-Data-first:
                        vectorized map_batches pass)
 - pack INFO          ← variants.py:8465-8481 (UPDATE SET INFO=concat(...))
 - annotation_parquet ← variants.py:5845-6428 (per-chromosome UPDATE-join →
-                       broadcast lookup join inside map_batches)
+                       distributed hash join; the store side scales with the
+                       variants, so no driver-side materialization)
 - region join        ← variants.py:6326-6348 + string_agg :6236-6238
                        (interval containment + many-to-one collapse →
                        per-chromosome sorted intervals + np.searchsorted)
@@ -21,187 +22,27 @@ These are the reference's core operators re-expressed Ray-Data-first:
 - genotype stats     ← commons.py:1298-1374
 - snpeff ANN explode ← commons.py:885-968
 
-The fixture is deterministic (seed=42) and written once under /tmp; oracle
-SQL reads the same parquet by absolute path.
+Every op takes ``sf_dir`` and generates its input INSIDE map_batches from
+the lineitem key table (vfix.variants_ds) — the fixture size tracks the
+scale factor (sf0.001 → ~12k rows, sf0.1 → ~1.2M) and the oracle side is
+the same closed-form derivation as a DuckDB CTE (vfix.V_WITH), so the
+correctness gate stresses the operators at whatever sf it runs.
 """
 
 from __future__ import annotations
-
-import os
-import tempfile
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from .vfix import (REGIONS_SQL, V_WITH, ann_cols, gen_regions, variants_ds)
+
 SQL: dict[str, str] = {}
 
-CACHE = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
-VARIANTS_PATH = os.path.join(CACHE, "variants_like_v2.parquet")
-ANN_VARIANTS_PATH = os.path.join(CACHE, "ann_variants_v2.parquet")
-ANN_REGIONS_PATH = os.path.join(CACHE, "ann_regions_v2.parquet")
-TRANSCRIPTS_PATH = os.path.join(CACHE, "transcripts_v2.parquet")
-GENOME_PATH = os.path.join(CACHE, "genome_v1.parquet")
-
-N_VARIANTS = 10_000
-CHROMS = [f"chr{i}" for i in range(1, 23)] + ["chrX"]
-# chr1-heavy skew like real chromosome sizes (reference skew, SURVEY.md §4)
-CHROM_W = np.linspace(2.0, 0.3, len(CHROMS))
-BASES = np.array(["A", "C", "G", "T"])
-
-
-def make_variants_like(n: int = N_VARIANTS, seed: int = 42) -> pa.Table:
-    rng = np.random.default_rng(seed)
-    w = CHROM_W / CHROM_W.sum()
-    ci = np.sort(rng.choice(len(CHROMS), size=n, p=w))
-    pos = np.zeros(n, dtype=np.int64)
-    for c in range(len(CHROMS)):  # sorted increasing positions within chrom
-        m = ci == c
-        pos[m] = np.cumsum(rng.integers(50, 5000, m.sum()))
-    ref = BASES[rng.integers(0, 4, n)]
-    alt = BASES[rng.integers(0, 4, n)]
-    same = ref == alt
-    alt[same] = BASES[(np.searchsorted(BASES, alt[same]) + 1) % 4]
-    # 10% multi-char REF (deletion-like), 10% multi-char ALT (insertion-like),
-    # 5% both (MNV)
-    r = rng.random(n)
-    long_ref = r < 0.10
-    long_alt = (r >= 0.10) & (r < 0.20)
-    mnv = (r >= 0.20) & (r < 0.25)
-    ref = np.where(long_ref | mnv, np.char.add(ref.astype("U4"),
-                                               BASES[rng.integers(0, 4, n)]), ref)
-    alt = np.where(long_alt | mnv, np.char.add(alt.astype("U4"),
-                                               BASES[rng.integers(0, 4, n)]), alt)
-    vid = np.array([f"rs{i}" if r < 0.7 else "."
-                    for i, r in enumerate(rng.random(n))], dtype=object)
-    qual = np.round(rng.uniform(0, 4000, n), 2)
-    filt = np.where(rng.random(n) < 0.8, "PASS", "LowQual")
-    ns = rng.integers(1, 5, n)
-    dp = rng.integers(1, 300, n)
-    aa = BASES[rng.integers(0, 4, n)]
-    clnsig = rng.choice(["pathogenic", "non-pathogenic", ""], n, p=[0.2, 0.5, 0.3])
-    info = np.array([
-        f"NS={ns[i]};DP={dp[i]};AA={aa[i]}" + (f";CLNSIG={clnsig[i]}" if clnsig[i] else "")
-        for i in range(n)], dtype=object)
-    gts = np.array(["0/0", "0/1", "1/1", "./."])
-    samples = {}
-    for s in range(1, 5):
-        g = gts[rng.choice(4, n, p=[0.35, 0.3, 0.2, 0.15])]
-        sdp = rng.integers(0, 99, n)
-        ad0 = rng.integers(0, 50, n)
-        ad1 = rng.integers(0, 50, n)
-        samples[f"sample{s}"] = np.array(
-            [f"{g[i]}:{sdp[i]}:{ad0[i]},{ad1[i]}" for i in range(n)], dtype=object)
-    cols = {
-        "chrom": pa.array(np.array(CHROMS, dtype=object)[ci]),
-        "pos": pa.array(pos),
-        "vid": pa.array(vid),
-        "ref": pa.array(ref.astype(object)),
-        "alt": pa.array(alt.astype(object)),
-        "qual": pa.array(qual),
-        "filter": pa.array(filt.astype(object)),
-        "info": pa.array(info),
-        "format": pa.array(np.full(n, "GT:DP:AD", dtype=object)),
-    }
-    cols.update({k: pa.array(v) for k, v in samples.items()})
-    return pa.table(cols)
-
-
-def make_ann_variants(variants: pa.Table, seed: int = 43) -> pa.Table:
-    """Exact-join store covering ~60% of fixture variants + extra misses."""
-    rng = np.random.default_rng(seed)
-    n = variants.num_rows
-    take = np.sort(rng.choice(n, size=int(n * 0.6), replace=False))
-    sub = variants.select(["chrom", "pos", "ref", "alt"]).take(pa.array(take))
-    nci60 = np.round(rng.random(len(take)), 3)
-    return pa.table({
-        "chrom": sub["chrom"], "pos": sub["pos"],
-        "ref": sub["ref"], "alt": sub["alt"],
-        "nci60": pa.array(nci60),
-    })
-
-
-def make_ann_regions(seed: int = 44) -> pa.Table:
-    """Overlapping interval store (genes) per chromosome."""
-    rng = np.random.default_rng(seed)
-    rows = []
-    for c in CHROMS:
-        n_g = int(rng.integers(40, 120))
-        starts = np.sort(rng.integers(0, 3_000_000, n_g))
-        lengths = rng.integers(5_000, 200_000, n_g)
-        for gi, (s, ln) in enumerate(zip(starts, lengths)):
-            rows.append((c, int(s), int(s + ln), f"GENE_{c}_{gi}"))
-    return pa.table({
-        "chrom": pa.array([r[0] for r in rows]),
-        "start": pa.array([r[1] for r in rows], type=pa.int64()),
-        "end": pa.array([r[2] for r in rows], type=pa.int64()),
-        "gene": pa.array([r[3] for r in rows]),
-    })
-
-
-def make_transcripts() -> pa.Table:
-    """RefSeq-shaped transcript interval store derived deterministically
-    from the gene regions fixture: one transcript per gene, NM_ (coding) for
-    2 of 3 genes, NR_ (non-coding) otherwise, alternating strand — the index
-    side of the reference's transcript lookup (variants.py:7821-8202)."""
-    reg = pq.read_table(ANN_REGIONS_PATH).to_pandas()
-    idx = np.arange(len(reg))
-    prefix = np.where(idx % 3 == 0, "NR_", "NM_")
-    return pa.table({
-        "chrom": pa.array(reg["chrom"]),
-        "tx_start": pa.array(reg["start"], type=pa.int64()),
-        "tx_end": pa.array(reg["end"], type=pa.int64()),
-        "tx_id": pa.array([f"{p}{i:06d}" for p, i in zip(prefix, idx)]),
-        "strand": pa.array(np.where(idx % 2 == 0, "+", "-")),
-    })
-
-
-def ensure_fixtures() -> None:
-    os.makedirs(CACHE, exist_ok=True)
-    if not os.path.exists(VARIANTS_PATH):
-        v = make_variants_like()
-        pq.write_table(v, VARIANTS_PATH + ".tmp")
-        os.replace(VARIANTS_PATH + ".tmp", VARIANTS_PATH)
-    if not os.path.exists(ANN_VARIANTS_PATH):
-        v = pq.read_table(VARIANTS_PATH)
-        pq.write_table(make_ann_variants(v), ANN_VARIANTS_PATH + ".tmp")
-        os.replace(ANN_VARIANTS_PATH + ".tmp", ANN_VARIANTS_PATH)
-    if not os.path.exists(ANN_REGIONS_PATH):
-        pq.write_table(make_ann_regions(), ANN_REGIONS_PATH + ".tmp")
-        os.replace(ANN_REGIONS_PATH + ".tmp", ANN_REGIONS_PATH)
-    if not os.path.exists(TRANSCRIPTS_PATH):
-        pq.write_table(make_transcripts(), TRANSCRIPTS_PATH + ".tmp")
-        os.replace(TRANSCRIPTS_PATH + ".tmp", TRANSCRIPTS_PATH)
-    if not os.path.exists(GENOME_PATH):
-        pq.write_table(make_genome(), GENOME_PATH + ".tmp")
-        os.replace(GENOME_PATH + ".tmp", GENOME_PATH)
-
-
-def make_genome() -> pa.Table:
-    """Deterministic synthetic per-chromosome reference sequence covering
-    every fixture variant position (+margin) — the stand-in for the FASTA
-    the reference's HGVS stage holds per worker (variants.py:7821-8202,
-    Fasta handle at :8128). Both the Ray actor and the DuckDB oracle read
-    this same parquet."""
-    v = pq.read_table(VARIANTS_PATH, columns=["chrom", "pos"]).to_pandas()
-    maxpos = v.groupby("chrom")["pos"].max()
-    chroms, seqs = [], []
-    for i, ch in enumerate(CHROMS):
-        n = int(maxpos.get(ch, 100)) + 10
-        rng = np.random.default_rng(1000 + i)
-        seq = BASES[rng.integers(0, 4, n)].astype("S1").tobytes().decode()
-        chroms.append(ch)
-        seqs.append(seq)
-    return pa.table({"chrom": chroms, "seq": seqs})
-
-
-def _variants_ds(columns: list[str] | None = None) -> ray.data.Dataset:
-    ensure_fixtures()
-    return ray.data.read_parquet(VARIANTS_PATH, columns=columns)
+SAMPLE_COLS = ["sample1", "sample2", "sample3", "sample4"]
 
 
 # ---------------------------------------------------------------------------
@@ -213,7 +54,10 @@ def explode_batch(batch: pa.Table, keys=(("NS", pa.int64()), ("DP", pa.int64()),
                                          ("CLNSIG", pa.string()))) -> pa.Table:
     """Vectorized regex extract of each INFO key — the reference's
     `REGEXP_EXTRACT(concat(';',INFO), ';key=([^;]*)')` per key
-    (variants.py:1894-1929), in one pyarrow pass with no table mutation."""
+    (variants.py:1894-1929), in one pyarrow pass with no table mutation.
+    The default key set matches the fixture header; the header-driven
+    variant (key set + types from a real VCF header) is explode_infos_hdr
+    in ops/vcf_ops.py."""
     padded = pc.binary_join_element_wise(pa.scalar(";"), batch["info"], "")
     out = dict(zip(batch.column_names, batch.columns))
     for key, typ in keys:
@@ -224,7 +68,7 @@ def explode_batch(batch: pa.Table, keys=(("NS", pa.int64()), ("DP", pa.int64()),
 
 
 def explode_infos(sf_dir: str):
-    ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt", "info"])
     out = (ds.map_batches(explode_batch, batch_format="pyarrow")
            .to_pandas())
     out = out[["chrom", "pos", "ref", "alt", "info_NS", "info_DP",
@@ -232,13 +76,13 @@ def explode_infos(sf_dir: str):
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
-SQL["explode_infos"] = f"""
+SQL["explode_infos"] = f"""{V_WITH}
 SELECT chrom, pos, ref, alt,
        CAST(regexp_extract(';' || info, ';NS=([^;]*)', 1) AS BIGINT) AS info_NS,
        CAST(regexp_extract(';' || info, ';DP=([^;]*)', 1) AS BIGINT) AS info_DP,
        regexp_extract(';' || info, ';AA=([^;]*)', 1)  AS info_AA,
        nullif(regexp_extract(';' || info, ';CLNSIG=([^;]*)', 1), '') AS info_CLNSIG
-FROM '{VARIANTS_PATH}'
+FROM v
 ORDER BY chrom, pos, ref, alt
 """
 
@@ -247,7 +91,7 @@ def pack_info(sf_dir: str):
     """Inverse operator: typed column -> INFO append with guard-empty
     (reference UPDATE SET INFO = concat(INFO,';','k=',col),
     variants.py:8465-8481); here VARTYPE is computed then packed."""
-    ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt", "info"])
 
     def f(batch: pa.Table) -> pa.Table:
         vt = _vartype_arr(batch)
@@ -261,14 +105,14 @@ def pack_info(sf_dir: str):
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
-SQL["pack_info"] = f"""
+SQL["pack_info"] = f"""{V_WITH}
 SELECT chrom, pos, ref, alt,
        info || ';VARTYPE=' ||
        CASE WHEN length(ref) = 1 AND length(alt) = 1 THEN 'SNV'
             WHEN length(ref) > length(alt) THEN 'INDEL'
             WHEN length(alt) > length(ref) THEN 'INDEL'
             ELSE 'MNV' END AS info
-FROM '{VARIANTS_PATH}'
+FROM v
 ORDER BY chrom, pos, ref, alt
 """
 
@@ -291,7 +135,7 @@ def vartype_counts(sf_dir: str):
     config/calculations_config.json:13-33 and type counts variants.py:733)."""
     from ray.data.aggregate import Count
 
-    ds = _variants_ds(["ref", "alt"])
+    ds = variants_ds(sf_dir, ["ref", "alt"])
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table({"vartype": _vartype_arr(batch)})
@@ -302,19 +146,19 @@ def vartype_counts(sf_dir: str):
     return out.sort_values("vartype").reset_index(drop=True)
 
 
-SQL["vartype_counts"] = f"""
+SQL["vartype_counts"] = f"""{V_WITH}
 SELECT CASE WHEN length(ref) = 1 AND length(alt) = 1 THEN 'SNV'
             WHEN length(ref) != length(alt) THEN 'INDEL'
             ELSE 'MNV' END AS vartype,
        count(*) AS n
-FROM '{VARIANTS_PATH}' GROUP BY 1 ORDER BY vartype
+FROM v GROUP BY 1 ORDER BY vartype
 """
 
 
 def variant_ids(sf_dir: str):
     """Row-id derivation chrom_pos_ref_alt (reference variant_chr_pos_alt_ref,
     calculations_config.json:2-12, set_variant_id variants.py:2758-2816)."""
-    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
 
     def f(batch: pa.Table) -> pa.Table:
         vid = pc.binary_join_element_wise(
@@ -326,9 +170,9 @@ def variant_ids(sf_dir: str):
              .sort_values("variant_id").reset_index(drop=True)
 
 
-SQL["variant_ids"] = f"""
+SQL["variant_ids"] = f"""{V_WITH}
 SELECT chrom || '_' || CAST(pos AS VARCHAR) || '_' || ref || '_' || alt AS variant_id
-FROM '{VARIANTS_PATH}' ORDER BY variant_id
+FROM v ORDER BY variant_id
 """
 
 
@@ -336,60 +180,76 @@ FROM '{VARIANTS_PATH}' ORDER BY variant_id
 # annotation joins (variants.py:5845-6428)
 # ---------------------------------------------------------------------------
 
+def _val_str(nci_k: np.ndarray) -> np.ndarray:
+    """Pre-formatted '0.###' value strings from the integer nci60 mix
+    (k/1000 with k in 0..999), without float formatting in the hot path."""
+    return np.char.add("0.", np.char.zfill(nci_k.astype("U3"), 3))
+
+
 def annotate_exact(sf_dir: str):
     """The reference's flagship Parquet annotation join:
     variants ⋈ store ON (chrom,pos,ref,alt), matched fields appended to INFO
-    (equality clause variants.py:6355-6361, UPDATE :6364-6387). The store is
-    broadcast once (ray.put) and looked up per batch in an actor —
-    no shuffle; per-chromosome sharding is replaced by block parallelism."""
-    ensure_fixtures()
-    ann = pq.read_table(ANN_VARIANTS_PATH).to_pandas()
-    key = (ann["chrom"] + "_" + ann["pos"].astype(str) + "_"
-           + ann["ref"] + "_" + ann["alt"])
-    # broadcast pre-formatted value strings: formatting happens once at
-    # store build, not per batch
-    lookup_ref = ray.put((key.tolist(),
-                          [f"{x:.3f}" for x in ann["nci60"]]))
+    (equality clause variants.py:6355-6361, UPDATE :6364-6387). The store
+    side scales with the variants (it is the cover<6 closed-form subset), so
+    this is the both-sides-large case: a distributed hash join on the
+    variant key — no driver-side store materialization, no broadcast of a
+    table that grows with the data. The small-side broadcast shape lives in
+    annotate_regions / hgvs_transcript."""
+    def key_side(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            batch["chrom"], pc.cast(batch["pos"], pa.string()),
+            batch["ref"], batch["alt"], "_")
+        return pa.table({"k": k, "chrom": batch["chrom"], "pos": batch["pos"],
+                         "ref": batch["ref"], "alt": batch["alt"],
+                         "info": batch["info"]})
 
-    class Annotator:
-        def __init__(self):
-            keys, vals = ray.get(lookup_ref)
-            self.keys = pa.array(keys)
-            self.vals = pa.array(vals)
+    def store_side(batch: pa.Table) -> pa.Table:
+        vidx = batch["vidx"].to_numpy()
+        cover, nci = ann_cols(vidx)
+        m = cover < 6
+        k = pc.binary_join_element_wise(
+            batch["chrom"], pc.cast(batch["pos"], pa.string()),
+            batch["ref"], batch["alt"], "_")
+        nci_k = np.round(nci * 1000).astype(np.int64)
+        return pa.table({"k": k.filter(pa.array(m)),
+                         "val": pa.array(_val_str(nci_k[m]))})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            key = pc.binary_join_element_wise(
-                batch["chrom"], pc.cast(batch["pos"], pa.string()),
-                batch["ref"], batch["alt"], "_")
-            val = pc.take(self.vals, pc.index_in(key, value_set=self.keys))
-            hit = pc.is_valid(val)
-            info = pc.if_else(
-                hit,
-                pc.binary_join_element_wise(
-                    batch["info"], ";nci60=", pc.fill_null(val, ""), ""),
-                batch["info"])
-            return pa.table({"chrom": batch["chrom"], "pos": batch["pos"],
-                             "ref": batch["ref"], "alt": batch["alt"],
-                             "info": info,
-                             "annotated": pc.cast(hit, pa.int64())})
+    left = (variants_ds(sf_dir, ["chrom", "pos", "ref", "alt", "info"])
+            .map_batches(key_side, batch_format="pyarrow"))
+    store = (variants_ds(sf_dir, ["vidx", "chrom", "pos", "ref", "alt"])
+             .map_batches(store_side, batch_format="pyarrow"))
+    joined = left.join(store, join_type="left_outer", num_partitions=16,
+                       on=("k",))
 
-    ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
-    out = (ds.map_batches(Annotator, batch_format="pyarrow",
-                          concurrency=(1, 4))
-           .to_pandas())
-    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+    def finish(batch: pa.Table) -> pa.Table:
+        val = batch["val"]
+        hit = pc.is_valid(val)
+        info = pc.if_else(
+            hit,
+            pc.binary_join_element_wise(
+                batch["info"], ";nci60=", pc.fill_null(val, ""), ""),
+            batch["info"])
+        return pa.table({"chrom": batch["chrom"], "pos": batch["pos"],
+                         "ref": batch["ref"], "alt": batch["alt"],
+                         "info": info,
+                         "annotated": pc.cast(hit, pa.int64())})
+
+    out = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["chrom", "pos", "ref", "alt", "info"])
+               .reset_index(drop=True))
 
 
-SQL["annotate_exact"] = f"""
+SQL["annotate_exact"] = f"""{V_WITH},
+a AS (SELECT chrom, pos, ref, alt, nci60 FROM v WHERE cover < 6)
 SELECT v.chrom, v.pos, v.ref, v.alt,
        CASE WHEN a.nci60 IS NOT NULL
             THEN v.info || ';nci60=' || format('{{:.3f}}', a.nci60)
             ELSE v.info END AS info,
        CASE WHEN a.nci60 IS NOT NULL THEN 1 ELSE 0 END AS annotated
-FROM '{VARIANTS_PATH}' v
-LEFT JOIN '{ANN_VARIANTS_PATH}' a
+FROM v
+LEFT JOIN a
   ON v.chrom = a.chrom AND v.pos = a.pos AND v.ref = a.ref AND v.alt = a.alt
-ORDER BY v.chrom, v.pos, v.ref, v.alt
+ORDER BY v.chrom, v.pos, v.ref, v.alt, info
 """
 
 
@@ -397,11 +257,12 @@ def annotate_regions(sf_dir: str):
     """Region (interval) join + string_agg collapse: for each variant, all
     genes with start < pos + len(ref) AND end >= pos, comma-joined
     (reference containment clause variants.py:6326-6348; many-to-one
-    string_agg :6236-6238). Implementation: per-chromosome sorted interval
-    lists broadcast once; per batch, candidate windows found with
-    np.searchsorted on (sorted starts / max-end prefix) — no shuffle."""
-    ensure_fixtures()
-    reg = pq.read_table(ANN_REGIONS_PATH).to_pandas()
+    string_agg :6236-6238). The gene store is the reference's model of an
+    external annotation DB — small and sf-independent — so it is broadcast
+    once (ray.put) as per-chromosome sorted interval arrays; per batch,
+    candidate windows found with np.searchsorted on (sorted starts /
+    max-end prefix) — no shuffle."""
+    reg = gen_regions()
     by_chrom = {}
     for c, g in reg.groupby("chrom"):
         g = g.sort_values(["start", "end", "gene"]).reset_index(drop=True)
@@ -452,29 +313,31 @@ def annotate_regions(sf_dir: str):
                                  "ref": batch["ref"], "alt": batch["alt"],
                                  "genes": genes_out.astype(str)})
 
-    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
     out = (ds.map_batches(RegionJoin, batch_format="pandas", concurrency=(1, 4))
            .to_pandas())
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
-SQL["annotate_regions"] = f"""
-SELECT v.chrom, v.pos, v.ref, v.alt,
+SQL["annotate_regions"] = f"""{V_WITH},
+-- vidx is not row-unique (the lineitem key table carries duplicate
+-- (l_orderkey,l_linenumber) pairs), so grouping uses a physical row id:
+-- the Ray side emits one output row per input row
+v2 AS (SELECT *, row_number() OVER () AS rid FROM v),
+r AS ({REGIONS_SQL})
+SELECT v2.chrom, v2.pos, v2.ref, v2.alt,
        COALESCE(string_agg(r.gene, ',' ORDER BY r.start, r."end", r.gene), '') AS genes
-FROM '{VARIANTS_PATH}' v
-LEFT JOIN '{ANN_REGIONS_PATH}' r
-  ON v.chrom = r.chrom AND r.start <= v.pos + length(v.ref) - 1 AND r."end" >= v.pos
-GROUP BY v.chrom, v.pos, v.ref, v.alt
-ORDER BY v.chrom, v.pos, v.ref, v.alt
+FROM v2
+LEFT JOIN r
+  ON v2.chrom = r.chrom AND r.start <= v2.pos + length(v2.ref) - 1 AND r."end" >= v2.pos
+GROUP BY v2.chrom, v2.pos, v2.ref, v2.alt, v2.rid
+ORDER BY v2.chrom, v2.pos, v2.ref, v2.alt
 """
 
 
 # ---------------------------------------------------------------------------
 # per-sample genotype calculations (commons.py:1009-1374)
 # ---------------------------------------------------------------------------
-
-SAMPLE_COLS = ["sample1", "sample2", "sample3", "sample4"]
-
 
 def genotype_calcs(sf_dir: str):
     """FINDBYPIPELINE + BARCODE + DP stats in one vectorized pass.
@@ -484,7 +347,7 @@ def genotype_calcs(sf_dir: str):
     - DP stats: min/max/mean of per-sample DP (commons.py:1298-1374)
     The reference pulls rows to pandas and applies a scalar fn per row
     (variants.py:9152-9201); here string ops are pandas-vectorized."""
-    ds = _variants_ds(["chrom", "pos", "ref", "alt"] + SAMPLE_COLS)
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"] + SAMPLE_COLS)
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         gts = {s: batch[s].str.split(":", n=1).str[0] for s in SAMPLE_COLS}
@@ -520,7 +383,7 @@ def _gt_digit_sql(col: str) -> str:
             f"ELSE '2' END")
 
 
-SQL["genotype_calcs"] = f"""
+SQL["genotype_calcs"] = f"""{V_WITH}
 SELECT chrom, pos, ref, alt,
        ({" + ".join(f"CASE WHEN string_split({s}, ':')[1] != './.' THEN 1 ELSE 0 END"
                     for s in SAMPLE_COLS)}) AS findbypipeline,
@@ -528,7 +391,7 @@ SELECT chrom, pos, ref, alt,
        least({", ".join(f"CAST(string_split({s}, ':')[2] AS BIGINT)" for s in SAMPLE_COLS)}) AS dp_min,
        greatest({", ".join(f"CAST(string_split({s}, ':')[2] AS BIGINT)" for s in SAMPLE_COLS)}) AS dp_max,
        round(({" + ".join(f"CAST(string_split({s}, ':')[2] AS DOUBLE)" for s in SAMPLE_COLS)}) / 4, 4) AS dp_mean
-FROM '{VARIANTS_PATH}'
+FROM v
 ORDER BY chrom, pos, ref, alt
 """
 
@@ -542,7 +405,7 @@ def ann_explode(sf_dir: str):
     annotation (the reference's snpEff ANN explode / transcript view,
     commons.py:885-968, variants.py:10859-11201): flat_map via per-batch
     list-split + list_flatten (Ray-native explode)."""
-    ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt", "info"])
 
     def f(batch: pa.Table) -> pa.Table:
         # synthesize the ANN field deterministically from existing columns:
@@ -568,11 +431,11 @@ def ann_explode(sf_dir: str):
                .reset_index(drop=True))
 
 
-SQL["ann_explode"] = f"""
-WITH exploded AS (
+SQL["ann_explode"] = f"""{V_WITH},
+exploded AS (
   SELECT chrom, pos, ref, alt,
          unnest(string_split(ref || '|missense,' || alt || '|synonymous', ',')) AS ann
-  FROM '{VARIANTS_PATH}')
+  FROM v)
 SELECT chrom, pos, ref, alt,
        string_split(ann, '|')[1] AS allele,
        string_split(ann, '|')[2] AS effect
@@ -589,7 +452,7 @@ def snpeff_hgvs(sf_dir: str):
     the variant fields (snpEff itself is an external tool), then REALLY
     parsed with Arrow list kernels — split entries, split fields, gather,
     join back through a ListArray — no Python loop."""
-    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
 
     def f(batch: pa.Table) -> pa.Table:
         pos_s = pc.cast(batch["pos"], pa.string())
@@ -621,17 +484,17 @@ def snpeff_hgvs(sf_dir: str):
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
-SQL["snpeff_hgvs"] = f"""
-WITH a AS (
+SQL["snpeff_hgvs"] = f"""{V_WITH},
+a AS (
   SELECT chrom, pos, ref, alt,
          alt || '|missense_variant|MODERATE|GENE_A|NM_0001|c.'
              || CAST(pos AS VARCHAR) || ref || '>' || alt || ','
          || alt || '|synonymous_variant|LOW|GENE_B|NR_0002|n.'
              || CAST(pos AS VARCHAR) || ref || '>' || alt AS ann
-  FROM '{{VP}}')
+  FROM v)
 SELECT chrom, pos, ref, alt,
        array_to_string(list_transform(string_split(ann, ','),
          e -> string_split(e, '|')[4] || ':' || string_split(e, '|')[6]),
          ',') AS snpeff_hgvs
 FROM a ORDER BY chrom, pos, ref, alt
-""".replace("{VP}", VARIANTS_PATH)
+"""

@@ -17,7 +17,13 @@
                         (variants.py:11475-11838), JSON list per variant
 - rank_within_chrom   ← per-partition ordered rank (sorted export analog,
                         commons.py:2386-2398)
-- anti_join_demo      ← semi/anti join via broadcast key set (guide pattern)
+- anti_join_unmatched ← distributed anti join (variants with no store hit)
+- hgvs_transcript     ← broadcast transcript-interval index lookup
+- hgvs_context        ← stateful sequence-context actor (genome broadcast)
+
+All over the sf-scaled vfix fixture: Ray side generates inside map_batches
+from the lineitem key table; oracle side is the same closed-form CTE
+(vfix.V_WITH / TX_SQL), so the gate stresses these at any sf.
 """
 
 from __future__ import annotations
@@ -28,8 +34,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from .variants import (ANN_VARIANTS_PATH, VARIANTS_PATH, _variants_ds,
-                       ensure_fixtures)
+from .vfix import (CHROMS, GENOME_PATH, TX_SQL, V_WITH, ann_cols,
+                   ensure_genome, gen_genome_chrom, gen_transcripts,
+                   variants_ds)
 
 SQL: dict[str, str] = {}
 
@@ -39,8 +46,8 @@ def trio_classify(sf_dir: str):
     (father=sample1, mother=sample2, child=sample3): '001' → denovo,
     parent-hom patterns → recessive, else dominant/unknown — the reference's
     trio() scalar (commons.py:1190-1222) vectorized over the barcode."""
-    ds = _variants_ds(["chrom", "pos", "ref", "alt",
-                       "sample1", "sample2", "sample3"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt",
+                              "sample1", "sample2", "sample3"])
 
     def f(batch: pa.Table) -> pa.Table:
         def digit(col):
@@ -73,11 +80,11 @@ def _gt_digit(col: str) -> str:
             f"ELSE '2' END")
 
 
-SQL["trio_classify"] = f"""
-WITH bc AS (
+SQL["trio_classify"] = f"""{V_WITH},
+bc AS (
   SELECT chrom, pos, ref, alt,
          ({_gt_digit('sample1')} || {_gt_digit('sample2')} || {_gt_digit('sample3')}) AS barcode
-  FROM '{VARIANTS_PATH}')
+  FROM v)
 SELECT chrom, pos, ref, alt, barcode,
        CASE WHEN substr(barcode, 3, 1) = '0' THEN 'unknown'
             WHEN substr(barcode, 1, 2) = '00' THEN 'denovo'
@@ -92,7 +99,7 @@ def rename_info_fields(sf_dir: str):
     """Batched field renames inside the packed INFO string (reference:
     125 regexes per UPDATE pass, variants.py:11839-11950). Renames
     DP→DEPTH and AA→ANCESTRAL in one vectorized pass."""
-    ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt", "info"])
 
     def f(batch: pa.Table) -> pa.Table:
         info = pc.binary_join_element_wise(";", batch["info"], "")
@@ -107,11 +114,11 @@ def rename_info_fields(sf_dir: str):
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
-SQL["rename_info_fields"] = f"""
+SQL["rename_info_fields"] = f"""{V_WITH}
 SELECT chrom, pos, ref, alt,
        substr(replace(replace(';' || info, ';DP=', ';DEPTH='),
                       ';AA=', ';ANCESTRAL='), 2) AS info
-FROM '{VARIANTS_PATH}' ORDER BY chrom, pos, ref, alt
+FROM v ORDER BY chrom, pos, ref, alt
 """
 
 
@@ -120,7 +127,7 @@ def hgvs_name(sf_dir: str):
     longer-ref → deletion g.POS_ENDdel, longer-alt → insertion
     g.POS_POS+1ins<suffix> (the deterministic naming core of the
     reference's annotation_hgvs stateful stage, variants.py:7821-8202)."""
-    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
 
     def f(batch: pa.Table) -> pa.Table:
         pos = batch["pos"]
@@ -149,7 +156,7 @@ def hgvs_name(sf_dir: str):
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
-SQL["hgvs_name"] = f"""
+SQL["hgvs_name"] = f"""{V_WITH}
 SELECT chrom, pos, ref, alt,
        CASE WHEN length(ref) = 1 AND length(alt) = 1
               THEN chrom || ':g.' || CAST(pos AS VARCHAR) || ref || '>' || alt
@@ -159,7 +166,7 @@ SELECT chrom, pos, ref, alt,
             ELSE chrom || ':g.' || CAST(pos AS VARCHAR) || '_' ||
                  CAST(pos + 1 AS VARCHAR) || 'ins' || substr(alt, 2)
        END AS hgvs
-FROM '{VARIANTS_PATH}' ORDER BY chrom, pos, ref, alt
+FROM v ORDER BY chrom, pos, ref, alt
 """
 
 
@@ -171,37 +178,38 @@ def transcript_rank(sf_dir: str):
     ann_explode), score each (missense > synonymous, tie-break on allele),
     keep the top-ranked annotation per variant (find_nomen candidate
     scoring, commons.py:655-667: max-rank row wins)."""
-    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for eff, allele_col in (("missense", "ref"), ("synonymous", "alt")):
-            d = batch[["chrom", "pos", "ref", "alt"]].copy()
-            d["allele"] = batch[allele_col]
-            d["effect"] = eff
-            d["rank_score"] = EFFECT_RANK[eff]
-            rows.append(d)
-        allc = pd.concat(rows, ignore_index=True)
-        allc = allc.sort_values(
-            ["chrom", "pos", "ref", "alt", "rank_score", "allele"],
-            ascending=[True, True, True, True, False, True])
-        best = allc.groupby(["chrom", "pos", "ref", "alt"], as_index=False).head(1)
-        return best[["chrom", "pos", "ref", "alt", "allele", "effect"]]
+        # two candidates per INPUT ROW (missense/ref, synonymous/alt);
+        # the winner is the max (rank_score, -allele) — row-local argmax,
+        # no key grouping (duplicate variant keys each keep their own row)
+        r_m, r_s = EFFECT_RANK["missense"], EFFECT_RANK["synonymous"]
+        pick_m = ((r_m > r_s)
+                  | ((r_m == r_s) & (batch["ref"] <= batch["alt"])))
+        d = batch[["chrom", "pos", "ref", "alt"]].copy()
+        d["allele"] = batch["ref"].where(pick_m, batch["alt"])
+        d["effect"] = np.where(pick_m, "missense", "synonymous")
+        return d
 
     out = ds.map_batches(f, batch_format="pandas").to_pandas()
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
-SQL["transcript_rank"] = f"""
-WITH exploded AS (
-  SELECT chrom, pos, ref, alt, ref AS allele, 'missense' AS effect, 2 AS rank_score
-  FROM '{VARIANTS_PATH}'
+# the SQL twin ranks per PHYSICAL row (row_number rid — vidx is not
+# row-unique in the lineitem key table), keeping one best candidate per
+# input row like the Ray side
+SQL["transcript_rank"] = f"""{V_WITH},
+v2 AS (SELECT *, row_number() OVER () AS rid FROM v),
+exploded AS (
+  SELECT rid, chrom, pos, ref, alt, ref AS allele, 'missense' AS effect, 2 AS rank_score
+  FROM v2
   UNION ALL
-  SELECT chrom, pos, ref, alt, alt AS allele, 'synonymous', 1
-  FROM '{VARIANTS_PATH}')
+  SELECT rid, chrom, pos, ref, alt, alt AS allele, 'synonymous', 1
+  FROM v2)
 SELECT chrom, pos, ref, alt, allele, effect
 FROM exploded
-QUALIFY row_number() OVER (PARTITION BY chrom, pos, ref, alt
+QUALIFY row_number() OVER (PARTITION BY rid
                            ORDER BY rank_score DESC, allele) = 1
 ORDER BY chrom, pos, ref, alt
 """
@@ -211,52 +219,74 @@ def rank_within_chrom(sf_dir: str):
     """Per-chromosome position rank — ordered-output analog (the reference
     sorts VCF output per chrom, functions/commons.py:2386-2398); partition
     by chrom, sort within group (no global sort)."""
-    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+    ds = variants_ds(sf_dir, ["vidx", "chrom", "pos", "ref", "alt"])
 
     def per_chrom(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["pos", "ref", "alt"]).reset_index(drop=True)
+        g = g.sort_values(["pos", "ref", "alt", "vidx"]).reset_index(drop=True)
         g["rank_in_chrom"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+        return g[["chrom", "pos", "ref", "alt", "rank_in_chrom"]]
 
     out = (ds.groupby("chrom").map_groups(per_chrom, batch_format="pandas")
            .to_pandas())
-    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+    return (out.sort_values(["chrom", "pos", "ref", "alt", "rank_in_chrom"])
+               .reset_index(drop=True))
 
 
-SQL["rank_within_chrom"] = f"""
+SQL["rank_within_chrom"] = f"""{V_WITH}
 SELECT chrom, pos, ref, alt,
-       row_number() OVER (PARTITION BY chrom ORDER BY pos, ref, alt) AS rank_in_chrom
-FROM '{VARIANTS_PATH}' ORDER BY chrom, pos, ref, alt
+       row_number() OVER (PARTITION BY chrom ORDER BY pos, ref, alt, vidx) AS rank_in_chrom
+FROM v ORDER BY chrom, pos, ref, alt, rank_in_chrom
 """
 
 
 def anti_join_unmatched(sf_dir: str):
-    """Anti join via broadcast key set (guide pattern: broadcast the key set
-    and filter inside map_batches): variants with NO exact-annotation hit."""
-    import pyarrow.parquet as pq
+    """Distributed anti join: variants with NO exact-annotation hit.
+    Both sides scale with sf, so this is a keyed shuffle (left_outer join,
+    keep where the store side is null) — not a broadcast key set, which
+    would grow with the data (round-1 verdict: no driver-side
+    materialization of a store that tracks input size)."""
+    def key_side(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            batch["chrom"], pc.cast(batch["pos"], pa.string()),
+            batch["ref"], batch["alt"], "_")
+        return pa.table({"k": k, "chrom": batch["chrom"], "pos": batch["pos"],
+                         "ref": batch["ref"], "alt": batch["alt"]})
 
-    ensure_fixtures()
-    ann = pq.read_table(ANN_VARIANTS_PATH,
-                        columns=["chrom", "pos", "ref", "alt"]).to_pandas()
-    keys = set(ann["chrom"] + "_" + ann["pos"].astype(str) + "_"
-               + ann["ref"] + "_" + ann["alt"])
-    keys_ref = ray.put(keys)
+    def store_keys(batch: pa.Table) -> pa.Table:
+        vidx = batch["vidx"].to_numpy()
+        cover, _ = ann_cols(vidx)
+        k = pc.binary_join_element_wise(
+            batch["chrom"], pc.cast(batch["pos"], pa.string()),
+            batch["ref"], batch["alt"], "_")
+        # distinct keys per batch; the join multiplies matches, and an anti
+        # join only needs key PRESENCE — dedup before the shuffle
+        return pa.table({"k": pc.unique(k.filter(pa.array(cover < 6)))})
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(keys_ref)
-        key = (batch["chrom"] + "_" + batch["pos"].astype(str) + "_"
-               + batch["ref"] + "_" + batch["alt"])
-        return batch.loc[~key.isin(ks), ["chrom", "pos", "ref", "alt"]]
+    left = (variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
+            .map_batches(key_side, batch_format="pyarrow"))
+    store = (variants_ds(sf_dir, ["vidx", "chrom", "pos", "ref", "alt"])
+             .map_batches(store_keys, batch_format="pyarrow")
+             .groupby("k").map_groups(
+                 lambda g: {"k": g["k"][:1], "hit": np.array([1], np.int8)},
+                 batch_format="numpy"))
+    joined = left.join(store, join_type="left_outer", num_partitions=16,
+                       on=("k",))
 
-    out = (_variants_ds(["chrom", "pos", "ref", "alt"])
-           .map_batches(f, batch_format="pandas").to_pandas())
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        m = pc.is_null(batch["hit"])
+        return pa.table({"chrom": batch["chrom"].filter(m),
+                         "pos": batch["pos"].filter(m),
+                         "ref": batch["ref"].filter(m),
+                         "alt": batch["alt"].filter(m)})
+
+    out = joined.map_batches(keep_unmatched, batch_format="pyarrow").to_pandas()
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
-SQL["anti_join_unmatched"] = f"""
+SQL["anti_join_unmatched"] = f"""{V_WITH}
 SELECT v.chrom, v.pos, v.ref, v.alt
-FROM '{VARIANTS_PATH}' v
-ANTI JOIN '{ANN_VARIANTS_PATH}' a
+FROM v
+ANTI JOIN (SELECT chrom, pos, ref, alt FROM v WHERE cover < 6) a
   ON v.chrom = a.chrom AND v.pos = a.pos AND v.ref = a.ref AND v.alt = a.alt
 ORDER BY v.chrom, v.pos, v.ref, v.alt
 """
@@ -266,7 +296,7 @@ def transcripts_to_json(sf_dir: str):
     """Re-aggregate exploded annotations back onto variants as an ordered
     comma-joined list (transcript_view_to_variants, variants.py:11475-11838;
     JSON-per-variant collapsed to a deterministic string)."""
-    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         ann = (batch["ref"] + "|missense," + batch["alt"] + "|synonymous")
@@ -279,14 +309,15 @@ def transcripts_to_json(sf_dir: str):
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
-SQL["transcripts_to_json"] = f"""
-WITH exploded AS (
-  SELECT chrom, pos, ref, alt,
+SQL["transcripts_to_json"] = f"""{V_WITH},
+v2 AS (SELECT *, row_number() OVER () AS rid FROM v),
+exploded AS (
+  SELECT rid, chrom, pos, ref, alt,
          unnest(string_split(ref || '|missense,' || alt || '|synonymous', ',')) AS ann
-  FROM '{VARIANTS_PATH}')
+  FROM v2)
 SELECT chrom, pos, ref, alt,
        string_agg(ann, ';' ORDER BY ann) AS transcripts
-FROM exploded GROUP BY chrom, pos, ref, alt
+FROM exploded GROUP BY rid, chrom, pos, ref, alt
 ORDER BY chrom, pos, ref, alt
 """
 
@@ -297,7 +328,7 @@ def annotate_update(sf_dir: str):
     key via regexp before re-annotating, variants.py:6144-6157 — vs append
     mode which only fills empties, :6207-6210). Here DP is 'refreshed' to
     DP*2 to exercise delete-then-append."""
-    ds = _variants_ds(["chrom", "pos", "ref", "alt", "info"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt", "info"])
 
     def f(batch: pa.Table) -> pa.Table:
         padded = pc.binary_join_element_wise(
@@ -316,21 +347,19 @@ def annotate_update(sf_dir: str):
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
-SQL["annotate_update"] = f"""
+SQL["annotate_update"] = f"""{V_WITH}
 SELECT chrom, pos, ref, alt,
        ltrim(regexp_replace(';' || info, ';DP=[^;]*', '', 'g')
              || ';DP=' || CAST(CAST(regexp_extract(';' || info, ';DP=([^;]*)', 1) AS BIGINT) * 2 AS VARCHAR),
              ';') AS info
-FROM '{VARIANTS_PATH}' ORDER BY chrom, pos, ref, alt
+FROM v ORDER BY chrom, pos, ref, alt
 """
 
 
 # ---------------------------------------------------------------------------
 # hgvs_transcript: broadcast transcript-interval index lookup
 # (reference annotation_hgvs, variants.py:7821-8202 — the refseq interval
-# index side; sequence-context normalization (3'-shift over the genome
-# FASTA, Fasta handle at :8128) requires the genome file and is out of
-# sandbox scope, so positions are reported unnormalized)
+# index side; the sequence-context stage over the genome is hgvs_context)
 # ---------------------------------------------------------------------------
 
 def hgvs_transcript(sf_dir: str):
@@ -348,11 +377,7 @@ def hgvs_transcript(sf_dir: str):
     - suffix: SNV ref>alt, longer-ref 'del', longer-alt 'ins'+alt[1:].
     Variants outside every transcript emit empty tx_id/tx_hgvs.
     """
-    from .variants import TRANSCRIPTS_PATH
-    import pyarrow.parquet as pq
-
-    ensure_fixtures()
-    tx = pq.read_table(TRANSCRIPTS_PATH).to_pandas()
+    tx = gen_transcripts()
     by_chrom = {}
     for c, g in tx.groupby("chrom"):
         g = g.sort_values(["tx_start", "tx_end", "tx_id"]).reset_index(drop=True)
@@ -426,34 +451,34 @@ def hgvs_transcript(sf_dir: str):
                                  "tx_id": tx_out.astype(str),
                                  "tx_hgvs": hgvs_out.astype(str)})
 
-    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
     out = (ds.map_batches(TxLookup, batch_format="pandas", concurrency=(1, 4))
            .to_pandas())
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
-from .variants import TRANSCRIPTS_PATH as _TX_PATH  # noqa: E402
-
-SQL["hgvs_transcript"] = f"""
-SELECT v.chrom, v.pos, v.ref, v.alt,
+SQL["hgvs_transcript"] = f"""{V_WITH},
+v2 AS (SELECT *, row_number() OVER () AS rid FROM v),
+t AS ({TX_SQL})
+SELECT v2.chrom, v2.pos, v2.ref, v2.alt,
        COALESCE(t.tx_id, '') AS tx_id,
        COALESCE(t.tx_id || ':'
          || CASE WHEN t.tx_id LIKE 'NM%' THEN 'c.' ELSE 'n.' END
-         || CAST(CASE WHEN t.strand = '+' THEN v.pos - t.tx_start + 1
-                      ELSE t.tx_end - v.pos + 1 END AS VARCHAR)
-         || CASE WHEN length(v.ref) = 1 AND length(v.alt) = 1
-                   THEN v.ref || '>' || v.alt
-                 WHEN length(v.ref) > length(v.alt) THEN 'del'
-                 ELSE 'ins' || substr(v.alt, 2) END, '') AS tx_hgvs
-FROM '{{VPATH}}' v
-LEFT JOIN '{{TXPATH}}' t
-  ON v.chrom = t.chrom AND t.tx_start <= v.pos AND t.tx_end >= v.pos
+         || CAST(CASE WHEN t.strand = '+' THEN v2.pos - t.tx_start + 1
+                      ELSE t.tx_end - v2.pos + 1 END AS VARCHAR)
+         || CASE WHEN length(v2.ref) = 1 AND length(v2.alt) = 1
+                   THEN v2.ref || '>' || v2.alt
+                 WHEN length(v2.ref) > length(v2.alt) THEN 'del'
+                 ELSE 'ins' || substr(v2.alt, 2) END, '') AS tx_hgvs
+FROM v2
+LEFT JOIN t
+  ON v2.chrom = t.chrom AND t.tx_start <= v2.pos AND t.tx_end >= v2.pos
 QUALIFY row_number() OVER (
-  PARTITION BY v.chrom, v.pos, v.ref, v.alt
+  PARTITION BY v2.rid
   ORDER BY CASE WHEN t.tx_id IS NULL THEN 2
                 WHEN t.tx_id LIKE 'NM%' THEN 0 ELSE 1 END, t.tx_id) = 1
-ORDER BY v.chrom, v.pos, v.ref, v.alt
-""".replace("{VPATH}", VARIANTS_PATH).replace("{TXPATH}", _TX_PATH)
+ORDER BY v2.chrom, v2.pos, v2.ref, v2.alt
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -463,24 +488,19 @@ ORDER BY v.chrom, v.pos, v.ref, v.alt
 
 def hgvs_context(sf_dir: str):
     """Per-variant reference-sequence context: each actor holds the genome
-    (broadcast ONCE via ray.put, materialized to per-chrom uint8 arrays in
-    ``__init__``), and per batch gathers the trinucleotide window around
-    every position with vectorized fancy indexing — the model-scorer shape:
-    heavyweight state per actor, zero state per batch. Emits the REF-vs-
-    genome agreement flag and the pos-1..pos+1 context string."""
-    import pyarrow.parquet as pq
-
-    from .variants import GENOME_PATH, ensure_fixtures
-
-    ensure_fixtures()
-    g = pq.read_table(GENOME_PATH)
-    genome_ref = ray.put({c: s for c, s in zip(g["chrom"].to_pylist(),
-                                               g["seq"].to_pylist())})
+    (built ONCE per actor in ``__init__`` from the closed-form generator —
+    the sf-independent equivalent of broadcasting the FASTA), and per batch
+    gathers the trinucleotide window around every position with vectorized
+    fancy indexing — the model-scorer shape: heavyweight state per actor,
+    zero state per batch. Emits the REF-vs-genome agreement flag and the
+    pos-1..pos+1 context string."""
+    ensure_genome()  # parquet twin for the SQL oracle
 
     class SeqContext:
         def __init__(self):
-            self.genome = {c: np.frombuffer(s.encode(), dtype=np.uint8)
-                           for c, s in ray.get(genome_ref).items()}
+            self.genome = {CHROMS[c]: np.frombuffer(
+                gen_genome_chrom(c).encode(), dtype=np.uint8)
+                for c in range(len(CHROMS))}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             chrom = np.asarray(batch["chrom"].to_pylist(), dtype=object)
@@ -492,7 +512,9 @@ def hgvs_context(sf_dir: str):
                 m = chrom == ch
                 seq = self.genome[ch]
                 idx = pos[m] - 1                      # 1-based -> 0-based
-                tri = np.stack([seq[idx - 1], seq[idx], seq[idx + 1]],
+                # window start clamped at the chromosome head (pos=1)
+                w = np.maximum(idx - 1, 0)
+                tri = np.stack([seq[w], seq[w + 1], seq[w + 2]],
                                axis=1).astype(np.uint8)
                 ctx[m] = [t.tobytes().decode() for t in tri]
                 match[m] = (seq[idx] ==
@@ -504,20 +526,18 @@ def hgvs_context(sf_dir: str):
                              "ref_match": pa.array(match),
                              "context": pa.array(ctx.tolist())})
 
-    ds = _variants_ds(["chrom", "pos", "ref", "alt"])
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
     out = (ds.map_batches(SeqContext, batch_format="pyarrow",
                           concurrency=(1, 4))
            .to_pandas())
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
 
-from .variants import GENOME_PATH as _GENOME_PATH  # noqa: E402
-
-SQL["hgvs_context"] = f"""
+SQL["hgvs_context"] = f"""{V_WITH}
 SELECT v.chrom, v.pos, v.ref, v.alt,
        CAST(substr(g.seq, v.pos, 1) = substr(v.ref, 1, 1) AS BIGINT)
          AS ref_match,
-       substr(g.seq, v.pos - 1, 3) AS context
-FROM '{VARIANTS_PATH}' v JOIN '{_GENOME_PATH}' g USING (chrom)
+       substr(g.seq, greatest(v.pos - 1, 1), 3) AS context
+FROM v JOIN '{GENOME_PATH}' g USING (chrom)
 ORDER BY v.chrom, v.pos, v.ref, v.alt
 """

@@ -25,6 +25,9 @@ samples packed as 'GT:DP:AD' strings (commons.py:1024-1045).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -142,6 +145,16 @@ def gen_variants_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def ann_cols(vidx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-annotation store twin columns for a vidx vector: ``cover < 6``
+    means "variant present in the annotation store", ``nci60`` is its value.
+    The SQL CTE (V_WITH) emits the same pair per row — an op that joins
+    against the store derives the store side from these instead of a
+    driver-materialized parquet, so the store scales with sf like the
+    variants themselves."""
+    return _mix(vidx, "cover"), _mix(vidx, "nci60") / 1000.0
+
+
 def variants_ds(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Lazy sf-scaled variants Dataset: generation happens inside
     map_batches (distributed, no driver materialization)."""
@@ -166,6 +179,54 @@ def gen_regions() -> pd.DataFrame:
         "start": start, "end": end,
         "gene": [f"GENE_{CHROMS[c]}_{gi}" for c, gi in zip(cidx, g // 23)],
     })
+
+
+def gen_transcripts() -> pd.DataFrame:
+    """RefSeq-shaped transcript store: one transcript per gene region,
+    NM_ (coding) for 2 of 3, NR_ (non-coding) otherwise, alternating strand
+    — the index side of the reference's transcript lookup
+    (howard/objects/variants.py:7821-8202). sf-independent broadcast side;
+    SQL twin is TX_SQL."""
+    reg = gen_regions()
+    g = np.arange(len(reg), dtype=np.int64)
+    prefix = np.where(g % 3 == 0, "NR_", "NM_")
+    return pd.DataFrame({
+        "chrom": reg["chrom"],
+        "tx_start": reg["start"],
+        "tx_end": reg["end"],
+        "tx_id": [f"{p}{i:06d}" for p, i in zip(prefix, g)],
+        "strand": np.where(g % 2 == 0, "+", "-"),
+    })
+
+
+# deterministic per-chromosome reference sequence covering the whole vfix
+# position domain (pos = 1 + i%2999999): base at (cid, 1-based j) =
+# BASES[(j*GA + cid*GB + GC) % 4]. sf-INDEPENDENT, so the parquet twin the
+# SQL oracle reads lives at a static path — the stand-in for the FASTA the
+# reference's HGVS stage holds per worker (variants.py:7821-8202, :8128).
+GENOME_LEN = 3_000_010
+GENOME_CONST = (48271, 16807, 7)
+GENOME_PATH = os.path.join(tempfile.gettempdir(), "howard_ray_cache",
+                           "genome_v2.parquet")
+
+
+def gen_genome_chrom(cid: int) -> str:
+    ga, gb, gc = GENOME_CONST
+    j = np.arange(1, GENOME_LEN + 1, dtype=np.int64)
+    u = (j * ga + cid * gb + gc) % 4
+    return np.array(BASES, dtype="S1")[u].tobytes().decode()
+
+
+def ensure_genome() -> str:
+    """Write the genome parquet twin once (atomic); returns its path."""
+    import pyarrow.parquet as pq
+    os.makedirs(os.path.dirname(GENOME_PATH), exist_ok=True)
+    if not os.path.exists(GENOME_PATH):
+        t = pa.table({"chrom": CHROMS,
+                      "seq": [gen_genome_chrom(c) for c in range(len(CHROMS))]})
+        pq.write_table(t, GENOME_PATH + ".tmp")
+        os.replace(GENOME_PATH + ".tmp", GENOME_PATH)
+    return GENOME_PATH
 
 
 # ---------------------------------------------------------------------------
@@ -242,5 +303,15 @@ REGIONS_SQL = f"""
          1 + (g*{_ga}+{_gb})%{_gm} + 5000 + (g*{_la}+{_lb})%{_lm} AS "end",
          'GENE_' || (CASE WHEN g%23 < 22 THEN 'chr' || CAST(g%23+1 AS VARCHAR) ELSE 'chrX' END)
                  || '_' || CAST(g//23 AS VARCHAR) AS gene
+  FROM (SELECT range AS g FROM range({N_GENES}))
+"""
+
+# transcript store twin (gen_transcripts)
+TX_SQL = f"""
+  SELECT (CASE WHEN g%23 < 22 THEN 'chr' || CAST(g%23+1 AS VARCHAR) ELSE 'chrX' END) AS chrom,
+         1 + (g*{_ga}+{_gb})%{_gm} AS tx_start,
+         1 + (g*{_ga}+{_gb})%{_gm} + 5000 + (g*{_la}+{_lb})%{_lm} AS tx_end,
+         (CASE WHEN g%3 = 0 THEN 'NR_' ELSE 'NM_' END) || lpad(CAST(g AS VARCHAR), 6, '0') AS tx_id,
+         (CASE WHEN g%2 = 0 THEN '+' ELSE '-' END) AS strand
   FROM (SELECT range AS g FROM range({N_GENES}))
 """

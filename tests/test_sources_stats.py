@@ -109,12 +109,20 @@ def test_archive_profile_roundtrip(ray_session, tmp_path):
 
 
 def test_variants_fixture_deterministic(tmp_path):
-    from howard_ray.ops.variants import make_variants_like
+    import pyarrow as pa
 
-    a = make_variants_like(500)
-    b = make_variants_like(500)
+    from howard_ray.ops import vfix
+
+    t = pa.table({"l_orderkey": list(range(1, 251)),
+                  "l_linenumber": [1 + i % 7 for i in range(250)]})
+    a = vfix.gen_variants_batch(t)
+    b = vfix.gen_variants_batch(t)
     assert a.equals(b)
-    assert a.num_rows == 500
+    assert a.num_rows == 250 * vfix.FANOUT
+    # sf-independent store twins are deterministic too
+    assert vfix.gen_transcripts().equals(vfix.gen_transcripts())
+    assert vfix.gen_genome_chrom(3) == vfix.gen_genome_chrom(3)
+    assert len(vfix.gen_genome_chrom(0)) == vfix.GENOME_LEN
 
 
 def test_duckdb_attach_roundtrip(ray_session, tmp_path):
