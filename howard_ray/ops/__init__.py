@@ -5,11 +5,11 @@
 
 from . import (dedup, engine_queries, external, genotype, multimodal, nomen,
                process, relational, rules, rules2, similarity, sql_surface,
-               text, variants, variants2, vcf_ops, vfix, windows)
+               text, tokens, variants, variants2, vcf_ops, vfix, windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
-           rules2, sql_surface, external, multimodal]
+           rules2, sql_surface, external, multimodal, tokens]
 
 
 def all_queries():
@@ -107,6 +107,10 @@ def all_queries():
         # prioritization completeness: PZ field family + transcript-level
         "rule_pz_full": rules2.rule_pz_full,
         "rule_pz_transcripts": rules2.rule_pz_transcripts,
+        # token-stream training-data preparation
+        "sequence_pack": tokens.sequence_pack,
+        "decontaminate": tokens.decontaminate,
+        "token_bigrams": tokens.token_bigrams,
     }
     # SQL query surface: same SQL text on both engines
     q.update(sql_surface.QUERIES)

@@ -1,0 +1,289 @@
+"""Token-stream operators for training-data preparation: fixed-context
+sequence packing (distributed prefix-sum scan), benchmark n-gram
+decontamination, and bigram statistics.
+
+These are the tokens-payload counterparts of the reference's coordinate
+arithmetic over sorted variant streams (cumulative span logic,
+howard/objects/variants.py:6290-6348) re-expressed for a pretraining
+pipeline: the packing kernel is the classic two-level distributed scan
+(per-bucket sums -> tiny driver cumsum -> broadcast offsets -> in-bucket
+vectorized prefix), so no stage ever materializes or orders the full
+dataset.  Oracle SQL twins use window cumsums / unnest(generate_series),
+so every operator here is value-hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .util import tbl
+
+SQL: dict[str, str] = {}
+
+CTX = 512           # pack context length (tokens per pack)
+GRAM = 4            # decontamination n-gram size (words)
+BENCH_MOD = 13      # doc_id % BENCH_MOD == 0 -> benchmark ("held-out") doc
+
+
+# ---------------------------------------------------------------------------
+# generic distributed packing kernel
+# ---------------------------------------------------------------------------
+
+def pack_spans(ds: ray.data.Dataset, *, key_col: str, id_col: str,
+               n_col: str, ctx: int, bucket_size: int = 4096,
+               id_is_string: bool = False) -> ray.data.Dataset:
+    """Assign a stream of (key, id, n_tokens) docs to fixed-``ctx`` packs,
+    GPT-style (documents are concatenated in ``id`` order within each key
+    and split at exact ``ctx`` boundaries; a doc may span several packs).
+
+    Scale shape — a distributed exclusive prefix sum:
+      pass 1: column-pruned read -> per-(key, bucket) token sums
+              (combiner inside map_batches, tiny driver reduce);
+      driver: exclusive cumsum over the (key, bucket) grid — O(#buckets)
+              rows, never row-level data — broadcast via ray.put;
+      pass 2: groupby((key, bucket)).map_groups — each group sorts its own
+              bucket by id, adds the broadcast base offset, and splits doc
+              spans across pack boundaries fully vectorized;
+      final:  small groupby((key, pack)) aggregate (packs straddling a
+              bucket boundary receive partials from two groups).
+
+    The result is independent of ``bucket_size`` (asserted in tests): the
+    bucket is purely a partitioning device, as the salt is in the encode
+    pipeline. Returns a Dataset of (key, pack_id, n_tokens, n_docs).
+    """
+    def bucket_of(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if id_is_string:
+            # stable order for string ids: bucket by hash would break
+            # ordering; use a single bucket per key (caller opts in only
+            # for bounded per-key streams)
+            return np.zeros(len(ids), dtype=np.int64)
+        return np.asarray(ids, dtype=np.int64) // bucket_size
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch[id_col])
+        df = pd.DataFrame({
+            "k": np.asarray(batch[key_col].to_pandas(), dtype=object),
+            "b": b,
+            "n": np.asarray(batch[n_col], dtype=np.int64),
+        })
+        g = df.groupby(["k", "b"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.select_columns([key_col, id_col, n_col]) \
+        .map_batches(partial_sums, batch_format="pyarrow").take_all()
+    totals: dict[tuple, int] = {}
+    for r in parts:
+        kk = (r["k"], int(r["b"]))
+        totals[kk] = totals.get(kk, 0) + int(r["n"])
+    # exclusive prefix per key over bucket order — the tiny driver cumsum
+    offsets: dict[tuple, int] = {}
+    running: dict[str, int] = {}
+    for (k, b) in sorted(totals):
+        offsets[(k, b)] = running.get(k, 0)
+        running[k] = running.get(k, 0) + totals[(k, b)]
+    offsets_ref = ray.put(offsets)
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", pa.array(bucket_of(batch[id_col]), type=pa.int64()))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame({key_col: [], "pack_id": [],
+                                 "n_tokens": [], "n_docs": []})
+        offs = ray.get(offsets_ref)
+        g = group.sort_values(id_col, kind="stable")
+        key = g[key_col].iloc[0]
+        base = offs[(key, int(g["__bucket"].iloc[0]))]
+        n = g[n_col].to_numpy(np.int64)
+        off = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        p0 = off // ctx
+        p1 = (off + n - 1) // ctx
+        k = (p1 - p0 + 1).astype(np.int64)          # packs spanned per doc
+        doc = np.repeat(np.arange(len(n)), k)
+        within = np.arange(int(k.sum()), dtype=np.int64) - \
+            np.repeat(np.concatenate(([0], np.cumsum(k)[:-1])), k)
+        pack = p0[doc] + within
+        start = np.maximum(off[doc], pack * ctx)
+        end = np.minimum(off[doc] + n[doc], (pack + 1) * ctx)
+        part = pd.DataFrame({key_col: key, "pack_id": pack,
+                             "tok": end - start})
+        out = part.groupby([key_col, "pack_id"], as_index=False).agg(
+            n_tokens=("tok", "sum"), n_docs=("tok", "size"))
+        return out
+
+    spans = (ds.select_columns([key_col, id_col, n_col])
+               .map_batches(with_bucket, batch_format="pyarrow")
+               .groupby([key_col, "__bucket"])
+               .map_groups(per_bucket, batch_format="pandas"))
+    # boundary packs got partials from two adjacent buckets: tiny final merge
+    return spans.groupby([key_col, "pack_id"]).aggregate(
+        Sum("n_tokens", alias_name="n_tokens"),
+        Sum("n_docs", alias_name="n_docs"))
+
+
+def sequence_pack(sf_dir: str):
+    """Pack the documents word stream into fixed-512-token training
+    contexts, per source in doc_id order. Emits one row per pack:
+    (source, pack_id, n_tokens, n_docs)."""
+    ds = tbl(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def count_words(batch: pa.Table) -> pa.Table:
+        # len(string_split(text, ' ')) — same semantics as the oracle
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n": pc.cast(n, pa.int64()),
+        })
+
+    counted = ds.map_batches(count_words, batch_format="pyarrow")
+    out = pack_spans(counted, key_col="source", id_col="doc_id",
+                     n_col="n", ctx=CTX, bucket_size=100).to_pandas()
+    out["pack_id"] = out["pack_id"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["source", "pack_id"]).reset_index(drop=True)
+
+
+SQL["sequence_pack"] = f"""
+WITH d AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n
+           FROM documents),
+o AS (SELECT source, doc_id, n,
+      CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS off FROM d),
+s AS (SELECT source,
+      unnest(generate_series(off // {CTX}, (off + n - 1) // {CTX})) AS pack_id,
+      off, n FROM o)
+SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(sum(least((pack_id + 1) * {CTX}, off + n)
+                - greatest(pack_id * {CTX}, off)) AS BIGINT) AS n_tokens,
+       count(*) AS n_docs
+FROM s GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark n-gram decontamination
+# ---------------------------------------------------------------------------
+
+def _flat_ngrams(batch: pa.Table, gram: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word n-grams for a whole batch: returns (doc_row_index,
+    gram_string) arrays. O(total_words), no per-row Python loop: flatten all
+    words, elementwise-join shifted slices, and keep only the positions
+    whose start and end fall in the same document."""
+    words = pc.split_pattern(batch["text"], " ")
+    lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+    flat = np.asarray(pc.list_flatten(words).to_pandas(), dtype=object)
+    if len(flat) < gram:
+        return np.array([], dtype=np.int64), np.array([], dtype=object)
+    row_of = np.repeat(np.arange(len(lens)), lens)
+    g = flat[: len(flat) - gram + 1].copy()
+    for j in range(1, gram):
+        g = g + " "
+        g = g + flat[j: len(flat) - gram + 1 + j]
+    valid = row_of[: len(g)] == row_of[gram - 1:]
+    return row_of[: len(g)][valid], g[valid]
+
+
+def decontaminate(sf_dir: str):
+    """Flag training docs sharing any word-4-gram with the benchmark subset
+    (doc_id % 13 == 0 — the stand-in for a held-out eval set). The
+    benchmark gram set is built in one pruned pass (distinct grams emitted
+    per batch, reduced driver-side — it is the genuinely small side) and
+    broadcast once via ray.put; the scan over the training split is a
+    stateless map_batches with a vectorized isin. Emits (doc_id,
+    n_gram_hits) for contaminated docs only."""
+    ds = tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        keep = ids % BENCH_MOD == 0
+        if not keep.any():
+            return pa.table({"gram": pa.array([], type=pa.string())})
+        sub = batch.filter(pa.array(keep))
+        _, grams = _flat_ngrams(sub, GRAM)
+        return pa.table({"gram": pa.array(pd.unique(grams), type=pa.string())})
+
+    bench = set()
+    for r in ds.map_batches(bench_grams, batch_format="pyarrow").take_all():
+        bench.add(r["gram"])
+    bench_ref = ray.put(np.array(sorted(bench), dtype=object))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        keep = ids % BENCH_MOD != 0
+        sub = batch.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_gram_hits": pa.array([], type=pa.int64())})
+        rows, grams = _flat_ngrams(sub, GRAM)
+        df = pd.DataFrame({"row": rows, "gram": grams}).drop_duplicates()
+        hit = df[df["gram"].isin(ray.get(bench_ref))]
+        per_doc = hit.groupby("row").size()
+        sub_ids = np.asarray(sub["doc_id"], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(sub_ids[per_doc.index.to_numpy()],
+                               type=pa.int64()),
+            "n_gram_hits": pa.array(per_doc.to_numpy(np.int64)),
+        })
+
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL["decontaminate"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, ws,
+      unnest(generate_series(1, len(ws) - {GRAM - 1})) AS i FROM w),
+gr AS (SELECT doc_id,
+       array_to_string(list_slice(ws, i, i + {GRAM - 1}), ' ') AS gram
+       FROM g),
+bench AS (SELECT DISTINCT gram FROM gr WHERE doc_id % {BENCH_MOD} = 0)
+SELECT gr.doc_id, count(DISTINCT gr.gram) AS n_gram_hits
+FROM gr JOIN bench USING (gram) WHERE gr.doc_id % {BENCH_MOD} <> 0
+GROUP BY gr.doc_id ORDER BY gr.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# bigram statistics
+# ---------------------------------------------------------------------------
+
+def token_bigrams(sf_dir: str):
+    """Top-100 word bigrams by corpus count (contamination/quality
+    diagnostics input). Per-batch partial value_counts (combiner) before
+    the small groupby — the exchange carries (bigram, count) partials,
+    never raw token streams."""
+    ds = tbl(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, grams = _flat_ngrams(batch, 2)
+        if not len(grams):
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        vc = pd.Series(grams).value_counts()
+        return pa.table({"bigram": pa.array(vc.index, type=pa.string()),
+                         "cnt": pa.array(vc.to_numpy(np.int64))})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bigram").aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+    out["cnt"] = out["cnt"].astype("int64")
+    out = out.sort_values(["cnt", "bigram"], ascending=[False, True])
+    return out.head(100).reset_index(drop=True)
+
+
+SQL["token_bigrams"] = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w)
+SELECT ws[i] || ' ' || ws[i + 1] AS bigram, count(*) AS cnt
+FROM g GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100
+"""

@@ -157,3 +157,58 @@ def test_external_gzip_stage(ray_session):
     assert a["gz_bytes"][0] > 0
     assert a["gz_bytes"][0] < a["raw_bytes"][0]
     assert a.equals(b)
+
+
+def test_pack_spans_bucket_invariance(ray_session):
+    """The pack assignment is a pure function of (key, doc order, n) — the
+    bucket size is only a partitioning device and must not change results."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from howard_ray.ops.tokens import pack_spans
+
+    rng = __import__("numpy").random.default_rng(11)
+    n = 400
+    t = pa.table({
+        "k": pa.array(["a" if i % 3 else "b" for i in range(n)]),
+        "i": pa.array(list(range(n)), type=pa.int64()),
+        "n": pa.array(rng.integers(1, 300, n), type=pa.int64()),
+    })
+    ds = ray.data.from_arrow(t)
+
+    def run(bucket):
+        out = pack_spans(ds, key_col="k", id_col="i", n_col="n",
+                         ctx=256, bucket_size=bucket).to_pandas()
+        return out.sort_values(["k", "pack_id"]).reset_index(drop=True)
+
+    a, b, c = run(7), run(64), run(100000)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+    # conservation: total packed tokens == total input tokens per key
+    tot = a.groupby("k")["n_tokens"].sum().to_dict()
+    import numpy as np
+    arr_k = np.array(t["k"])
+    arr_n = np.array(t["n"])
+    for key in ("a", "b"):
+        assert tot[key] == int(arr_n[arr_k == key].sum())
+    # every non-final pack is exactly full
+    for key, g in a.groupby("k"):
+        assert (g["n_tokens"].iloc[:-1] == 256).all()
+
+
+def test_decontaminate_flags_real_overlaps(ray_session):
+    from howard_ray.ops.tokens import decontaminate
+
+    out = decontaminate("/root/testdata/sf0.001")
+    assert list(out.columns) == ["doc_id", "n_gram_hits"]
+    assert (out["n_gram_hits"] >= 1).all()
+    assert (out["doc_id"] % 13 != 0).all()
+
+
+def test_token_bigrams_top100(ray_session):
+    from howard_ray.ops.tokens import token_bigrams
+
+    out = token_bigrams("/root/testdata/sf0.001")
+    assert len(out) == 100
+    assert (out["cnt"].diff().dropna() <= 0).all()
