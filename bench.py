@@ -252,8 +252,14 @@ def run_scaling() -> dict:
     cached input — so slow host drift hits both levels equally; per level we
     report the best AND the median of the 3 children (each child itself
     takes a best-of-2 warm measurement after a cold pass)."""
-    lo_cpus, hi_cpus = 8, 32
-    n_pairs = 3
+    # N vs 4N parallelism levels (sandbox proxy for N- vs 4N-node clusters).
+    # Default 8 vs 32; HOWARD_SCALE_LO/HI override — e.g. 4 vs 16 keeps the
+    # hi level under this VM's effective-core delivery ceiling (~20-24 of
+    # the 32 vCPUs under full load, see BASELINE.md), which is a host
+    # artifact a real 4N-node cluster does not have.
+    lo_cpus = int(os.environ.get("HOWARD_SCALE_LO", "8"))
+    hi_cpus = int(os.environ.get("HOWARD_SCALE_HI", str(lo_cpus * 4)))
+    n_pairs = int(os.environ.get("HOWARD_SCALE_PAIRS", "3"))
     sf = _sf_from_dir(SF_DIR)
     prepare_corpus(sf)  # shared cached input for all child runs
 
