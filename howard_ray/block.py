@@ -23,6 +23,9 @@ Supported column kinds:
 - list_int (list<int*> — offsets and flattened values encoded separately,
             the SURVEY.md §7.4 "hard part": chunk-boundary-safe because we
             re-derive lengths via ``pc.list_value_length`` + ``flatten()``)
+- float    (float32/float64 — plain or byte-stream-split planes)
+- list_float (list<float*> — same offsets/values split as list_int, values
+            through the float codecs; the ``embeddings`` payload)
 - other    (fallback: Arrow IPC + zstd, so arbitrary tables still encode)
 """
 
@@ -37,9 +40,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .codecs import decode_ints, decode_strings, encode_ints, encode_strings
+from .codecs import (decode_floats, decode_ints, decode_strings,
+                     encode_floats, encode_ints, encode_strings)
 from .codecs.zstd import zstd_compress, zstd_decompress
-from .selector import choose_int_codec, choose_str_codec
+from .selector import choose_float_codec, choose_int_codec, choose_str_codec
 
 MAGIC = b"HRB1"
 TARGET_ROWS_PER_BLOCK = 100_000  # reference row-group size (databases.py:2213)
@@ -86,6 +90,38 @@ def _encode_list_int_col(arr: pa.Array, codec: str | None) -> tuple[bytes, dict]
     return p_len + p_val, entry
 
 
+def _float_stats(values: np.ndarray) -> dict:
+    if not values.size:
+        return {}
+    lo, hi = float(values.min()), float(values.max())
+    # NaN/Inf are not JSON-portable; zone maps are an optimization only
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        return {}
+    return {"min": lo, "max": hi}
+
+
+def _encode_float_col(arr: pa.Array, codec: str | None) -> tuple[bytes, dict]:
+    vals = np.asarray(arr)
+    codec = codec or choose_float_codec(vals)
+    payload, meta = encode_floats(vals, codec)
+    return payload, {"kind": "float", "meta": meta, "stats": _float_stats(vals)}
+
+
+def _encode_list_float_col(arr: pa.Array, codec: str | None) -> tuple[bytes, dict]:
+    if pa.types.is_large_list(arr.type):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    lengths = np.asarray(pc.list_value_length(arr), dtype=np.int64)
+    values = np.asarray(arr.flatten())
+    p_len, m_len = encode_ints(lengths, choose_int_codec(lengths))
+    p_val, m_val = encode_floats(values, codec or choose_float_codec(values))
+    stats = _float_stats(values)
+    stats["n_values"] = int(values.size)
+    entry = {"kind": "list_float", "len_meta": m_len, "val_meta": m_val,
+             "parts": [len(p_len), len(p_val)],
+             "value_type": str(arr.type.value_type), "stats": stats}
+    return p_len + p_val, entry
+
+
 def _encode_other_col(arr: pa.Array) -> tuple[bytes, dict]:
     sink = io.BytesIO()
     t = pa.table({"c": arr})
@@ -110,6 +146,12 @@ def encode_column(arr, codec: str | None = None) -> tuple[bytes, dict]:
             and pa.types.is_integer(t.value_type)
             and arr.flatten().null_count == 0):
         return _encode_list_int_col(arr, codec)
+    if arr.null_count == 0 and pa.types.is_floating(t) and t.bit_width >= 32:
+        return _encode_float_col(arr, codec)
+    if (arr.null_count == 0 and (pa.types.is_list(t) or pa.types.is_large_list(t))
+            and pa.types.is_floating(t.value_type) and t.value_type.bit_width >= 32
+            and arr.flatten().null_count == 0):
+        return _encode_list_float_col(arr, codec)
     return _encode_other_col(arr)
 
 
@@ -123,6 +165,16 @@ def decode_column(payload: bytes, entry: dict) -> pa.Array:
         n1, _ = entry["parts"]
         lengths = decode_ints(payload[:n1], entry["len_meta"])
         values = decode_ints(payload[n1:], entry["val_meta"])
+        vt = pa.type_for_alias(entry["value_type"])
+        offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+        return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                        pa.array(values, type=vt))
+    if kind == "float":
+        return pa.array(decode_floats(payload, entry["meta"]))
+    if kind == "list_float":
+        n1, _ = entry["parts"]
+        lengths = decode_ints(payload[:n1], entry["len_meta"])
+        values = decode_floats(payload[n1:], entry["val_meta"])
         vt = pa.type_for_alias(entry["value_type"])
         offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
         return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),

@@ -87,6 +87,7 @@ def all_queries():
         # engine round-trips with SQL oracles + streaming running total
         "roundtrip_documents": engine_queries.roundtrip_documents,
         "roundtrip_lineitem": engine_queries.roundtrip_lineitem,
+        "roundtrip_embeddings": engine_queries.roundtrip_embeddings,
         "running_total": engine_queries.running_total,
         "roundtrip_pruned": engine_queries.roundtrip_pruned,
         # multimodal (stubbed decoder, real Ray plumbing)

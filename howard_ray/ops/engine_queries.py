@@ -58,8 +58,9 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 def roundtrip_lineitem(sf_dir: str):
-    """lineitem (floats → 'other' Arrow-IPC+zstd codec kind) → encode →
-    decode → grouped money aggregate of the decoded rows."""
+    """lineitem (float64 money columns → 'float' codec kind: plain or
+    byte-stream-split planes) → encode → decode → grouped money aggregate
+    of the decoded rows."""
     ds = _encode_decode(sf_dir, "lineitem",
                         ["l_orderkey", "l_returnflag", "l_quantity",
                          "l_extendedprice"])
@@ -79,6 +80,40 @@ SELECT l_returnflag, count(*) AS n,
        round(sum(l_quantity), 2)      AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def roundtrip_embeddings(sf_dir: str):
+    """embeddings (embedding: list<float> → 'list_float' kind, bss_float
+    byte-stream-split value codec) → encode → decode → per-label aggregate
+    of the decoded rows. Exact-int aggregates only (floats never enter the
+    oracle hash); the float payload itself is covered bit-identically by
+    tests/test_codecs.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _encode_decode(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def add_dim(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_dim", pc.list_value_length(batch["embedding"]).cast(pa.int64()))
+
+    out = (ds.map_batches(add_dim, batch_format="pyarrow")
+             .groupby("label")
+             .aggregate(Count(alias_name="n_vecs"),
+                        Sum("vec_id", alias_name="sum_ids"),
+                        Sum("n_dim", alias_name="sum_dims"))
+             .to_pandas())
+    for c in ["n_vecs", "sum_ids", "sum_dims"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+SQL["roundtrip_embeddings"] = """
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+       CAST(sum(len(embedding)) AS BIGINT) AS sum_dims
+FROM embeddings GROUP BY label ORDER BY label
 """
 
 

@@ -17,6 +17,7 @@ import pyarrow as pa
 
 from .codecs import (
     FsstNotApplicable,
+    encode_floats,
     encode_ints,
     encode_strings,
     is_constant,
@@ -32,6 +33,7 @@ FAST_CANDIDATES = ("for_bytes", "for_split")
 # bit-exact codec is >10% smaller on the sample
 SPEED_BIAS = 1.10
 STR_CANDIDATES = ("dict_str", "fsst", "plain_str")
+FLOAT_CANDIDATES = ("bss_float", "plain_float")
 
 
 def _sample_ints(vals: np.ndarray) -> np.ndarray:
@@ -59,6 +61,14 @@ def choose_int_codec(vals: np.ndarray) -> str:
     if sizes[fast_best] <= sizes[best] * SPEED_BIAS:
         return fast_best
     return best
+
+
+def choose_float_codec(vals: np.ndarray) -> str:
+    """Pick the float codec with minimal sampled encoded size."""
+    sample = _sample_ints(np.asarray(vals))
+    sizes = {codec: len(encode_floats(sample, codec)[0])
+             for codec in FLOAT_CANDIDATES}
+    return min(sizes, key=sizes.get)
 
 
 def choose_str_codec(arr: pa.Array) -> str:

@@ -118,3 +118,56 @@ def test_str_sliced_array_roundtrip():
     sl = base.slice(20, 50)
     payload, meta = encode_strings(sl, "plain_str")
     assert decode_strings(payload, meta).to_pylist() == sl.to_pylist()
+
+
+# --- float codecs (plain_float / bss_float byte-stream-split) ---
+
+from howard_ray.codecs import decode_floats, encode_floats  # noqa: E402
+
+FLOAT_ARRAYS = [
+    rng.normal(size=5000).astype(np.float32),
+    rng.normal(size=5000).astype(np.float64),
+    (rng.integers(0, 255, 4096) / 8.0).astype(np.float32),  # quantized-ish
+    np.zeros(300, dtype=np.float32),
+    np.array([1.5], dtype=np.float64),
+    np.array([], dtype=np.float32),
+    np.array([np.nan, np.inf, -np.inf, -0.0, 0.0,
+              np.finfo(np.float32).tiny, np.finfo(np.float32).max],
+             dtype=np.float32),
+]
+
+
+@pytest.mark.parametrize("codec", ["plain_float", "bss_float"])
+@pytest.mark.parametrize("i", range(len(FLOAT_ARRAYS)))
+def test_float_roundtrip_bit_identical(codec, i):
+    vals = FLOAT_ARRAYS[i]
+    payload, meta = encode_floats(vals, codec)
+    out = decode_floats(payload, meta)
+    assert out.dtype == vals.dtype
+    # bit-level equality (NaN payloads, signed zeros) — not value equality
+    assert np.array_equal(vals.view(np.uint8), out.view(np.uint8))
+
+
+def test_bss_beats_plain_on_structured_floats():
+    # same-magnitude floats: sign/exponent planes are near-constant under BSS
+    vals = (1.0 + rng.random(50_000) * 1e-3).astype(np.float32)
+    p_bss, _ = encode_floats(vals, "bss_float")
+    p_plain, _ = encode_floats(vals, "plain_float")
+    assert len(p_bss) < len(p_plain)
+
+
+def test_float_selector_and_block_kinds():
+    from howard_ray.block import decode_block, encode_block
+    from howard_ray.selector import choose_float_codec
+
+    vals = rng.normal(size=4096).astype(np.float32)
+    assert choose_float_codec(vals) in ("bss_float", "plain_float")
+    emb = pa.array([[float(x) for x in rng.normal(size=16)] for _ in range(200)],
+                   type=pa.list_(pa.float32()))
+    t = pa.table({"vec_id": pa.array(range(200), type=pa.int64()),
+                  "embedding": emb,
+                  "score": pa.array(rng.normal(size=200), type=pa.float64())})
+    data, meta = encode_block(t, "b0")
+    kinds = {c: e["kind"] for c, e in meta["columns"].items()}
+    assert kinds == {"vec_id": "int", "embedding": "list_float", "score": "float"}
+    assert decode_block(data).equals(t)
