@@ -43,10 +43,34 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def _parse_where(expr: str | None) -> tuple | None:
+    """``col:op:value`` → decode_store predicate (value auto-typed)."""
+    if not expr:
+        return None
+    col, op, raw = expr.split(":", 2)
+    if op == "in":
+        vals = []
+        for v in raw.split(","):
+            try:
+                vals.append(int(v))
+            except ValueError:
+                vals.append(v)
+        return (col, op, vals)
+    try:
+        val = int(raw)
+    except ValueError:
+        try:
+            val = float(raw)
+        except ValueError:
+            val = raw
+    return (col, op, val)
+
+
 def cmd_decode(args) -> int:
     from .pipeline import decode_store
 
-    ds = decode_store(args.store, columns=args.columns)
+    ds = decode_store(args.store, columns=args.columns,
+                      predicate=_parse_where(args.where))
     ds.write_parquet(args.output)
     print(json.dumps({"rows": ds.count(), "output": args.output}))
     return 0
@@ -111,6 +135,9 @@ def main(argv=None) -> int:
     d.add_argument("store")
     d.add_argument("output")
     d.add_argument("--columns", nargs="*", default=None)
+    d.add_argument("--where", default=None,
+                   help="pushdown row filter col:op:value (op: == != < <= > >= in; "
+                        "in takes comma-separated values)")
     d.set_defaults(fn=cmd_decode)
 
     c = sub.add_parser("convert")

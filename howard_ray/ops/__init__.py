@@ -88,6 +88,7 @@ def all_queries():
         "roundtrip_documents": engine_queries.roundtrip_documents,
         "roundtrip_lineitem": engine_queries.roundtrip_lineitem,
         "roundtrip_embeddings": engine_queries.roundtrip_embeddings,
+        "pushdown_filter_decode": engine_queries.pushdown_filter_decode,
         "running_total": engine_queries.running_total,
         "roundtrip_pruned": engine_queries.roundtrip_pruned,
         # multimodal (stubbed decoder, real Ray plumbing)

@@ -117,6 +117,41 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def pushdown_filter_decode(sf_dir: str):
+    """Predicate pushdown INTO the encoded store (the reference's
+    WHERE-into-the-scan, howard/objects/variants.py:6290-6306): decode
+    documents with ``predicate=("lang", "==", "en")`` — footer zone maps
+    skip non-matching blocks, surviving blocks decode ONLY the lang column
+    until the row mask proves a match (late materialization) — then
+    aggregate the decoded rows. Oracle = the same WHERE on the original."""
+    from ..pipeline import decode_store
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE, f"store_pushdown_{tag}")
+    if not os.path.exists(os.path.join(store, "footer.json")):
+        shutil.rmtree(store, ignore_errors=True)
+        encode_dataset(src, store, mode="stream", target_rows=20_000,
+                       resume=False, columns=["doc_id", "lang", "n_chars"])
+    ds = decode_store(store, predicate=("lang", "==", "en"))
+    out = (ds.groupby("lang")
+             .aggregate(Count(alias_name="n_docs"),
+                        Sum("n_chars", alias_name="sum_chars"),
+                        Sum("doc_id", alias_name="sum_ids"))
+             .to_pandas())
+    for c in ["n_docs", "sum_chars", "sum_ids"]:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL["pushdown_filter_decode"] = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT)  AS sum_ids
+FROM documents WHERE lang = 'en' GROUP BY lang
+"""
+
+
 def running_total(sf_dir: str):
     """Per-user running cumulative sum over the ordered event log — the
     stream-shaped stateful aggregate (ray_guide streaming pattern: partition

@@ -497,8 +497,29 @@ def encode_dataset(
     return footer
 
 
+_PRED_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
+
+
+def _predicate_zone(predicate: tuple) -> dict:
+    """Implied zone-map range of a predicate — free block skipping."""
+    col, op, val = predicate
+    if op == "==":
+        return {col: (val, val)}
+    if op in ("<", "<="):
+        return {col: (None, val)}
+    if op in (">", ">="):
+        return {col: (val, None)}
+    if op == "in" and val:
+        try:
+            return {col: (min(val), max(val))}
+        except TypeError:
+            return {}
+    return {}  # != prunes nothing
+
+
 def decode_store(store_dir: str, columns: list[str] | None = None,
-                 zone_filter: dict | None = None) -> ray.data.Dataset:
+                 zone_filter: dict | None = None,
+                 predicate: tuple | None = None) -> ray.data.Dataset:
     """Decode an encoded store back to a lazy Dataset (block-parallel).
 
     ``zone_filter`` prunes whole blocks using the footer's per-column
@@ -507,13 +528,29 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
     howard/objects/variants.py:6290-6306). Example:
     ``zone_filter={"n_tok": (1000, None)}`` keeps only blocks whose n_tok
     range intersects [1000, inf); string columns compare lexically.
+
+    ``predicate`` pushes a row filter ``(col, op, value)`` with op in
+    ``== != < <= > >= in`` into the decode itself (the reference's
+    WHERE-into-the-scan shape, howard/objects/variants.py:6290-6306):
+    first its implied min/max range prunes whole blocks via the footer,
+    then inside each surviving block only the predicate column is decoded,
+    the row mask is evaluated on it, and the remaining columns are decoded
+    ONLY when the mask matches at least one row (late materialization) —
+    a no-match block costs one column decode, not a full-table decode.
     """
     footer = load_footer(store_dir)
     blocks = footer["blocks"]
-    if zone_filter:
+    zones = dict(zone_filter or {})
+    if predicate is not None:
+        col, op, _ = predicate
+        if op not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        for c, rng in _predicate_zone(predicate).items():
+            zones.setdefault(c, rng)
+    if zones:
         def survives(b: dict) -> bool:
             meta = b.get("columns") or {}
-            for col, (lo, hi) in zone_filter.items():
+            for col, (lo, hi) in zones.items():
                 stats = meta.get(col, {}).get("stats") if meta else None
                 if stats is None or "min" not in stats:
                     continue  # no zone map → cannot prune
@@ -530,10 +567,39 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
     def decode_one(batch: pa.Table) -> list[pa.Table]:
         return [read_block_file(p.as_py(), columns) for p in batch["path"]]
 
+    def decode_pred(batch: pa.Table) -> list[pa.Table]:
+        import pyarrow.compute as pc
+
+        from .block import decode_block, read_block_meta
+        col, op, val = predicate
+        out = []
+        for p in batch["path"]:
+            with open(p.as_py(), "rb") as f:
+                data = f.read()
+            filt_col = decode_block(data, [col])[col]
+            if op == "in":
+                mask = pc.is_in(filt_col, value_set=pa.array(list(val)))
+            else:
+                mask = {"==": pc.equal, "!=": pc.not_equal,
+                        "<": pc.less, "<=": pc.less_equal,
+                        ">": pc.greater, ">=": pc.greater_equal}[op](filt_col, val)
+            n_match = pc.sum(mask.cast(pa.int8())).as_py() or 0
+            if n_match == 0:
+                continue  # late-materialization win: rest never decoded
+            names = columns if columns is not None \
+                else list(read_block_meta(data)["columns"])
+            rest = [c for c in names if c != col]
+            t = decode_block(data, rest) if rest else pa.table({})
+            if col in names:
+                t = t.append_column(col, filt_col) if rest else pa.table({col: filt_col})
+                t = t.select(names)  # caller's column order
+            out.append(t.filter(mask) if n_match < len(filt_col) else t)
+        return out
+
     def decode_flat(batch: pa.Table) -> pa.Table:
         from .codecs.bitpack import warmup
         warmup()
-        tables = decode_one(batch)
+        tables = decode_pred(batch) if predicate is not None else decode_one(batch)
         return pa.concat_tables(tables) if tables else pa.table({})
 
     # one input block per encoded block file → block-parallel decode tasks

@@ -105,3 +105,46 @@ def test_verify_mode_detects_same_size_corruption(ray_session, tmp_path):
     cheap = completed_blocks(st)
     strict = completed_blocks(st, verify=True)
     assert len(cheap) == len(strict) + 1
+
+
+def test_predicate_pushdown_equality(store):
+    src, st = store
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(src)
+    want = pc.sum(pc.cast(pc.equal(t["source"], "web"), "int64")).as_py()
+    got = decode_store(st, predicate=("source", "==", "web"))
+    df = got.to_pandas()
+    assert len(df) == want
+    assert set(df["source"]) == {"web"}
+
+
+def test_predicate_pushdown_range_and_subset(store):
+    src, st = store
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(src)
+    want = pc.sum(pc.cast(pc.greater(t["n_tok"], 600), "int64")).as_py()
+    df = decode_store(st, columns=["doc_id", "n_tok"],
+                      predicate=("n_tok", ">", 600)).to_pandas()
+    assert len(df) == want
+    assert list(df.columns) == ["doc_id", "n_tok"]
+    assert (df["n_tok"] > 600).all()
+
+
+def test_predicate_pushdown_no_match_prunes(store):
+    _, st = store
+    # implied zone (zzz, zzz) is outside every source zone map → 0 blocks read
+    assert decode_store(st, predicate=("source", "==", "zzz")).count() == 0
+
+
+def test_predicate_pushdown_in_op(store):
+    src, st = store
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(src)
+    want = pc.sum(pc.cast(pc.is_in(t["source"], value_set=pa.array(["web", "code"])),
+                          "int64")).as_py()
+    n = decode_store(st, predicate=("source", "in", ["web", "code"])).count()
+    assert n == want
