@@ -3,7 +3,8 @@ stats, /root/reference/howard/main.py:120-274) mapped to the Ray engine.
 
 Subcommands:
   encode   input.parquet -> encoded block store      (flagship pipeline)
-  decode   store -> parquet                          (decode path)
+  decode   store -> parquet                          (decode path; --where pushdown)
+  compact  merge undersized tail blocks in a store   (databases.py:2245-2253 inverted)
   convert  input -> output in another format         (tools/convert.py:25-74)
   stats    store -> metrics report                   (variants.py:570-790 analog)
   query    run a named operator from the library     (tools/query.py)
@@ -76,6 +77,14 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .pipeline import compact_store
+
+    print(json.dumps(compact_store(args.store, target_rows=args.target_rows,
+                                   min_fill=args.min_fill)))
+    return 0
+
+
 def cmd_convert(args) -> int:
     from .sources import read_any, write_any
 
@@ -139,6 +148,12 @@ def main(argv=None) -> int:
                    help="pushdown row filter col:op:value (op: == != < <= > >= in; "
                         "in takes comma-separated values)")
     d.set_defaults(fn=cmd_decode)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("store")
+    cp.add_argument("--target-rows", type=int, default=None)
+    cp.add_argument("--min-fill", type=float, default=0.5)
+    cp.set_defaults(fn=cmd_compact)
 
     c = sub.add_parser("convert")
     c.add_argument("input")

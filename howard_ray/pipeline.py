@@ -607,6 +607,109 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
         .map_batches(decode_flat, batch_size=1, batch_format="pyarrow")
 
 
+def compact_store(store_dir: str, *, target_rows: int | None = None,
+                  min_fill: float = 0.5, profile: str = "standard") -> dict:
+    """Merge undersized tail blocks into full blocks (reference analog:
+    dask re-split of mis-sized store files, functions/databases.py:2245-2253,
+    inverted — we merge instead of split).
+
+    Skewed sources and salted groups leave each (source, salt) group with an
+    undersized tail block; at 10^7 blocks that is millions of tiny files and
+    footer entries. Compaction plans on the DRIVER from the footer alone
+    (no data read), merges runs of ADJACENT undersized blocks of the same
+    source as parallel Ray tasks (decode members → concat → re-encode), and
+    then atomically swaps the footer. Old block files are deleted only after
+    the new footer is durable, so a crash at ANY point leaves a readable
+    store: before the swap the old footer still references only old files;
+    after it, only new+kept ones (stale files are garbage, not corruption).
+
+    Returns {n_blocks_before, n_blocks_after, merged, created,
+    encoded_bytes_before, encoded_bytes_after}.
+    """
+    footer = load_footer(store_dir)
+    blocks = footer["blocks"]
+    if target_rows is None:
+        target_rows = max((b["n_rows"] for b in blocks), default=TARGET_ROWS_PER_BLOCK)
+    thresh = max(1, int(target_rows * min_fill))
+
+    # plan: bin-pack the undersized blocks in FOOTER order (sorted by
+    # sort_key, so same-source tails are adjacent and merge together first;
+    # the long tail of tiny sources merges across sources — the merged
+    # block's source zone map widens to a lexical range, which costs one
+    # extra candidate block on a source-predicate read but removes the
+    # unbounded tiny-file/footer-entry growth at 10^7+ blocks)
+    bins: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_rows = 0
+
+    def close() -> None:
+        nonlocal cur, cur_rows
+        if len(cur) > 1:
+            bins.append(cur)
+        cur, cur_rows = [], 0
+
+    for b in blocks:
+        if b["n_rows"] >= thresh:
+            continue  # full block: never touched, never resets the bin
+        if cur and cur_rows + b["n_rows"] > target_rows:
+            close()
+        cur.append(b)
+        cur_rows += b["n_rows"]
+    close()
+
+    before = {"n_blocks": footer["n_blocks"],
+              "encoded_bytes": footer["encoded_bytes"]}
+    if not bins:
+        return {**{f"{k}_before": v for k, v in before.items()},
+                "n_blocks_after": footer["n_blocks"],
+                "encoded_bytes_after": footer["encoded_bytes"],
+                "merged": 0, "created": 0}
+
+    items = [{"members": json.dumps([b["block_id"] for b in bin_]),
+              "sort_key": str(bin_[0].get("sort_key", ""))}
+             for bin_ in bins]
+
+    def merge_bin(batch: pa.Table) -> pa.Table:
+        from .codecs import zstd as zstd_mod
+        from .codecs.bitpack import warmup
+        warmup()
+        zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
+        recs: list[dict] = []
+        for members_json, sort_key in zip(batch["members"].to_pylist(),
+                                          batch["sort_key"].to_pylist()):
+            member_ids = json.loads(members_json)
+            tables = [read_block_file(block_path(store_dir, bid))
+                      for bid in member_ids]
+            key = f"cpt-{zlib.crc32('|'.join(member_ids).encode()):08x}"
+            recs.extend(_encode_tables_to_blocks(
+                tables, store_dir, key, sort_key=sort_key,
+                target_rows=target_rows, completed={},
+                input_info="compact:" + ",".join(member_ids)))
+        return _records_table(recs)
+
+    rec_ds = ray.data.from_items(items, override_num_blocks=max(1, len(items))) \
+        .map_batches(merge_bin, batch_size=1, batch_format="pyarrow")
+    new_records = [json.loads(r) for r in
+                   rec_ds.to_pandas()["record"].tolist()]
+
+    merged_ids = {b["block_id"] for bin_ in bins for b in bin_}
+    kept = [b for b in blocks if b["block_id"] not in merged_ids]
+    extra = {k: v for k, v in footer.items()
+             if k not in ("version", "n_blocks", "n_rows", "encoded_bytes", "blocks")}
+    new_footer = write_footer(store_dir, kept + new_records, extra=extra)
+    # footer is durable — now the old files are unreachable garbage
+    for bid in merged_ids:
+        try:
+            os.remove(block_path(store_dir, bid))
+        except OSError:
+            pass
+    return {"n_blocks_before": before["n_blocks"],
+            "encoded_bytes_before": before["encoded_bytes"],
+            "n_blocks_after": new_footer["n_blocks"],
+            "encoded_bytes_after": new_footer["encoded_bytes"],
+            "merged": len(merged_ids), "created": len(new_records)}
+
+
 def store_total_bytes(store_dir: str) -> int:
     """Total on-disk size of blocks + manifest + footer (the honest number
     compared against Parquet+zstd in the size gate)."""

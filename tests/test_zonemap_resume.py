@@ -148,3 +148,46 @@ def test_predicate_pushdown_in_op(store):
                           "int64")).as_py()
     n = decode_store(st, predicate=("source", "in", ["web", "code"])).count()
     assert n == want
+
+
+def test_compact_store_merges_tails(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from howard_ray.pipeline import compact_store
+
+    src = write_corpus(str(tmp_path / "c.parquet"), 6000)
+    st = str(tmp_path / "store")
+    encode_dataset(src, st, mode="cluster", target_rows=600)
+    f0 = load_footer(st)
+    orig = decode_store(st).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    res = compact_store(st, target_rows=600)
+    f1 = load_footer(st)
+    assert f1["n_rows"] == f0["n_rows"]
+    assert res["n_blocks_after"] <= res["n_blocks_before"]
+    if res["merged"]:
+        assert res["created"] < res["merged"]
+        # merged member files were deleted after the footer swap
+        for b in f1["blocks"]:
+            assert os.path.exists(os.path.join(st, "blocks", b["block_id"] + ".hrb"))
+    after = decode_store(st).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(orig, after[orig.columns.tolist()])
+    # second pass is a no-op (idempotent)
+    assert compact_store(st, target_rows=600)["merged"] == 0
+    # predicate decode still exact over the compacted store
+    t = pq.read_table(src)
+    want = pc.sum(pc.cast(pc.equal(t["source"], "web"), "int64")).as_py()
+    assert decode_store(st, predicate=("source", "==", "web")).count() == want
+
+
+def test_compact_store_no_op_on_full_blocks(ray_session, tmp_path):
+    from howard_ray.pipeline import compact_store
+
+    src = write_corpus(str(tmp_path / "c.parquet"), 2000)
+    st = str(tmp_path / "store")
+    encode_dataset(src, st, mode="stream", target_rows=1000)
+    f0 = load_footer(st)
+    res = compact_store(st, target_rows=1000)
+    assert res["n_blocks_after"] == f0["n_blocks"]
