@@ -90,30 +90,156 @@ def completed_blocks(store_dir: str, verify: bool = False) -> dict[str, dict]:
     return done
 
 
+def _footer_shard_size() -> int:
+    """Blocks per footer shard. Above this count the footer index splits
+    into shard files with per-shard aggregate zone maps, so a 10^7-block
+    store (10^12 rows / 100k-row blocks) never requires the driver to hold
+    or parse one multi-GB JSON; a filtered read prunes whole shard files
+    before reading a single block record."""
+    return int(os.environ.get("HOWARD_FOOTER_SHARD_SIZE", "100000"))
+
+
+def _shard_zone(recs: list[dict]) -> dict:
+    """Per-column aggregate [min, max] over the shard's block zone maps.
+    A column missing a zone map in ANY member block is omitted (cannot
+    prune the shard on it)."""
+    zone: dict = {}
+    dead: set = set()
+    for r in recs:
+        cols = r.get("columns") or {}
+        for c in set(zone) | set(cols):
+            if c in dead:
+                continue
+            st = (cols.get(c) or {}).get("stats") or {}
+            if "min" not in st:
+                dead.add(c)
+                zone.pop(c, None)
+                continue
+            z = zone.get(c)
+            if z is None:
+                if r is recs[0]:
+                    zone[c] = [st["min"], st["max"]]
+                else:  # column absent from an earlier block
+                    dead.add(c)
+                continue
+            z[0] = min(z[0], st["min"])
+            z[1] = max(z[1], st["max"])
+    return zone
+
+
+def _atomic_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, separators=(",", ":"))
+    os.replace(tmp, path)
+
+
 def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = None) -> dict:
     """Write the ordered global footer index: blocks sorted by
     (sort_key, block_id) with offsets-free per-block stats — the engine's
     zone map (analog of the reference's .hdr sidecar + tabix index,
-    howard/objects/variants.py:2351-2444, functions/commons.py:2403-2411)."""
+    howard/objects/variants.py:2351-2444, functions/commons.py:2403-2411).
+
+    Stores above ``HOWARD_FOOTER_SHARD_SIZE`` blocks write a SHARDED footer:
+    ``footer.json`` holds only totals plus a shard index (file name, counts,
+    aggregate zone map per shard); block records live in
+    ``footer_shards/shard-*.json``. Shard files are written before the
+    footer swap, so the store flips atomically from the old index to the
+    new one."""
     recs = sorted(records, key=lambda r: (r.get("sort_key", ""), r["block_id"]))
-    footer = {
-        "version": 1,
+    totals = {
         "n_blocks": len(recs),
         "n_rows": sum(r["n_rows"] for r in recs),
         "encoded_bytes": sum(r["encoded_bytes"] for r in recs),
-        "blocks": recs,
     }
+    _, _, footer_path = store_paths(store_dir)
+    shard_size = _footer_shard_size()
+    shard_dir = os.path.join(store_dir, "footer_shards")
+
+    def _clean_stale(keep: set) -> None:
+        # after the footer swap: unreferenced shard files are garbage
+        try:
+            for f in os.listdir(shard_dir):
+                if f not in keep and not f.endswith(".tmp"):
+                    os.remove(os.path.join(shard_dir, f))
+        except OSError:
+            pass
+
+    if len(recs) <= shard_size:
+        footer = {"version": 1, **totals, "blocks": recs}
+        if extra:
+            footer.update(extra)
+        _atomic_json(footer_path, footer)
+        _clean_stale(set())
+        return footer
+    os.makedirs(shard_dir, exist_ok=True)
+    shards = []
+    for i in range(0, len(recs), shard_size):
+        chunk = recs[i: i + shard_size]
+        fname = f"shard-{i // shard_size:06d}.json"
+        _atomic_json(os.path.join(shard_dir, fname), chunk)
+        shards.append({"file": fname, "n_blocks": len(chunk),
+                       "n_rows": sum(r["n_rows"] for r in chunk),
+                       "zone": _shard_zone(chunk)})
+    footer = {"version": 2, "sharded": True, **totals, "shards": shards}
     if extra:
         footer.update(extra)
-    _, _, footer_path = store_paths(store_dir)
-    tmp = footer_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(footer, f, separators=(",", ":"))
-    os.replace(tmp, footer_path)
+    _atomic_json(footer_path, footer)
+    _clean_stale({sh["file"] for sh in shards})
     return footer
 
 
 def load_footer(store_dir: str) -> dict:
+    """Full footer with ``blocks`` inflated (sharded footers load every
+    shard — fine for stats/tests; the scale path for filtered reads is
+    ``load_blocks``, which prunes shards before reading them)."""
     _, _, footer_path = store_paths(store_dir)
     with open(footer_path) as f:
-        return json.load(f)
+        footer = json.load(f)
+    if footer.get("sharded"):
+        footer["blocks"] = load_blocks(store_dir, footer=footer)
+    return footer
+
+
+def _zone_survives(stats_of, zones: dict) -> bool:
+    """stats_of: col -> {"min":..,"max":..} or None when unavailable."""
+    for col, (lo, hi) in zones.items():
+        st = stats_of(col)
+        if not st or "min" not in st:
+            continue  # no zone map → cannot prune
+        if hi is not None and st["min"] > hi:
+            return False
+        if lo is not None and st["max"] < lo:
+            return False
+    return True
+
+
+def load_blocks(store_dir: str, zones: dict | None = None,
+                footer: dict | None = None) -> list[dict]:
+    """Block records surviving the ``zones`` filter
+    (col -> (lo, hi), either bound None = open). For sharded footers,
+    shards whose aggregate zone map misses the filter are never read —
+    the driver touches O(surviving blocks), not O(all blocks)."""
+    if footer is None:
+        _, _, footer_path = store_paths(store_dir)
+        with open(footer_path) as f:
+            footer = json.load(f)
+    zones = zones or {}
+    if footer.get("sharded"):
+        blocks: list[dict] = []
+        shard_dir = os.path.join(store_dir, "footer_shards")
+        for sh in footer["shards"]:
+            zone = sh.get("zone") or {}
+            if zones and not _zone_survives(
+                    lambda c: ({"min": zone[c][0], "max": zone[c][1]}
+                               if c in zone else None), zones):
+                continue
+            with open(os.path.join(shard_dir, sh["file"])) as f:
+                blocks.extend(json.load(f))
+    else:
+        blocks = footer["blocks"]
+    if zones:
+        blocks = [b for b in blocks if _zone_survives(
+            lambda c, _b=b: ((_b.get("columns") or {}).get(c) or {}).get("stats"),
+            zones)]
+    return blocks

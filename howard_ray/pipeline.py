@@ -51,6 +51,7 @@ from .manifest import (
     block_path,
     completed_blocks,
     init_store,
+    load_blocks,
     load_footer,
     write_footer,
 )
@@ -538,8 +539,6 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
     ONLY when the mask matches at least one row (late materialization) —
     a no-match block costs one column decode, not a full-table decode.
     """
-    footer = load_footer(store_dir)
-    blocks = footer["blocks"]
     zones = dict(zone_filter or {})
     if predicate is not None:
         col, op, _ = predicate
@@ -547,19 +546,9 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
             raise ValueError(f"unsupported predicate op {op!r}")
         for c, rng in _predicate_zone(predicate).items():
             zones.setdefault(c, rng)
-    if zones:
-        def survives(b: dict) -> bool:
-            meta = b.get("columns") or {}
-            for col, (lo, hi) in zones.items():
-                stats = meta.get(col, {}).get("stats") if meta else None
-                if stats is None or "min" not in stats:
-                    continue  # no zone map → cannot prune
-                if hi is not None and stats["min"] > hi:
-                    return False
-                if lo is not None and stats["max"] < lo:
-                    return False
-            return True
-        blocks = [b for b in blocks if survives(b)]
+    # sharded footers prune whole shard files by their aggregate zone maps
+    # before any block record is read (manifest.load_blocks)
+    blocks = load_blocks(store_dir, zones)
     paths = [{"path": block_path(store_dir, b["block_id"])} for b in blocks]
     if not paths:
         return ray.data.from_items([]).map_batches(lambda b: b)
@@ -695,7 +684,8 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
     merged_ids = {b["block_id"] for bin_ in bins for b in bin_}
     kept = [b for b in blocks if b["block_id"] not in merged_ids]
     extra = {k: v for k, v in footer.items()
-             if k not in ("version", "n_blocks", "n_rows", "encoded_bytes", "blocks")}
+             if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
+                          "blocks", "sharded", "shards")}
     new_footer = write_footer(store_dir, kept + new_records, extra=extra)
     # footer is durable — now the old files are unreachable garbage
     for bid in merged_ids:

@@ -191,3 +191,55 @@ def test_compact_store_no_op_on_full_blocks(ray_session, tmp_path):
     f0 = load_footer(st)
     res = compact_store(st, target_rows=1000)
     assert res["n_blocks_after"] == f0["n_blocks"]
+
+
+def test_sharded_footer_roundtrip(ray_session, tmp_path, monkeypatch):
+    import json as _json
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from howard_ray.manifest import load_blocks
+    from howard_ray.pipeline import compact_store
+
+    monkeypatch.setenv("HOWARD_FOOTER_SHARD_SIZE", "4")
+    src = write_corpus(str(tmp_path / "c.parquet"), 6000)
+    st = str(tmp_path / "store")
+    encode_dataset(src, st, mode="cluster", target_rows=400)
+
+    raw = _json.load(open(os.path.join(st, "footer.json")))
+    assert raw.get("sharded") is True
+    assert raw["n_blocks"] == sum(s["n_blocks"] for s in raw["shards"])
+    # every shard carries an aggregate zone map for the zoned columns
+    assert all("zone" in s for s in raw["shards"])
+
+    # load_footer inflates; load_blocks prunes at shard level first
+    f = load_footer(st)
+    assert len(f["blocks"]) == f["n_blocks"]
+    surv = load_blocks(st, {"source": ("web", "web")})
+    assert 0 < len(surv) < f["n_blocks"]
+    assert all(b["columns"]["source"]["stats"]["min"] == "web" for b in surv)
+
+    # decode + predicate pushdown are exact over the sharded footer
+    t = pq.read_table(src)
+    orig = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dec = decode_store(st).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(orig, dec[orig.columns.tolist()])
+    want = pc.sum(pc.cast(pc.equal(t["source"], "web"), "int64")).as_py()
+    assert decode_store(st, predicate=("source", "==", "web")).count() == want
+
+    # compaction preserves content and re-shards
+    compact_store(st, target_rows=400)
+    dec2 = decode_store(st).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(orig, dec2[orig.columns.tolist()])
+
+    # raising the threshold folds back to a v1 footer and cleans stale shards
+    monkeypatch.setenv("HOWARD_FOOTER_SHARD_SIZE", "100000")
+    compact_store(st, target_rows=400, min_fill=0.99)
+    raw2 = _json.load(open(os.path.join(st, "footer.json")))
+    if not raw2.get("sharded"):
+        import glob as _glob
+        assert _glob.glob(os.path.join(st, "footer_shards", "*")) == []
+    dec3 = decode_store(st).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(orig, dec3[orig.columns.tolist()])
