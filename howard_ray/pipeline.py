@@ -420,24 +420,38 @@ def encode_dataset(
             # long-lived and a prior archive-profile run leaves LEVEL=19
             # behind, which would silently zstd-19 every mini-block here
             zstd_mod.set_level(ENCODE_PROFILES["standard"]["zstd_level"])
-            src_arr = np.asarray(batch["source"].to_pandas(), dtype=object)
-            n_salt = np.array([salts.get(s, 1) for s in src_arr], dtype=np.uint64)
+            import pyarrow.compute as pc
+            enc = pc.dictionary_encode(batch["source"].combine_chunks()
+                                       if isinstance(batch["source"], pa.ChunkedArray)
+                                       else batch["source"])
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            dict_vals = enc.dictionary.to_pylist()
+            codes = np.asarray(enc.indices)
+            per_dict = np.array([salts.get(s, 1) for s in dict_vals],
+                                dtype=np.uint64)
+            n_salt = per_dict[codes]
             h = stable_hash_u64(batch["doc_id"])
             salt = (h % n_salt).astype(np.int64)
-            # vectorized partition: lexsort by (source, salt) then boundary split
-            order = np.lexsort((salt, src_arr.astype("U")))
+            # vectorized partition: lexsort by (source-code, salt) then
+            # boundary split on the sorted integer pair — no per-row Python.
+            # Group ORDER within this batch is code- not string-ordered;
+            # irrelevant downstream (groups re-shuffle by key, final block
+            # content re-sorts by doc_id in encode_group_minis).
+            order = np.lexsort((salt, codes))
             sorted_batch = batch.take(pa.array(order))
-            s_sorted, t_sorted = src_arr[order], salt[order]
-            keys = np.array([f"{a}\x00{b}" for a, b in zip(s_sorted, t_sorted)])
-            bounds = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
-            ends = np.concatenate((bounds[1:], [len(keys)]))
+            c_sorted, t_sorted = codes[order], salt[order]
+            bounds = np.flatnonzero(np.concatenate(
+                ([True], (c_sorted[1:] != c_sorted[:-1])
+                 | (t_sorted[1:] != t_sorted[:-1]))))
+            ends = np.concatenate((bounds[1:], [len(c_sorted)]))
             out_src, out_salt, out_payload, out_rows = [], [], [], []
             codecs = {c: FAST_CODECS[c] for c in batch.column_names
                       if c in FAST_CODECS}
             for b, e in zip(bounds, ends):
                 sub = sorted_batch.slice(int(b), int(e - b))
                 data, _ = encode_block(sub, "mini", codecs=codecs)
-                out_src.append(s_sorted[b])
+                out_src.append(dict_vals[int(c_sorted[b])])
                 out_salt.append(int(t_sorted[b]))
                 out_payload.append(data)
                 out_rows.append(int(e - b))
