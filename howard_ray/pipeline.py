@@ -199,14 +199,9 @@ def auto_target_rows(input_path: str | list[str]) -> int:
         return TARGET_ROWS_PER_BLOCK
 
 
-def _narrowable_token_type(input_path: str | list[str]) -> pa.DataType | None:
-    """If parquet column statistics PROVE every tokens value fits uint16/
-    uint8, return the narrow type — the salted shuffle then moves half (or a
-    quarter) of the token bytes. Metadata-only: no data is read. Returns
-    None when stats are missing or the range doesn't fit (optimization is
-    skipped, never unsound)."""
-    import pyarrow.parquet as pq
-
+def _parquet_files(input_path: str | list[str]) -> list[str]:
+    """Expand a path / dir / list into the ordered parquet file list — the
+    ONE place that defines which files an input spec means."""
     paths = input_path if isinstance(input_path, list) else [input_path]
     files: list[str] = []
     for p in paths:
@@ -215,47 +210,91 @@ def _narrowable_token_type(input_path: str | list[str]) -> pa.DataType | None:
                       if n.endswith(".parquet")]
         else:
             files.append(p)
+    return files
+
+
+def _input_meta(input_path: str | list[str]) -> tuple[int, pa.DataType | None]:
+    """ONE driver-side parquet-footer sweep (each file's metadata opened
+    once — this sits on the serial critical path before the exchange, so it
+    must not scale with anything but file count) returning:
+
+    - total row groups: the finest granularity the scan can split into;
+    - the metadata-PROVEN narrow token type (uint16/uint8 list) if column
+      statistics bound every tokens value — the salted shuffle then moves
+      half (or a quarter) of the token bytes. None when stats are missing
+      or the range doesn't fit (optimization skipped, never unsound).
+    """
+    import pyarrow.parquet as pq
+
+    n_groups = 0
     lo, hi = None, None
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        try:
-            idx = next(i for i in range(md.num_columns)
-                       if md.row_group(0).column(i).path_in_schema
-                       .startswith("tokens."))
-        except (StopIteration, IndexError):
-            return None
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(idx).statistics
-            if st is None or not st.has_min_max:
-                return None
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-    if lo is None or lo < 0:
-        return None
-    if hi < 2**8:
-        return pa.list_(pa.uint8())
-    if hi < 2**16:
-        return pa.list_(pa.uint16())
-    return None
-
-
-def _row_group_count(input_path: str | list[str]) -> int:
-    """Total parquet row groups across the input — the finest granularity
-    the scan can split into. Metadata-only (no data read)."""
-    import pyarrow.parquet as pq
-
-    paths = input_path if isinstance(input_path, list) else [input_path]
-    files: list[str] = []
-    for p in paths:
-        if os.path.isdir(p):
-            files += [os.path.join(p, n) for n in sorted(os.listdir(p))
-                      if n.endswith(".parquet")]
-        else:
-            files.append(p)
+    stats_ok = True
     try:
-        return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
-    except Exception:
-        return 0  # unknown layout -> keep the repartition fallback
+        for f in _parquet_files(input_path):
+            md = pq.ParquetFile(f).metadata
+            n_groups += md.num_row_groups
+            if not stats_ok or md.num_row_groups == 0:
+                stats_ok = stats_ok and md.num_row_groups > 0
+                continue
+            try:
+                idx = next(i for i in range(md.num_columns)
+                           if md.row_group(0).column(i).path_in_schema
+                           .startswith("tokens."))
+            except (StopIteration, IndexError):
+                stats_ok = False
+                continue
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    stats_ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    except OSError:
+        return 0, None
+    narrow = None
+    if stats_ok and lo is not None and lo >= 0:
+        if hi < 2**8:
+            narrow = pa.list_(pa.uint8())
+        elif hi < 2**16:
+            narrow = pa.list_(pa.uint16())
+    return n_groups, narrow
+
+
+_NULL_SRC = "\x00"  # shuffle-key sentinel for source=NULL rows (cannot
+# collide with a real source: \x00 never survives a parquet string write
+# from any sane producer, and the stored DATA keeps the true null — the
+# sentinel exists only in shuffle keys and salt lookups)
+
+
+def _safe_key(source) -> str:
+    """Filesystem-safe block-key component: percent-encode everything
+    outside [A-Za-z0-9_.-]; None (null source) -> '%00'."""
+    if source is None or source == _NULL_SRC:
+        return "%00"
+    return "".join(c if c.isalnum() or c in "_.-" else f"%{ord(c):02x}"
+                   for c in str(source))
+
+
+def _salt_codes(source_col, salts: dict[str, int]):
+    """Vectorized salt-count lookup shared by the cluster and exchange
+    stages: dictionary-encode the source column (few uniques; nulls fold to
+    the _NULL_SRC sentinel), map only the DICTIONARY through the salts
+    dict, then gather per row — no per-row Python in the hot path. Returns
+    (dict_values, per-row codes, per-row salt counts)."""
+    import pyarrow.compute as pc
+
+    col = (source_col.combine_chunks()
+           if isinstance(source_col, pa.ChunkedArray) else source_col)
+    if col.null_count:
+        col = pc.fill_null(col, _NULL_SRC)
+    enc = pc.dictionary_encode(col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dict_vals = enc.dictionary.to_pylist()
+    codes = np.asarray(enc.indices)
+    per_dict = np.array([salts.get(s, 1) for s in dict_vals], dtype=np.uint64)
+    return dict_vals, codes, per_dict[codes]
 
 
 def _per_source_counts(input_path: str | list[str]) -> dict[str, int]:
@@ -267,7 +306,12 @@ def _per_source_counts(input_path: str | list[str]) -> dict[str, int]:
     parquet scan in this Ray version."""
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        vc = pc.value_counts(batch["source"])
+        col = (batch["source"].combine_chunks()
+               if isinstance(batch["source"], pa.ChunkedArray)
+               else batch["source"])
+        # null sources count under the same sentinel the salt stages use,
+        # so even an (unrealistic) null-heavy skew still gets salted
+        vc = pc.value_counts(pc.fill_null(col, _NULL_SRC))
         return pa.table({"source": vc.field("values"),
                          "cnt": vc.field("counts")})
     parts = ray.data.read_parquet(input_path, columns=["source"]) \
@@ -350,8 +394,9 @@ def encode_dataset(
         salts = {s: max(1, -(-c // target_rows)) for s, c in counts.items()}
         # shuffle-volume narrowing: metadata-proven safe cast of tokens to
         # uint16/uint8 before the all-to-all halves (or quarters) the bytes
-        # moved; the group stage casts back before encoding
-        narrow = _narrowable_token_type(input_path)
+        # moved; the group stage casts back before encoding. One footer
+        # sweep also yields the row-group count for the partitioning gate.
+        n_row_groups, narrow = _input_meta(input_path)
         wide_type = None
         if narrow is not None:
             schema = ds.schema().base_schema
@@ -359,22 +404,15 @@ def encode_dataset(
                 wide_type = schema.field("tokens").type
 
         def add_salt(batch: pa.Table) -> pa.Table:
-            # vectorized salt-count lookup: dictionary-encode source (few
-            # uniques), map only the dictionary through the salts dict, then
-            # gather per row — no per-row Python iteration in the hot path
             import pyarrow.compute as pc
-            enc = pc.dictionary_encode(
-                batch["source"].combine_chunks()
-                if isinstance(batch["source"], pa.ChunkedArray)
-                else batch["source"])
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            dict_vals = enc.dictionary.to_pylist()
-            per_dict = np.array([salts.get(s, 1) for s in dict_vals],
-                                dtype=np.uint64)
-            n_salt = per_dict[np.asarray(enc.indices)]
+            _, _, n_salt = _salt_codes(batch["source"], salts)
             h = stable_hash_u64(batch["doc_id"])
             out = batch.append_column("salt", pa.array((h % n_salt).astype(np.int64)))
+            # shuffle key: null sources fold to the sentinel (Ray's sort
+            # boundary sampling compares keys in Python and cannot order
+            # None vs str); the DATA column keeps the true null
+            out = out.append_column(
+                "__gsrc", pc.fill_null(out["source"], _NULL_SRC))
             if wide_type is not None:
                 idx = out.schema.get_field_index("tokens")
                 out = out.set_column(idx, "tokens", out["tokens"].cast(narrow))
@@ -387,9 +425,9 @@ def encode_dataset(
             from .codecs.bitpack import warmup
             warmup()  # once per worker process (module-level cache)
             zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
-            source = group["source"][0].as_py()
+            source = _safe_key(group["source"][0].as_py())
             salt = group["salt"][0].as_py()
-            body = group.drop_columns(["salt"])
+            body = group.drop_columns(["salt", "__gsrc"])
             if wide_type is not None:
                 idx = body.schema.get_field_index("tokens")
                 body = body.set_column(idx, "tokens", body["tokens"].cast(wide_type))
@@ -411,28 +449,24 @@ def encode_dataset(
             max(2, min(2 * pool, 128,
                        -(-n_rows_est // max(1, target_rows))))
         # Parallelism shaping WITHOUT an extra exchange: when the parquet
-        # layout itself can be split into enough read blocks (>= the lesser
-        # of n_parts and the pool — metadata-only row-group count), ask the
-        # READ for n_parts blocks and feed the sort directly; the old
+        # layout itself can be split into n_parts read blocks (metadata
+        # row-group count from the same footer sweep as the narrowing), ask
+        # the READ for n_parts blocks and feed the sort directly; the old
         # .repartition(n_parts) round (a second full all-to-all before the
         # sort, ~15-20% of cluster-mode wall) remains only as the fallback
-        # for single-file/single-row-group inputs the scan cannot split.
-        if _row_group_count(input_path) >= min(n_parts, pool) \
-                and not os.environ.get("HOWARD_FORCE_REPART"):
-            ds = ray.data.read_parquet(input_path, columns=columns,
-                                       override_num_blocks=n_parts)
-            rec_ds = (
-                ds.map_batches(add_salt, batch_format="pyarrow")
-                  .groupby(["source", "salt"])
-                  .map_groups(encode_group, batch_format="pyarrow")
-            )
+        # for single-file/few-row-group inputs the scan cannot split wide
+        # enough (the sort shuffle's partition count follows its input
+        # block count, so an under-split read would throttle the exchange).
+        if not os.environ.get("HOWARD_FORCE_REPART") \
+                and n_row_groups >= n_parts:
+            salted = ray.data.read_parquet(
+                input_path, columns=columns, override_num_blocks=n_parts,
+            ).map_batches(add_salt, batch_format="pyarrow")
         else:
-            rec_ds = (
-                ds.map_batches(add_salt, batch_format="pyarrow")
-                  .repartition(n_parts)
-                  .groupby(["source", "salt"])
-                  .map_groups(encode_group, batch_format="pyarrow")
-            )
+            salted = ds.map_batches(add_salt, batch_format="pyarrow") \
+                       .repartition(n_parts)
+        rec_ds = salted.groupby(["__gsrc", "salt"]) \
+                       .map_groups(encode_group, batch_format="pyarrow")
     elif mode == "cluster-exchange":
         # network-optimized cluster pipeline: rows are pre-encoded into
         # per-(source,salt) MINI-BLOCKS before the all-to-all, so the
@@ -449,6 +483,13 @@ def encode_dataset(
                        "tokens": "for_bytes", "n_tok": "for_bytes"}
 
         def pack_minis(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({
+                    "source": pa.array([], type=pa.string()),
+                    "salt": pa.array([], type=pa.int64()),
+                    "payload": pa.array([], type=pa.binary()),
+                    "n_rows": pa.array([], type=pa.int64()),
+                })
             from .codecs import zstd as zstd_mod
             from .codecs.bitpack import warmup
             warmup()
@@ -456,17 +497,7 @@ def encode_dataset(
             # long-lived and a prior archive-profile run leaves LEVEL=19
             # behind, which would silently zstd-19 every mini-block here
             zstd_mod.set_level(ENCODE_PROFILES["standard"]["zstd_level"])
-            import pyarrow.compute as pc
-            enc = pc.dictionary_encode(batch["source"].combine_chunks()
-                                       if isinstance(batch["source"], pa.ChunkedArray)
-                                       else batch["source"])
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            dict_vals = enc.dictionary.to_pylist()
-            codes = np.asarray(enc.indices)
-            per_dict = np.array([salts.get(s, 1) for s in dict_vals],
-                                dtype=np.uint64)
-            n_salt = per_dict[codes]
+            dict_vals, codes, n_salt = _salt_codes(batch["source"], salts)
             h = stable_hash_u64(batch["doc_id"])
             salt = (h % n_salt).astype(np.int64)
             # vectorized partition: lexsort by (source-code, salt) then
@@ -505,7 +536,7 @@ def encode_dataset(
             from .codecs.bitpack import warmup
             warmup()
             zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
-            source = group["source"][0].as_py()
+            source = _safe_key(group["source"][0].as_py())
             salt = group["salt"][0].as_py()
             tables = [decode_block(p.as_py()) for p in group["payload"]]
             body = pa.concat_tables(tables).combine_chunks()

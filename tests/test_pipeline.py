@@ -150,3 +150,24 @@ def test_cluster_exchange_roundtrip(ray_session, corpus_file, tmp_path):
     assert c1 == c2
     out = pa.concat_tables(ray.get(decode_store(st1).to_arrow_refs()))
     _assert_same(pq.read_table(corpus_file), out)
+
+
+def test_null_source_rows_survive_both_cluster_modes(ray_session, tmp_path):
+    """Rows with source=NULL must not crash the salted stages (dictionary
+    indices would carry nulls); they fold into the '' salt group and round-
+    trip unchanged."""
+    import ray
+
+    t = make_tokens_corpus(200)
+    src = t["source"].to_pylist()
+    src[3] = None
+    src[77] = None
+    t = t.set_column(t.schema.get_field_index("source"), "source",
+                     pa.array(src, type=pa.string()))
+    path = str(tmp_path / "nulls.parquet")
+    pq.write_table(t, path)
+    for mode in ("cluster", "cluster-exchange"):
+        store = str(tmp_path / f"st_{mode}")
+        encode_dataset(path, store, mode=mode, target_rows=64)
+        out = pa.concat_tables(ray.get(decode_store(store).to_arrow_refs()))
+        _assert_same(t, out)
