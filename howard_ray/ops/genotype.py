@@ -107,7 +107,11 @@ def vaf_normalize(sf_dir: str):
             _, _, ad0, ad1 = _split_sample(batch[s])
             tot = ad0 + ad1
             raw = ad1 / tot
-            vaf_str = raw.map(lambda x: f"{x:.6f}")
+            # vectorized %.6f formatting (np.char.mod), no per-row lambda;
+            # the NaN from 0/0 is masked to '.' right after
+            vaf_str = pd.Series(
+                np.char.mod("%.6f", raw.to_numpy(np.float64)),
+                index=batch.index)
             vaf_str[tot == 0] = "."
             out[f"vaf{idx}"] = raw.round(6).where(tot > 0)
             out[s] = batch[s] + ":" + vaf_str

@@ -195,12 +195,19 @@ def _flat_ngrams(batch: pa.Table, gram: int) -> tuple[np.ndarray, np.ndarray]:
 
 def decontaminate(sf_dir: str):
     """Flag training docs sharing any word-4-gram with the benchmark subset
-    (doc_id % 13 == 0 — the stand-in for a held-out eval set). The
-    benchmark gram set is built in one pruned pass (distinct grams emitted
-    per batch, reduced driver-side — it is the genuinely small side) and
-    broadcast once via ray.put; the scan over the training split is a
-    stateless map_batches with a vectorized isin. Emits (doc_id,
-    n_gram_hits) for contaminated docs only."""
+    (doc_id % 13 == 0 — the stand-in for a held-out eval set).
+
+    Scale shape: BOTH sides of the containment test grow linearly with the
+    corpus (the benchmark is a fixed 1/13 fraction), so neither may be
+    broadcast or collected. The pipeline emits per-batch-distinct (doc_id,
+    gram) pairs for the training split (a doc never spans batches, so
+    per-batch dedup is globally exact) and per-batch-distinct grams for the
+    benchmark split, makes the benchmark grams globally distinct with a
+    keyed groupby, hash-JOINs the two streams on gram, and counts hits per
+    doc — every stage a bounded shuffle, nothing driver-side. Emits
+    (doc_id, n_gram_hits) for contaminated docs only."""
+    from ray.data.aggregate import Count
+
     ds = tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def bench_grams(batch: pa.Table) -> pa.Table:
@@ -212,30 +219,30 @@ def decontaminate(sf_dir: str):
         _, grams = _flat_ngrams(sub, GRAM)
         return pa.table({"gram": pa.array(pd.unique(grams), type=pa.string())})
 
-    bench = set()
-    for r in ds.map_batches(bench_grams, batch_format="pyarrow").take_all():
-        bench.add(r["gram"])
-    bench_ref = ray.put(np.array(sorted(bench), dtype=object))
-
-    def scan(batch: pa.Table) -> pa.Table:
+    def train_grams(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
         keep = ids % BENCH_MOD != 0
         sub = batch.filter(pa.array(keep))
         if sub.num_rows == 0:
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                             "n_gram_hits": pa.array([], type=pa.int64())})
+                             "gram": pa.array([], type=pa.string())})
         rows, grams = _flat_ngrams(sub, GRAM)
         df = pd.DataFrame({"row": rows, "gram": grams}).drop_duplicates()
-        hit = df[df["gram"].isin(ray.get(bench_ref))]
-        per_doc = hit.groupby("row").size()
         sub_ids = np.asarray(sub["doc_id"], dtype=np.int64)
         return pa.table({
-            "doc_id": pa.array(sub_ids[per_doc.index.to_numpy()],
-                               type=pa.int64()),
-            "n_gram_hits": pa.array(per_doc.to_numpy(np.int64)),
+            "doc_id": pa.array(sub_ids[df["row"].to_numpy()], type=pa.int64()),
+            "gram": pa.array(df["gram"].to_numpy(), type=pa.string()),
         })
 
-    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    bench = (ds.map_batches(bench_grams, batch_format="pyarrow")
+               .groupby("gram").aggregate(Count(alias_name="__b"))
+               .drop_columns(["__b"]))  # globally distinct benchmark grams
+    train = ds.map_batches(train_grams, batch_format="pyarrow")
+    hits = train.join(bench, join_type="inner", num_partitions=16,
+                      on=("gram",))
+    out = (hits.groupby("doc_id").aggregate(Count(alias_name="n_gram_hits"))
+               .to_pandas())
+    out["n_gram_hits"] = out["n_gram_hits"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -273,8 +280,17 @@ def token_bigrams(sf_dir: str):
         return pa.table({"bigram": pa.array(vc.index, type=pa.string()),
                          "cnt": pa.array(vc.to_numpy(np.int64))})
 
+    def local_top(batch: pa.Table) -> pa.Table:
+        # per-block top-k prune AFTER the grouped counts are final: the
+        # global top-100 is a subset of the union of per-block top-100s,
+        # so only <=100 rows per block reach the driver
+        df = batch.to_pandas()
+        df = df.sort_values(["cnt", "bigram"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(100), preserve_index=False)
+
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("bigram").aggregate(Sum("cnt", alias_name="cnt"))
+             .map_batches(local_top, batch_format="pyarrow")
              .to_pandas())
     out["cnt"] = out["cnt"].astype("int64")
     out = out.sort_values(["cnt", "bigram"], ascending=[False, True])

@@ -20,8 +20,10 @@ surface matters: this module parses the subset
 and compiles it to the idiomatic Ray pipeline: column-pruned
 ``read_parquet`` → vectorized Arrow predicate in ``map_batches`` →
 ``groupby().aggregate()`` (Ray's partial-then-final grouped aggregation)
-→ ordered driver-side finish on the (small) result. AVG is computed as
-SUM/COUNT so the distributed part stays mergeable.
+→ ordered driver-side finish on the (small) aggregate result. AVG is
+computed as SUM/COUNT so the distributed part stays mergeable. Plain
+(non-aggregate) SELECTs keep ORDER BY / LIMIT distributed (``ds.sort`` /
+``ds.limit``) — only the already-limited result reaches the driver.
 
 The correctness gate runs THE SAME SQL TEXT through DuckDB as the oracle —
 one string, two engines, value-hash-equal results.
@@ -143,14 +145,23 @@ def _predicate(batch: pa.Table, conds: list[dict]) -> pa.Table:
         op, val = c["op"], c["val"]
         if op == "LIKE":
             pat = str(val)
-            if pat.startswith("%") and pat.endswith("%"):
-                m = pc.match_substring(col, pat.strip("%"))
-            elif pat.endswith("%"):
-                m = pc.starts_with(col, pat.rstrip("%"))
-            elif pat.startswith("%"):
-                m = pc.ends_with(col, pat.lstrip("%"))
+            inner = pat.strip("%")
+            if "%" not in inner and "_" not in pat:
+                # fast substring/prefix/suffix/equality kernels
+                if pat.startswith("%") and pat.endswith("%"):
+                    m = pc.match_substring(col, inner)
+                elif pat.endswith("%"):
+                    m = pc.starts_with(col, inner)
+                elif pat.startswith("%"):
+                    m = pc.ends_with(col, inner)
+                else:
+                    m = pc.equal(col, pat)
             else:
-                m = pc.equal(col, pat)
+                # general LIKE (interior % / _): translate to an anchored
+                # regex — % -> .*, _ -> ., everything else escaped
+                rx = "".join(".*" if ch == "%" else "." if ch == "_"
+                             else re.escape(ch) for ch in pat)
+                m = pc.match_substring_regex(col, f"^(?s:{rx})$")
         else:
             fn = {"=": pc.equal, "!=": pc.not_equal, "<>": pc.not_equal,
                   "<": pc.less, "<=": pc.less_equal,
@@ -182,7 +193,13 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
                 continue
             key = f"__a{i}"
             if it["agg"] == "COUNT":
-                aggs.append(Count(alias_name=key))
+                # COUNT(*) counts rows; COUNT(col) counts NON-NULL values
+                # (SQL semantics — the DuckDB oracle runs the same text)
+                if it["arg"] == "*":
+                    aggs.append(Count(alias_name=key))
+                else:
+                    aggs.append(Count(on=it["arg"], ignore_nulls=True,
+                                      alias_name=key))
             elif it["agg"] == "SUM":
                 aggs.append(Sum(it["arg"], alias_name=key))
             elif it["agg"] == "MIN":
@@ -190,8 +207,10 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
             elif it["agg"] == "MAX":
                 aggs.append(Max(it["arg"], alias_name=key))
             elif it["agg"] == "AVG":
+                # SUM skips nulls, so the divisor must too
                 aggs.append(Sum(it["arg"], alias_name=key + "_s"))
-                aggs.append(Count(alias_name=key + "_c"))
+                aggs.append(Count(on=it["arg"], ignore_nulls=True,
+                                  alias_name=key + "_c"))
             post.append((i, key, it))
         if plan["group"]:
             out = ds.groupby(plan["group"]).aggregate(*aggs).to_pandas()
@@ -207,15 +226,30 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
                 out[it["alias"]] = out[it["alias"]].astype("int64")
             if it["nd"] is not None:
                 out[it["alias"]] = out[it["alias"]].astype(float).round(it["nd"])
+        out = out.rename(columns={it["col"]: it["alias"]
+                                  for it in plan["items"]
+                                  if it["col"] and not it["agg"]})
         cols = [it["alias"] for it in plan["items"]]
         out = out[cols]
     else:
+        # plain SELECT: keep order/limit DISTRIBUTED — a large filtered
+        # table must never be pulled to the driver just to sort and slice
+        if plan["order"]:
+            ds = ds.sort([c for c, _ in plan["order"]],
+                         descending=[d for _, d in plan["order"]])
+        if plan["limit"] is not None:
+            ds = ds.limit(plan["limit"])
         out = ds.to_pandas()
         if out.empty:  # empty Datasets lose their schema through to_pandas
             out = pd.DataFrame({it["col"]: [] for it in plan["items"]})
         out = out.rename(columns={it["col"]: it["alias"]
                                   for it in plan["items"] if it["col"]})
         out = out[[it["alias"] for it in plan["items"]]]
+
+    # ROUND on plain (non-aggregate) columns — agg rounding handled above
+    for it in plan["items"]:
+        if it["nd"] is not None and not it["agg"]:
+            out[it["alias"]] = out[it["alias"]].astype(float).round(it["nd"])
 
     if plan["order"]:
         out = out.sort_values([c for c, _ in plan["order"]],

@@ -205,6 +205,7 @@ def read_vcf_header(path: str) -> tuple[VCFHeader, int]:
     Returns (header, n_header_lines) — metadata-only, reads just the head
     of one file. A ``<path>.hdr`` sidecar takes precedence for the typed
     declarations (reference variants.py:428-430)."""
+    orig = path
     path = _first_vcf_file(path)
     lines: list[str] = []
     with _open_text(path) as f:
@@ -216,14 +217,18 @@ def read_vcf_header(path: str) -> tuple[VCFHeader, int]:
             else:
                 break
     header = VCFHeader.parse(lines)
-    sidecar = path + ".hdr"
-    if os.path.exists(sidecar):
-        with open(sidecar) as f:
-            side = VCFHeader.parse(f.readlines())
-        if side.infos:
-            header.infos = side.infos
-        if side.formats:
-            header.formats = side.formats
+    # shard-directory sidecars live NEXT TO the directory ('<dir>.hdr',
+    # what write_vcf(shard_by_chrom=True) writes); single-file sidecars
+    # next to the file
+    for sidecar in (orig.rstrip("/") + ".hdr", path + ".hdr"):
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                side = VCFHeader.parse(f.readlines())
+            if side.infos:
+                header.infos = side.infos
+            if side.formats:
+                header.formats = side.formats
+            break
     return header, len(lines)
 
 
@@ -234,28 +239,38 @@ def read_vcf(path: str, columns: list[str] | None = None
     everything else string (forced types, reference database.py:72-83)."""
     from pyarrow import csv as pacsv
 
-    header, n_skip = read_vcf_header(path)
+    header, _ = read_vcf_header(path)
     names = CORE_COLS + (["format"] + header.samples if header.samples else [])
 
-    paths = path
     if os.path.isdir(path):
         paths = [os.path.join(path, n) for n in sorted(os.listdir(path))
                  if n.endswith((".vcf", ".vcf.gz"))]
-        gz = paths[0].endswith(".gz")
     else:
-        gz = path.endswith(".gz")
+        paths = [path]
 
-    read_opts = pacsv.ReadOptions(column_names=names, skip_rows=n_skip)
+    # each file owns its header length and compression: group files by
+    # (n_header_lines, gz) and read each group with its own options — a
+    # mixed directory (externally produced shards, differing ## counts,
+    # .vcf next to .vcf.gz) must not inherit the first file's framing
+    groups: dict[tuple[int, bool], list[str]] = {}
+    for p in paths:
+        n_skip = read_vcf_header(p)[1]  # head-of-file read only
+        groups.setdefault((n_skip, p.endswith(".gz")), []).append(p)
+
     parse_opts = pacsv.ParseOptions(delimiter="\t", quote_char=False)
     conv_opts = pacsv.ConvertOptions(
         column_types={"pos": pa.int64(), "qual": pa.string(),
                       **{c: pa.string() for c in names if c != "pos"}})
-    kwargs = {}
-    if gz:
-        kwargs["arrow_open_stream_args"] = {"compression": "gzip"}
-    ds = ray.data.read_csv(paths, read_options=read_opts,
-                           parse_options=parse_opts,
-                           convert_options=conv_opts, **kwargs)
+    ds = None
+    for (n_skip, gz), sub in sorted(groups.items()):
+        read_opts = pacsv.ReadOptions(column_names=names, skip_rows=n_skip)
+        kwargs = {}
+        if gz:
+            kwargs["arrow_open_stream_args"] = {"compression": "gzip"}
+        part = ray.data.read_csv(sub, read_options=read_opts,
+                                 parse_options=parse_opts,
+                                 convert_options=conv_opts, **kwargs)
+        ds = part if ds is None else ds.union(part)
 
     def typed(batch: pa.Table) -> pa.Table:
         q = batch["qual"]
@@ -300,7 +315,12 @@ def write_vcf(ds: ray.data.Dataset, path: str, header: VCFHeader,
     variants.py:2446-2546); ``shard_by_chrom=True`` writes one body shard
     per chromosome in parallel workers instead — the scale path."""
     hdr_text = "\n".join(header.to_lines()) + "\n"
-    if sort:
+    if sort and not shard_by_chrom:
+        # single-file mode needs the GLOBAL (chrom, pos) order; shard mode
+        # sorts within each shard instead — Ray's groupby shuffle orders by
+        # the group key only, so a pre-sort's intra-chrom pos order would
+        # not be guaranteed to survive the exchange anyway (and the second
+        # all-to-all would be wasted work)
         ds = ds.sort(["chrom", "pos"])
     samples = header.samples
 
@@ -309,6 +329,8 @@ def write_vcf(ds: ray.data.Dataset, path: str, header: VCFHeader,
 
         def write_shard(group: pa.Table) -> pa.Table:
             chrom = group["chrom"][0].as_py()
+            if sort:
+                group = group.take(pc.sort_indices(group["pos"]))
             ext = ".vcf.gz" if compress_shards else ".vcf"
             shard = os.path.join(path, f"{chrom}{ext}")
             text = hdr_text + "\n".join(_body_lines(group, samples)) + "\n"

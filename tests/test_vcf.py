@@ -184,3 +184,54 @@ def test_hdr_sidecar_overrides_inferred_schema(tmp_path):
         f.write("\n".join(h.to_lines()) + "\n")
     header, _ = read_vcf_header(p)
     assert header.info_arrow_type("K") == pa.int64()
+
+
+def test_vcf_mixed_directory_read(ray_session, tmp_path):
+    """A directory whose shards differ in header-line count AND compression
+    must read correctly: each file group gets its own skip_rows/gzip
+    framing (regression: first file's framing was applied to all)."""
+    import ray.data
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_orderkey", "l_linenumber"]).slice(0, 120)
+    body = vfix.gen_variants_batch(t).drop_columns(["vidx"])
+    df = body.to_pandas()
+    chroms = sorted(df["chrom"].unique())
+    assert len(chroms) >= 2
+    d = tmp_path / "mixed"
+    d.mkdir()
+    # shard 0: plain vcf with the standard header
+    h = fixture_header()
+    part0 = body.filter(pa.compute.equal(body["chrom"], chroms[0]))
+    write_vcf(ray.data.from_arrow(part0), str(d / f"{chroms[0]}.vcf"), h,
+              sort=True)
+    # shard 1: EXTRA header lines and gzip compression
+    h2 = fixture_header()
+    h2.add_raw("##extra=one")
+    h2.add_raw("##extra=two")
+    rest = body.filter(pa.compute.not_equal(body["chrom"], chroms[0]))
+    write_vcf(ray.data.from_arrow(rest), str(d / "rest.vcf.gz"), h2,
+              sort=True)
+    ds, _ = read_vcf(str(d))
+    assert ds.count() == body.num_rows
+    got = ds.to_pandas().sort_values(["chrom", "pos", "vid"]).reset_index(drop=True)
+    exp = df.sort_values(["chrom", "pos", "vid"]).reset_index(drop=True)
+    assert list(got["pos"]) == list(exp["pos"])
+
+
+def test_shard_dir_hdr_sidecar_read_back(ray_session, tmp_path):
+    """The '<dir>.hdr' sidecar written by shard-mode write_vcf must drive
+    read_vcf_header for the directory (regression: it was never found)."""
+    import ray.data
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_orderkey", "l_linenumber"]).slice(0, 60)
+    body = vfix.gen_variants_batch(t).drop_columns(["vidx"])
+    out = str(tmp_path / "sharded")
+    write_vcf(ray.data.from_arrow(body), out, fixture_header(),
+              shard_by_chrom=True)
+    # retype one INFO field in the sidecar only
+    txt = open(out + ".hdr").read().replace(
+        'ID=DP,Number=1,Type=Integer', 'ID=DP,Number=1,Type=Float')
+    with open(out + ".hdr", "w") as f:
+        f.write(txt)
+    hdr, _ = read_vcf_header(out)
+    assert hdr.infos["DP"]["type"] == "Float"
