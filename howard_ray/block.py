@@ -237,10 +237,16 @@ def read_block_meta(data: bytes) -> dict:
 
 
 def write_block_file(path: str, file_bytes: bytes) -> None:
-    """Atomic write (tmp + rename) so resume never sees a torn block."""
+    """Atomic DURABLE write (tmp + fsync + rename): the fsync before the
+    rename is what entitles the fast resume path to trust 'a file of the
+    right size is a completed write' (manifest.completed_blocks) — without
+    it a power loss after the rename could leave a right-sized file of
+    unwritten pages that resume would skip forever."""
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(file_bytes)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 

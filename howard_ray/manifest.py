@@ -143,9 +143,12 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
     Stores above ``HOWARD_FOOTER_SHARD_SIZE`` blocks write a SHARDED footer:
     ``footer.json`` holds only totals plus a shard index (file name, counts,
     aggregate zone map per shard); block records live in
-    ``footer_shards/shard-*.json``. Shard files are written before the
-    footer swap, so the store flips atomically from the old index to the
-    new one."""
+    ``footer_shards/shard-<gen>-*.json``. Each rewrite uses a FRESH
+    generation number in the shard filenames — never overwriting the files
+    the live footer references — and the footer swap is the single atomic
+    flip; a crash between shard writes and the swap leaves the old footer
+    pointing at intact old-generation shards (new-generation orphans are
+    garbage-collected on the next successful swap)."""
     recs = sorted(records, key=lambda r: (r.get("sort_key", ""), r["block_id"]))
     totals = {
         "n_blocks": len(recs),
@@ -173,10 +176,19 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
         _clean_stale(set())
         return footer
     os.makedirs(shard_dir, exist_ok=True)
+    gen = 0
+    try:  # next unused generation: old footer's shards stay untouched
+        import re as _re
+        for f in os.listdir(shard_dir):
+            m = _re.match(r"shard-(\d+)-", f)
+            if m:
+                gen = max(gen, int(m.group(1)) + 1)
+    except OSError:
+        pass
     shards = []
     for i in range(0, len(recs), shard_size):
         chunk = recs[i: i + shard_size]
-        fname = f"shard-{i // shard_size:06d}.json"
+        fname = f"shard-{gen:06d}-{i // shard_size:06d}.json"
         _atomic_json(os.path.join(shard_dir, fname), chunk)
         shards.append({"file": fname, "n_blocks": len(chunk),
                        "n_rows": sum(r["n_rows"] for r in chunk),

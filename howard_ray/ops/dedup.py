@@ -75,14 +75,19 @@ class MinHasher:
     """Per-batch MinHash signatures over word 3-shingles.
 
     NUM_PERM permutations simulated with the standard (a*h+b) mod p family
-    over a base 64-bit shingle hash; a/b are fixed by seed=42 so signatures
-    are deterministic everywhere (mergeable-sketch discipline)."""
+    over a 31-bit reduction of the base 64-bit shingle hash; a < 2^31 and
+    h < 2^31 keep a*h+b < 2^62 so the modular arithmetic is EXACT in uint64
+    (a 61-bit a times a 64-bit h would wrap mod 2^64 before the % p and the
+    map would no longer be affine — the min-wise-independence bound behind
+    the documented LSH miss probability assumes the true (a*h+b) mod p).
+    a/b are fixed by seed=42 so signatures are deterministic everywhere
+    (mergeable-sketch discipline)."""
 
     P = (1 << 61) - 1  # Mersenne prime
 
     def __init__(self):
         rng = np.random.default_rng(42)
-        self.a = rng.integers(1, self.P, NUM_PERM, dtype=np.int64).astype(np.uint64)
+        self.a = rng.integers(1, 1 << 31, NUM_PERM, dtype=np.int64).astype(np.uint64)
         self.b = rng.integers(0, self.P, NUM_PERM, dtype=np.int64).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
@@ -113,7 +118,8 @@ class MinHasher:
             if nz.any():
                 flat = np.array([s for sl in shingle_lists[lo:hi] for s in sl],
                                 dtype=object)
-                base = stable_hash_u64(flat) % self.P
+                # 31-bit base hash: keeps a*h+b exact in uint64 (see class doc)
+                base = stable_hash_u64(flat) >> np.uint64(33)
                 starts = np.concatenate(([0], np.cumsum(c)))[:-1][nz]
                 with np.errstate(over="ignore"):
                     perm = (self.a[:, None] * base[None, :]
@@ -165,8 +171,11 @@ def _minhash_candidates_ds(sf_dir: str):
                 out_a.append(ids[ii])
                 out_b.append(ids[jj])
         if not out_a:
+            # schema must match the pair-bearing groups (the next groupby
+            # shuffles on pbucket)
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "pbucket": pd.Series([], dtype="int64")})
         df = pd.DataFrame({"doc_a": np.concatenate(out_a),
                            "doc_b": np.concatenate(out_b)})
         df["pbucket"] = ((df["doc_a"] * 2654435761 + df["doc_b"])
@@ -431,15 +440,28 @@ def simhash_neardup(sf_dir: str):
                              "doc_b": ids[jj][keep].astype("int64"),
                              "hamming": ham[keep].astype("int64")})
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    n_buckets = 64
+
+    def add_pbucket(batch: pd.DataFrame) -> pd.DataFrame:
+        # pair-distinct via a SMALL bucket key (the pbucket trick from
+        # _minhash_candidates_ds): grouping by the pair itself would pay
+        # one Python map_groups call per distinct pair
+        batch["pbucket"] = ((batch["doc_a"].to_numpy() * 2654435761
+                             + batch["doc_b"].to_numpy())
+                            % n_buckets).astype(np.int64)
+        return batch
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "hamming"]]
 
     out = (tbl(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(bands, batch_format="pandas")
            .groupby(["chunk_id", "chunk_val"])
            .map_groups(pairs, batch_format="pandas")
-           .groupby(["doc_a", "doc_b"])
-           .map_groups(first_row, batch_format="pandas")
+           .map_batches(add_pbucket, batch_format="pandas")
+           .groupby("pbucket")
+           .map_groups(bucket_distinct, batch_format="pandas")
            .to_pandas())
     if out.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),

@@ -265,13 +265,17 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
     """Explicit hash-partitioned join: tag sides, bucket by key hash, shuffle
     once on the bucket, merge matching buckets pairwise inside map_groups.
     The portable both-sides-large join (ray_guide.md pattern); bucket count
-    is the partitioning knob, salt-able for hot keys.
+    is the partitioning knob (normalized up to a power of two — the bucket
+    is a bitmask, and a non-power-of-two mask would silently leave a
+    fraction of buckets permanently empty), salt-able for hot keys.
 
     Cost note: both sides are padded to the union schema with nulls before
     the exchange so Dataset.union sees one schema — acceptable when the
     payloads are narrow (pre-aggregate/prune first, as join_hash does), but
     for wide payloads prefer the native ``Dataset.join`` (join_native),
     which shuffles each side's own schema."""
+    num_buckets = max(1, 1 << (num_buckets - 1).bit_length())  # next pow2
+
     def _fields(ds) -> dict[str, pa.DataType]:
         sch = ds.schema()
         base = sch.base_schema

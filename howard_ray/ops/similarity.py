@@ -28,13 +28,8 @@ def ann_cosine_topk(sf_dir: str):
     """Exact top-k cosine neighbors for query vectors vec_id < N_QUERIES.
     Per-batch partial top-k (matmul against the broadcast query matrix),
     final exact merge on the tiny candidate set."""
-    q_df = (tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-            .filter(lambda r: r["vec_id"] < N_QUERIES)
-            .to_pandas())
-    q_df = q_df.sort_values("vec_id").reset_index(drop=True)
-    qm = _embed_matrix(q_df)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-    q_ref = ray.put((q_df["vec_id"].to_numpy(), qm))
+    q_ids_arr, qm = _query_vectors(sf_dir)
+    q_ref = ray.put((q_ids_arr, qm))
 
     class Score:
         def __init__(self):
@@ -49,7 +44,11 @@ def ann_cosine_topk(sf_dir: str):
             for qi, q_id in enumerate(self.q_ids):
                 s = sims[qi]
                 mask = ids != q_id
-                cand_idx = np.argsort(-s[mask])[:TOP_K]  # partial top-k per batch
+                # partial top-k per batch with the SAME tie-break as the
+                # final merge and the SQL oracle (score DESC, neighbor_id
+                # ASC) — a score-only unstable argsort could drop the
+                # tie-winner inside the batch, unrecoverable at the merge
+                cand_idx = np.lexsort((ids[mask], -s[mask]))[:TOP_K]
                 cids = ids[mask][cand_idx]
                 out.append(pd.DataFrame({
                     "query_id": np.int64(q_id),
@@ -195,9 +194,18 @@ def _kmeans(x: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray
 
 
 def _query_vectors(sf_dir: str):
-    """The (bounded, by contract) query set: vec_id < N_QUERIES, normalized."""
+    """The (bounded, by contract) query set: vec_id < N_QUERIES, normalized.
+    Vectorized Arrow batch filter (a per-row ``filter(lambda)`` would run a
+    Python callable across the whole corpus to pull a handful of rows; a
+    pandas filter would leave empty object-dtype blocks Ray cannot
+    size-estimate)."""
+    import pyarrow.compute as pc
+
+    def pick(batch):
+        return batch.filter(pc.less(batch["vec_id"], N_QUERIES))
+
     q_df = (tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-            .filter(lambda r: r["vec_id"] < N_QUERIES)
+            .map_batches(pick, batch_format="pyarrow")
             .to_pandas()
             .sort_values("vec_id").reset_index(drop=True))
     qm = _embed_matrix(q_df)
@@ -229,7 +237,8 @@ def _bucket_probe_topk(sf_dir: str, assign_fn_factory, bucket2q: dict):
         for qi, q_id in enumerate(q_ids):
             mask = ids != q_id
             s = sims[qi][mask]
-            cand = np.argsort(-s)[:TOP_K]
+            # tie-break matches the final merge: score DESC, neighbor_id ASC
+            cand = np.lexsort((ids[mask], -s))[:TOP_K]
             out.append(pd.DataFrame({"query_id": np.int64(q_id),
                                      "neighbor_id": ids[mask][cand],
                                      "score": s[cand]}))
@@ -309,7 +318,8 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = 3, n_tables: int = 8):
     row replication through the shuffle is the standard multi-table cost.
     Rows-only (hash-dependent); recall is surfaced via ann_recall."""
     rng = np.random.default_rng(42)
-    dim = len(_query_vectors(sf_dir)[1][0])
+    q_ids, qm = _query_vectors(sf_dir)  # one scan: dim + probe keys below
+    dim = qm.shape[1]
     planes = rng.standard_normal((n_tables, n_planes, dim))
     planes_ref = ray.put(planes)
 
@@ -335,7 +345,6 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = 3, n_tables: int = 8):
                 "embedding": list(batch["embedding"]) * L,
                 "bucket": keys.reshape(-1)})
 
-    q_ids, qm = _query_vectors(sf_dir)
     qkeys = keys_of(qm, planes)  # (L, n_queries)
     bucket2q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for b in np.unique(qkeys):
