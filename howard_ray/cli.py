@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -49,22 +50,26 @@ def _parse_where(expr: str | None) -> tuple | None:
     if not expr:
         return None
     col, op, raw = expr.split(":", 2)
-    if op == "in":
-        vals = []
-        for v in raw.split(","):
-            try:
-                vals.append(int(v))
-            except ValueError:
-                vals.append(v)
-        return (col, op, vals)
-    try:
-        val = int(raw)
-    except ValueError:
+
+    def coerce(v: str):
         try:
-            val = float(raw)
+            return int(v)
         except ValueError:
-            val = raw
-    return (col, op, val)
+            try:
+                return float(v)
+            except ValueError:
+                return v
+
+    if op == "in":
+        vals = [coerce(v) for v in raw.split(",")]
+        # Arrow value sets must be homogeneous: if any member is float,
+        # promote the ints ('1.5,2' -> [1.5, 2.0]); mixed string/number
+        # stays as given and will raise a clear Arrow type error
+        if any(isinstance(v, float) for v in vals) \
+                and all(isinstance(v, (int, float)) for v in vals):
+            vals = [float(v) for v in vals]
+        return (col, op, vals)
+    return (col, op, coerce(raw))
 
 
 def cmd_decode(args) -> int:
@@ -73,7 +78,12 @@ def cmd_decode(args) -> int:
     ds = decode_store(args.store, columns=args.columns,
                       predicate=_parse_where(args.where))
     ds.write_parquet(args.output)
-    print(json.dumps({"rows": ds.count(), "output": args.output}))
+    # row count from the WRITTEN parquet footers (metadata-only): ds.count()
+    # on the lazy Dataset would re-run the whole decode pipeline a second time
+    import pyarrow.parquet as pq
+    n = sum(pq.ParquetFile(os.path.join(args.output, f)).metadata.num_rows
+            for f in os.listdir(args.output) if f.endswith(".parquet"))
+    print(json.dumps({"rows": n, "output": args.output}))
     return 0
 
 

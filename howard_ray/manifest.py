@@ -128,9 +128,15 @@ def _shard_zone(recs: list[dict]) -> dict:
 
 
 def _atomic_json(path: str, obj) -> None:
+    """Atomic DURABLE json write: the fsync before the rename matters —
+    compaction deletes superseded block files right after the footer swap,
+    so an un-synced footer rename that loses a power race against those
+    deletes would leave the old footer pointing at unlinked blocks."""
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
@@ -150,6 +156,19 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
     pointing at intact old-generation shards (new-generation orphans are
     garbage-collected on the next successful swap)."""
     recs = sorted(records, key=lambda r: (r.get("sort_key", ""), r["block_id"]))
+    # duplicate-id tripwire: two lineage records for one block file means
+    # one batch silently overwrote another (bit-identical duplicate input
+    # slabs in stream mode, or an id-scheme bug) — fail loudly instead of
+    # writing a footer whose row totals cannot decode
+    seen: dict[str, int] = {}
+    for r in recs:
+        seen[r["block_id"]] = seen.get(r["block_id"], 0) + 1
+    dups = [k for k, v in seen.items() if v > 1]
+    if dups:
+        raise ValueError(
+            f"duplicate block ids in footer ({dups[:3]}...): distinct "
+            "batches collided on one block file; use mode='cluster' for "
+            "inputs with bit-identical duplicate batches")
     totals = {
         "n_blocks": len(recs),
         "n_rows": sum(r["n_rows"] for r in recs),

@@ -72,22 +72,42 @@ def stable_hash_u64(strings: pa.Array | np.ndarray) -> np.ndarray:
 def _encode_tables_to_blocks(tables: list[pa.Table], store_dir: str, key: str,
                              sort_key: str, target_rows: int,
                              completed: dict[str, dict],
-                             input_info: str) -> list[dict]:
+                             input_info: str,
+                             profile: str = "standard",
+                             all_or_nothing: bool = False) -> list[dict]:
     """Encode row-slices of ``tables`` into <=target_rows blocks; skip blocks
-    already completed per the manifest diff. Returns lineage records."""
+    already completed per the manifest diff (same id, same row count, same
+    encode PROFILE — a profile change must re-encode, not silently keep the
+    old bytes). Returns lineage records; resumed ones carry "resumed": True
+    so footer throughput counts only freshly encoded bytes.
+
+    ``all_or_nothing=True``: resume the whole call's block set only if EVERY
+    block is completed, else re-encode every block — required when intra-key
+    row ORDER is not run-deterministic (exchange mode with duplicate
+    doc_ids): per-block skipping could otherwise stitch block boundaries
+    from two different orderings of the same row set."""
     table = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
     records = []
     n = table.num_rows
     n_blocks = max(1, -(-n // target_rows))
     per = -(-n // n_blocks)
+    if all_or_nothing and completed:
+        sizes = [min(per, n - seq * per) for seq in range(n_blocks)]
+        ok = all(
+            (p := completed.get(f"{key}-{seq:05d}")) is not None
+            and p["n_rows"] == sz
+            and p.get("profile", "standard") == profile
+            for seq, sz in enumerate(sizes) if sz > 0)
+        completed = completed if ok else {}
     for seq in range(n_blocks):
         part = table.slice(seq * per, per)
         if part.num_rows == 0:
             continue
         block_id = f"{key}-{seq:05d}"
         prior = completed.get(block_id)
-        if prior is not None and prior["n_rows"] == part.num_rows:
-            records.append(prior)  # resume: skip finished block
+        if prior is not None and prior["n_rows"] == part.num_rows \
+                and prior.get("profile", "standard") == profile:
+            records.append({**prior, "resumed": True})
             continue
         t0 = time.perf_counter()
         file_bytes, meta = encode_block(part, block_id)
@@ -105,11 +125,29 @@ def _encode_tables_to_blocks(tables: list[pa.Table], store_dir: str, key: str,
                         for c, e in meta["columns"].items()},
             "crc32": zlib.crc32(file_bytes),
             "input": input_info,
+            "profile": profile,
             "encode_sec": round(time.perf_counter() - t0, 4),
         }
         append_lineage(store_dir, rec)
         records.append(rec)
     return records
+
+
+_WORKER_OBJ_CACHE: dict[str, object] = {}
+
+
+def _cached_get(ref):
+    """Worker-local cache of a broadcast ObjectRef: the stream task path
+    reads the resume dict once per BATCH, and re-deserializing a large
+    manifest dict every batch is O(n_batches x manifest_size) wasted CPU.
+    Bounded to a handful of refs (one per concurrent encode run)."""
+    import ray as _ray
+    key = ref.hex()
+    if key not in _WORKER_OBJ_CACHE:
+        if len(_WORKER_OBJ_CACHE) > 4:
+            _WORKER_OBJ_CACHE.clear()
+        _WORKER_OBJ_CACHE[key] = _ray.get(ref)
+    return _WORKER_OBJ_CACHE[key]
 
 
 def _records_table(records: list[dict]) -> pa.Table:
@@ -142,33 +180,51 @@ class BlockEncoder:
         self.store_dir = store_dir
         self.target_rows = target_rows
         self.completed = completed
+        self.profile = profile
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _records_table([])
         # content-derived deterministic block id (batch boundaries are
-        # deterministic for a fixed input + batch_size in scan order);
-        # schema-agnostic: keyed on the first non-nested column
-        key_col = next((n for n, t in zip(batch.schema.names, batch.schema.types)
-                        if not pa.types.is_nested(t)), batch.schema.names[0])
-        col = batch[key_col]
-        first = str(col[0].as_py())[:64]
-        h = stable_hash_u64(np.asarray(
-            col.cast(pa.string()).to_pandas(), dtype=object))
-        # order-sensitive polynomial combine (NOT xor: xor is commutative and
-        # self-cancelling, so reordered or pair-duplicated batches could
-        # collide on the same block id and overwrite each other's block file)
+        # deterministic for a fixed input + batch_size in scan order).
+        # EVERY column contributes (scalar columns by value, nested columns
+        # by element length) so two distinct batches can only collide if
+        # they are fully content-identical — hashing a single key column
+        # would collide whenever it is low-cardinality (e.g. a pruned
+        # [tokens, source] schema where the dominant source fills whole
+        # batches). Bit-identical duplicate batches are caught loudly by
+        # write_footer's duplicate-id tripwire.
+        import pyarrow.compute as pc
         mult = np.uint64(1099511628211)  # FNV prime, mod 2^64 wraparound
-        pows = np.full(h.shape[0], mult, dtype=np.uint64)
+        pows = np.full(batch.num_rows, mult, dtype=np.uint64)
         pows[0] = np.uint64(1)
         np.cumprod(pows, out=pows)
-        mix = np.uint64(int(np.sum(h * pows, dtype=np.uint64))
-                        ^ (h.shape[0] * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        mix = np.uint64((batch.num_rows * 0x9E3779B97F4A7C15)
+                        & 0xFFFFFFFFFFFFFFFF)
+        first = None
+        with np.errstate(over="ignore"):
+            for name, typ in zip(batch.schema.names, batch.schema.types):
+                col = batch[name]
+                if pa.types.is_nested(typ):
+                    h = np.asarray(pc.list_value_length(col),
+                                   dtype=np.uint64)
+                else:
+                    h = stable_hash_u64(np.asarray(
+                        col.cast(pa.string()).to_pandas(), dtype=object))
+                    if first is None:
+                        first = str(col[0].as_py())[:64]
+                # order-sensitive polynomial combine (NOT xor: xor is
+                # commutative and self-cancelling)
+                mix = mix * np.uint64(31) + np.uint64(
+                    int(np.sum(h * pows, dtype=np.uint64)))
+        if first is None:
+            first = "nested"
         key = f"s{int(mix):016x}"
         recs = _encode_tables_to_blocks(
             [batch], self.store_dir, key, sort_key=first,
             target_rows=self.target_rows, completed=self.completed,
-            input_info=f"stream:{first}:{batch.num_rows}")
+            input_info=f"stream:{first}:{batch.num_rows}",
+            profile=self.profile)
         return _records_table(recs)
 
 
@@ -381,7 +437,7 @@ def encode_dataset(
 
             def encode_stream_batch(batch: pa.Table) -> pa.Table:
                 enc = BlockEncoder(store_dir, target_rows,
-                                   ray.get(completed_ref), profile)
+                                   _cached_get(completed_ref), profile)
                 return enc(batch)
 
             rec_ds = ds.map_batches(
@@ -435,7 +491,7 @@ def encode_dataset(
             recs = _encode_tables_to_blocks(
                 [body], store_dir, key, sort_key=f"{source}/{salt:05d}",
                 target_rows=target_rows, completed=completed,
-                input_info=f"cluster:{source}:{salt}")
+                input_info=f"cluster:{source}:{salt}", profile=profile)
             return _records_table(recs)
 
         # repartition so the sort shuffle and the per-group encode stage get
@@ -540,14 +596,19 @@ def encode_dataset(
             salt = group["salt"][0].as_py()
             tables = [decode_block(p.as_py()) for p in group["payload"]]
             body = pa.concat_tables(tables).combine_chunks()
-            # deterministic content: order by doc_id, not by arrival
+            # deterministic content: order by doc_id, not by arrival.
+            # Duplicate doc_ids would leave tie order shuffle-dependent, so
+            # resume for this mode is ALL-OR-NOTHING per group (below): a
+            # group either keeps every completed block or re-encodes every
+            # block — block boundaries can then never mix two runs' orders.
             import pyarrow.compute as pc
             body = body.take(pc.sort_indices(body["doc_id"]))
             key = f"{source}-{salt:05d}"
             recs = _encode_tables_to_blocks(
                 [body], store_dir, key, sort_key=f"{source}/{salt:05d}",
                 target_rows=target_rows, completed=completed,
-                input_info=f"cluster-exchange:{source}:{salt}")
+                input_info=f"cluster-exchange:{source}:{salt}",
+                profile=profile, all_or_nothing=True)
             return _records_table(recs)
 
         # pack several target blocks per batch: each pack batch splits into
@@ -569,12 +630,18 @@ def encode_dataset(
         ctx.target_max_block_size = prev_block_size
     wall = time.perf_counter() - t0
     raw_bytes = sum(r["raw_bytes"] for r in records)
+    # throughput counts only FRESHLY encoded bytes: a resumed run that
+    # skipped 99% of the store must not report the skipped terabytes as if
+    # this wall-clock encoded them
+    raw_bytes_new = sum(r["raw_bytes"] for r in records
+                        if not r.get("resumed"))
     footer = write_footer(store_dir, records, extra={
         "mode": mode,
         "profile": profile,
         "wall_sec": round(wall, 4),
         "raw_bytes": raw_bytes,
-        "throughput_gbps": round(raw_bytes / max(wall, 1e-9) / 1e9, 4),
+        "raw_bytes_new": raw_bytes_new,
+        "throughput_gbps": round(raw_bytes_new / max(wall, 1e-9) / 1e9, 4),
     })
     return footer
 
@@ -750,11 +817,17 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
             member_ids = json.loads(members_json)
             tables = [read_block_file(block_path(store_dir, bid))
                       for bid in member_ids]
-            key = f"cpt-{zlib.crc32('|'.join(member_ids).encode()):08x}"
+            # 128-bit id: at 10^7-block scale a 32-bit crc would collide
+            # (~birthday at 2^16 bins) and silently overwrite a merged block
+            import hashlib
+            digest = hashlib.blake2b('|'.join(member_ids).encode(),
+                                     digest_size=16).hexdigest()
+            key = f"cpt-{digest}"
             recs.extend(_encode_tables_to_blocks(
                 tables, store_dir, key, sort_key=sort_key,
                 target_rows=target_rows, completed={},
-                input_info="compact:" + ",".join(member_ids)))
+                input_info="compact:" + ",".join(member_ids),
+                profile=profile))
         return _records_table(recs)
 
     rec_ds = ray.data.from_items(items, override_num_blocks=max(1, len(items))) \

@@ -124,18 +124,22 @@ def write_duckdb(ds: ray.data.Dataset, db_path: str,
     own columnar ingestion."""
     import duckdb
 
+    import shutil
+
     tmp_dir = db_path + ".parquet_staging"
     ds.write_parquet(tmp_dir)
-    con = duckdb.connect(db_path)
     try:
-        con.execute(f"DROP TABLE IF EXISTS {table}")
-        con.execute(f"CREATE TABLE {table} AS "
-                    f"SELECT * FROM read_parquet('{tmp_dir}/*.parquet')")
-        n = con.execute(f"SELECT count(*) FROM {table}").fetchone()[0]
+        con = duckdb.connect(db_path)
+        try:
+            con.execute(f"DROP TABLE IF EXISTS {table}")
+            con.execute(f"CREATE TABLE {table} AS "
+                        f"SELECT * FROM read_parquet('{tmp_dir}/*.parquet')")
+            n = con.execute(f"SELECT count(*) FROM {table}").fetchone()[0]
+        finally:
+            con.close()
     finally:
-        con.close()
-    import shutil
-    shutil.rmtree(tmp_dir, ignore_errors=True)
+        # the staging copy must not outlive a failed export either
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return {"db": db_path, "table": table, "n_rows": int(n)}
 
 

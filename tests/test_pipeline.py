@@ -171,3 +171,22 @@ def test_null_source_rows_survive_both_cluster_modes(ray_session, tmp_path):
         encode_dataset(path, store, mode=mode, target_rows=64)
         out = pa.concat_tables(ray.get(decode_store(store).to_arrow_refs()))
         _assert_same(t, out)
+
+
+def test_resume_reencodes_on_profile_change(ray_session, corpus_file, tmp_path):
+    """resume=True must NOT skip blocks when the encode profile differs —
+    a zstd-19 re-encode of a zstd-1 store has to produce new bytes."""
+    store = str(tmp_path / "st")
+    f1 = encode_dataset(corpus_file, store, mode="stream", target_rows=1000)
+    size1 = sum(b["encoded_bytes"] for b in f1["blocks"])
+    # same profile resume: everything skipped, nothing re-encoded
+    f2 = encode_dataset(corpus_file, store, mode="stream", target_rows=1000)
+    assert all(b.get("resumed") for b in f2["blocks"])
+    assert f2["raw_bytes_new"] == 0
+    # archive profile: every block re-encoded, smaller store
+    f3 = encode_dataset(corpus_file, store, mode="stream", target_rows=1000,
+                        profile="archive")
+    assert not any(b.get("resumed") for b in f3["blocks"])
+    assert f3["raw_bytes_new"] > 0
+    size3 = sum(b["encoded_bytes"] for b in f3["blocks"])
+    assert size3 < size1
