@@ -151,4 +151,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from howard_ray.ops import all_oracle_sql
 
+    # two SQL twins (media_features, hgvs_context) read /tmp fixture parquet
+    # files; materialize them NOW so DuckDB can evaluate the oracle before —
+    # or without — running the corresponding Ray query on a fresh machine
+    from howard_ray.ops.multimodal import ensure_media_fixture
+    from howard_ray.ops.vfix import ensure_genome
+    ensure_media_fixture()
+    ensure_genome()
     return dict(all_oracle_sql())

@@ -129,10 +129,12 @@ def pushdown_filter_decode(sf_dir: str):
     src = os.path.join(sf_dir, "documents.parquet")
     tag = os.path.basename(os.path.normpath(sf_dir))
     store = os.path.join(CACHE, f"store_pushdown_{tag}")
-    if not os.path.exists(os.path.join(store, "footer.json")):
-        shutil.rmtree(store, ignore_errors=True)
-        encode_dataset(src, store, mode="stream", target_rows=20_000,
-                       resume=False, columns=["doc_id", "lang", "n_chars"])
+    # ALWAYS re-encode (like every other roundtrip query here): a cached
+    # store would let the gate decode bytes written by an older encoder,
+    # silently un-covering the current encode path
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="stream", target_rows=20_000,
+                   resume=False, columns=["doc_id", "lang", "n_chars"])
     ds = decode_store(store, predicate=("lang", "==", "en"))
     out = (ds.groupby("lang")
              .aggregate(Count(alias_name="n_docs"),

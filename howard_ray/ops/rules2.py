@@ -175,9 +175,13 @@ def rule_pz_transcripts(sf_dir: str):
         n_cand = cands.str.len().to_numpy()
         row = np.repeat(np.arange(n), n_cand)
         total = int(n_cand.sum())
-        offs = np.concatenate(([0], np.cumsum(n_cand)[:-1]))
+        # n==0 guards (same as nomen.find_nomen_batch): an empty Ray block
+        # must produce an empty frame, not a broadcast error
+        offs = np.concatenate(([0], np.cumsum(n_cand)[:-1])) \
+            if n else np.array([], int)
         ordn = np.arange(total) - np.repeat(offs, n_cand)
-        flat = pd.Series(np.concatenate(cands.to_numpy()), dtype=object)
+        flat = pd.Series(np.concatenate(cands.to_numpy()) if n else [],
+                         dtype=object)
         # transcript token = first ':'-separated field matching [NX][MR]_
         toks = flat.str.split(":")
         tr = flat.str.extract(r"(?:^|:)([NX][MR]_[^:]+)", expand=False)

@@ -126,18 +126,26 @@ class QualityScorer:
     shape, variants.py:8128)."""
 
     def __init__(self):
-        self.stop = set(STOPWORDS)
+        self.stop = np.array(sorted(STOPWORDS), dtype=object)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].str.split(" ")
-        n = words.map(len).astype("float64")
-        stop = self.stop
-        n_stop = words.map(lambda ws: sum(1 for w in ws if w in stop))
-        total_chars = words.map(lambda ws: sum(len(w) for w in ws))
+        # fully vectorized: word/char counts from the raw string, stopword
+        # hits via one flattened isin over the batch's whole word stream —
+        # no per-row Python lambdas in this hot path
+        text = batch["text"]
+        n = (text.str.count(" ") + 1).astype("float64")
+        total_chars = (text.str.len() - (n - 1))  # chars minus separators
+        words = text.str.split(" ")
+        lens = words.str.len().to_numpy(np.int64)
+        flat = np.concatenate(words.to_numpy()) if len(batch) else \
+            np.array([], dtype=object)
+        hit = pd.Series(flat, dtype=object).isin(self.stop).to_numpy()
+        row = np.repeat(np.arange(len(batch)), lens)
+        n_stop = np.bincount(row, weights=hit, minlength=len(batch))
         return pd.DataFrame({
             "source": batch["source"],
-            "stop_ratio": n_stop / n,
-            "mean_wlen": total_chars / n,
+            "stop_ratio": n_stop / n.to_numpy(),
+            "mean_wlen": total_chars.to_numpy() / n.to_numpy(),
         })
 
 
@@ -244,6 +252,21 @@ ORDER BY doc_id
 """
 
 
+def _pow_u64(base: np.uint64, exps: np.ndarray) -> np.ndarray:
+    """Vectorized base**exps mod 2^64 (binary exponentiation, wrapping
+    uint64) — O(n_docs * log(max_len)) instead of a text-length cumprod."""
+    result = np.ones(exps.size, dtype=np.uint64)
+    b = np.uint64(base)
+    e = exps.astype(np.uint64).copy()
+    with np.errstate(over="ignore"):
+        while e.any():
+            odd = (e & np.uint64(1)).astype(bool)
+            result[odd] = result[odd] * b
+            b = b * b
+            e = e >> np.uint64(1)
+    return result
+
+
 class Fingerprinter:
     """64-bit rolling polynomial (Rabin-Karp-style) document fingerprint over
     the raw bytes — deterministic across processes; vectorized via numpy
@@ -271,13 +294,17 @@ class Fingerprinter:
                 pows[0] = 1
                 np.cumprod(pows, out=pows)  # BASE^i (global position i)
                 starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
-                # INV_BASE^start via the global cumprod of inverses,
-                # gathered at the segment start offsets
-                inv_all = np.full(flat.size, self.INV_BASE, dtype=np.uint64)
-                inv_all[0] = 1
-                np.cumprod(inv_all, out=inv_all)
-                seg_scale = inv_all[starts]
-                sums = np.add.reduceat(flat * pows, starts)
+                # INV_BASE^start per DOCUMENT (n_docs-sized binary
+                # exponentiation + cumprod), not a second full-text-length
+                # cumprod — that array was ~8x the batch's text bytes of
+                # transient memory gathered at only n_docs points
+                per_doc = _pow_u64(np.uint64(self.INV_BASE), lens[nz])
+                seg_scale = np.cumprod(
+                    np.concatenate(([np.uint64(1)], per_doc[:-1]))
+                    .astype(np.uint64))
+                flat *= pows
+                del pows
+                sums = np.add.reduceat(flat, starts)
                 fps[nz] = sums * seg_scale
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "fingerprint": fps.view(np.int64)})

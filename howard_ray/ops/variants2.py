@@ -264,11 +264,13 @@ def anti_join_unmatched(sf_dir: str):
 
     left = (variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
             .map_batches(key_side, batch_format="pyarrow"))
+    # global key dedup via the grouped AGGREGATE (vectorized partial+final),
+    # not map_groups — a per-group Python lambda would run once per distinct
+    # key (~|variants| calls at scale)
+    from ray.data.aggregate import Count
     store = (variants_ds(sf_dir, ["vidx", "chrom", "pos", "ref", "alt"])
              .map_batches(store_keys, batch_format="pyarrow")
-             .groupby("k").map_groups(
-                 lambda g: {"k": g["k"][:1], "hit": np.array([1], np.int8)},
-                 batch_format="numpy"))
+             .groupby("k").aggregate(Count(alias_name="hit")))
     joined = left.join(store, join_type="left_outer", num_partitions=16,
                        on=("k",))
 
@@ -514,9 +516,11 @@ def hgvs_context(sf_dir: str):
                 idx = pos[m] - 1                      # 1-based -> 0-based
                 # window start clamped at the chromosome head (pos=1)
                 w = np.maximum(idx - 1, 0)
-                tri = np.stack([seq[w], seq[w + 1], seq[w + 2]],
-                               axis=1).astype(np.uint8)
-                ctx[m] = [t.tobytes().decode() for t in tri]
+                tri = np.ascontiguousarray(np.stack(
+                    [seq[w], seq[w + 1], seq[w + 2]], axis=1).astype(np.uint8))
+                # one-shot stringify: view the (n,3) byte rows as S3 then
+                # cast to unicode — no per-row tobytes/decode loop
+                ctx[m] = tri.view("S3").ravel().astype("U3")
                 match[m] = (seq[idx] ==
                             np.frombuffer("".join(
                                 np.asarray(ref1, dtype=object)[m]).encode(),

@@ -20,7 +20,19 @@ def store_report(store_dir: str) -> dict:
     for b in blocks:
         for col, codec in b.get("codecs", {}).items():
             codec_counts[f"{col}:{codec}"] += 1
-        src = b["block_id"].rsplit("-", 2)[0]
+        # source attribution from the LINEAGE input tag, not the block id:
+        # cluster ids are '<source>-<salt>-<seq>' but stream ids are content
+        # hashes and compacted ids are digests — parsing those as sources
+        # would emit one degenerate "source" per slab/digest
+        inp = b.get("input", "")
+        if inp.startswith(("cluster:", "cluster-exchange:")):
+            src = inp.split(":", 2)[1]
+        elif inp.startswith("stream:"):
+            src = "(stream)"
+        elif inp.startswith("compact:"):
+            src = "(compacted)"
+        else:
+            src = b["block_id"].rsplit("-", 2)[0]
         s = per_source.setdefault(src, {"blocks": 0, "rows": 0,
                                         "raw_bytes": 0, "encoded_bytes": 0})
         s["blocks"] += 1
