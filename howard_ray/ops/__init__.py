@@ -4,12 +4,13 @@
 """
 
 from . import (dedup, engine_queries, external, genotype, multimodal, nomen,
-               process, relational, rules, rules2, similarity, sql_surface,
-               text, tokens, variants, variants2, vcf_ops, vfix, windows)
+               process, relational, rules, rules2, sampling, similarity,
+               sql_surface, text, tokens, variants, variants2, vcf_ops, vfix,
+               windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
-           rules2, sql_surface, external, multimodal, tokens]
+           rules2, sql_surface, external, multimodal, tokens, sampling]
 
 
 def all_queries():
@@ -113,6 +114,11 @@ def all_queries():
         "sequence_pack": tokens.sequence_pack,
         "decontaminate": tokens.decontaminate,
         "token_bigrams": tokens.token_bigrams,
+        # deterministic sampling / splits / sketches
+        "split_assign": sampling.split_assign,
+        "sample_topk_hash": sampling.sample_topk_hash,
+        "heavy_hitters": sampling.heavy_hitters,
+        "approx_distinct_words": sampling.approx_distinct_words,
     }
     # SQL query surface: same SQL text on both engines
     q.update(sql_surface.QUERIES)
