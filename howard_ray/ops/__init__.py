@@ -119,6 +119,8 @@ def all_queries():
         "sample_topk_hash": sampling.sample_topk_hash,
         "heavy_hitters": sampling.heavy_hitters,
         "approx_distinct_words": sampling.approx_distinct_words,
+        "sample_stratified": sampling.sample_stratified,
+        "quantiles_exact": sampling.quantiles_exact,
     }
     # SQL query surface: same SQL text on both engines
     q.update(sql_surface.QUERIES)

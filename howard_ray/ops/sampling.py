@@ -208,6 +208,82 @@ ORDER BY word
 """
 
 
+STRAT_K = 20
+
+
+def sample_stratified(sf_dir: str, k: int = STRAT_K):
+    """Deterministic stratified sample: the k smallest-LCG(doc_id) rows PER
+    SOURCE. Per-batch partial per-source top-k (pandas groupby+nsmallest on
+    an already-hashed column) + a tiny per-source final merge — the shuffle
+    carries at most n_batches*k rows per source. Exact SQL twin via
+    row_number() over the same hash order (the LCG is a bijection, so the
+    order is total and the winner set unique)."""
+    ds = tbl(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hsig"] = _lcg_u64(df["doc_id"].to_numpy()).view(np.int64)
+        # uint order == int64-view order shifted: compare in uint space
+        df["_u"] = df["hsig"].to_numpy().view(np.uint64)
+        keep = (df.sort_values("_u").groupby("source", sort=False).head(k))
+        return pa.Table.from_pandas(keep.drop(columns="_u"),
+                                    preserve_index=False)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand["_u"] = cand["hsig"].to_numpy().view(np.uint64)
+    top = cand.sort_values("_u").groupby("source", sort=False).head(k)
+    return (top[["doc_id", "source", "hsig"]]
+            .sort_values(["source", "doc_id"]).reset_index(drop=True))
+
+
+SQL["sample_stratified"] = f"""
+WITH h AS (
+  SELECT doc_id, source, {_HASH_SQL} AS u FROM documents)
+SELECT doc_id, source,
+  (CASE WHEN u >= 9223372036854775808::HUGEINT
+        THEN u - {TWO64}::HUGEINT ELSE u END)::BIGINT AS hsig
+FROM h
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY u) <= {STRAT_K}
+ORDER BY source, doc_id
+"""
+
+
+QUANTILE_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def quantiles_exact(sf_dir: str, ps: list[float] = QUANTILE_PS):
+    """EXACT distributed quantiles of a bounded-cardinality int column
+    (n_chars) via a mergeable value-histogram: each batch emits its
+    (value, cnt) counts, one small groupby merges them, and the driver walks
+    the tiny distinct-value histogram (cumsum) — the full column never
+    shuffles and no sort happens. Matches DuckDB quantile_disc semantics:
+    the smallest value whose cumulative count >= ceil(p*n)."""
+    ds = tbl(sf_dir, "documents", ["n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["n_chars"])
+        return pa.table({"v": pc.cast(vc.field("values"), pa.int64()),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas().sort_values("v").reset_index(drop=True))
+    cum = hist["cnt"].astype("int64").cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = hist["v"].astype("int64").to_numpy()
+    rows = []
+    for p in ps:
+        target = math.ceil(p * n)
+        idx = int(np.searchsorted(cum, target, side="left"))
+        rows.append({"p": p, "value": int(vals[idx])})
+    return pd.DataFrame(rows)
+
+
+SQL["quantiles_exact"] = " UNION ALL ".join(
+    f"SELECT {p} AS p, quantile_disc(n_chars, {p})::BIGINT AS value"
+    " FROM documents" for p in QUANTILE_PS)
+
+
 HLL_P = 12  # 2^12 = 4096 registers, ~1.04/sqrt(m) = 1.6% std error
 
 

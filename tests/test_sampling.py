@@ -63,6 +63,30 @@ def test_approx_distinct_within_error(ray_session):
     assert row["estimate"] > 0 and row["exact"] > 0
 
 
+def test_sample_stratified_k_per_source(ray_session):
+    from howard_ray.ops.sampling import sample_stratified
+
+    got = sample_stratified(SF_DIR, k=5)
+    per_src = got.groupby("source").size()
+    assert (per_src <= 5).all()
+    # deterministic across runs
+    pd.testing.assert_frame_equal(got, sample_stratified(SF_DIR, k=5))
+
+
+def test_quantiles_exact_matches_sort(ray_session):
+    from howard_ray.ops.sampling import quantiles_exact
+    import duckdb
+    import math
+
+    got = quantiles_exact(SF_DIR)
+    vals = duckdb.sql(
+        f"SELECT n_chars FROM '{SF_DIR}/documents.parquet' ORDER BY n_chars"
+    ).fetchnumpy()["n_chars"]
+    n = len(vals)
+    for _, row in got.iterrows():
+        assert row["value"] == int(vals[math.ceil(row["p"] * n) - 1])
+
+
 def test_hll_registers_merge_equals_union():
     """Mergeability: max(regs(A), regs(B)) == regs(A ∪ B)."""
     from howard_ray.ops.sampling import _hll_estimate, _hll_registers
