@@ -31,34 +31,36 @@ def ann_cosine_topk(sf_dir: str):
     q_ids_arr, qm = _query_vectors(sf_dir)
     q_ref = ray.put((q_ids_arr, qm))
 
-    class Score:
-        def __init__(self):
-            self.q_ids, self.qm = ray.get(q_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            em = _embed_matrix(batch)
-            em /= np.linalg.norm(em, axis=1, keepdims=True)
-            sims = self.qm @ em.T  # (n_queries, n_batch)
-            ids = batch["vec_id"].to_numpy()
-            out = []
-            for qi, q_id in enumerate(self.q_ids):
-                s = sims[qi]
-                mask = ids != q_id
-                # partial top-k per batch with the SAME tie-break as the
-                # final merge and the SQL oracle (score DESC, neighbor_id
-                # ASC) — a score-only unstable argsort could drop the
-                # tie-winner inside the batch, unrecoverable at the merge
-                cand_idx = np.lexsort((ids[mask], -s[mask]))[:TOP_K]
-                cids = ids[mask][cand_idx]
-                out.append(pd.DataFrame({
-                    "query_id": np.int64(q_id),
-                    "neighbor_id": cids.astype(np.int64),
-                    "score": s[mask][cand_idx],
-                }))
-            return pd.concat(out, ignore_index=True)
+    # task pool, not an actor pool: the per-worker "setup" is a zero-copy
+    # plasma ray.get of a small broadcast tuple (~µs per task), so paying
+    # actor-process spin-up (~2 s) to amortize it is a net loss — the rule
+    # is actor pools ONLY where setup cost x n_batches >> task overhead
+    # (model load, index build), as in ops/text.py / ops/dedup.py
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids, qmat = ray.get(q_ref)
+        em = _embed_matrix(batch)
+        em /= np.linalg.norm(em, axis=1, keepdims=True)
+        sims = qmat @ em.T  # (n_queries, n_batch)
+        ids = batch["vec_id"].to_numpy()
+        out = []
+        for qi, q_id in enumerate(q_ids):
+            s = sims[qi]
+            mask = ids != q_id
+            # partial top-k per batch with the SAME tie-break as the
+            # final merge and the SQL oracle (score DESC, neighbor_id
+            # ASC) — a score-only unstable argsort could drop the
+            # tie-winner inside the batch, unrecoverable at the merge
+            cand_idx = np.lexsort((ids[mask], -s[mask]))[:TOP_K]
+            cids = ids[mask][cand_idx]
+            out.append(pd.DataFrame({
+                "query_id": np.int64(q_id),
+                "neighbor_id": cids.astype(np.int64),
+                "score": s[mask][cand_idx],
+            }))
+        return pd.concat(out, ignore_index=True)
 
     partials = (tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-                .map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+                .map_batches(score, batch_format="pandas")
                 .to_pandas())
     # exact final top-k over the per-batch candidates
     partials = partials.sort_values(
@@ -97,22 +99,21 @@ def ann_lsh_buckets(sf_dir: str):
     planes = rng.standard_normal((16, dim))
     planes_ref = ray.put(planes)
 
-    class Bucket:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            em = _embed_matrix(batch)
-            bits = (em @ self.planes.T) > 0
-            keys = np.packbits(bits.astype(np.uint8), axis=1,
-                               bitorder="little")[:, :2]
-            bucket = keys[:, 0].astype(np.int64) | (keys[:, 1].astype(np.int64) << 8)
-            return pd.DataFrame({"vec_id": batch["vec_id"].astype("int64"),
-                                 "bucket": bucket})
+    # task pool: per-task state is one zero-copy ray.get of a tiny plane
+    # matrix — see ann_cosine_topk for the actor-vs-task rule
+    def bucket_assign(batch: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(planes_ref)
+        em = _embed_matrix(batch)
+        bits = (em @ pl.T) > 0
+        keys = np.packbits(bits.astype(np.uint8), axis=1,
+                           bitorder="little")[:, :2]
+        bucket = keys[:, 0].astype(np.int64) | (keys[:, 1].astype(np.int64) << 8)
+        return pd.DataFrame({"vec_id": batch["vec_id"].astype("int64"),
+                             "bucket": bucket})
 
     from ray.data.aggregate import Count
     out = (tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-           .map_batches(Bucket, batch_format="pandas", concurrency=(1, 4))
+           .map_batches(bucket_assign, batch_format="pandas")
            .groupby("bucket").aggregate(Count(alias_name="n"))
            .to_pandas())
     out["n"] = out["n"].astype("int64")
@@ -213,7 +214,7 @@ def _query_vectors(sf_dir: str):
     return q_df["vec_id"].to_numpy().astype(np.int64), qm
 
 
-def _bucket_probe_topk(sf_dir: str, assign_fn_factory, bucket2q: dict):
+def _bucket_probe_topk(sf_dir: str, assign_fn, bucket2q: dict):
     """Shared scale path for bucketed ANN: corpus → bucket assignment
     (map_batches, broadcast quantizer) → ``groupby(bucket).map_groups``
     per-bucket scoring of the queries probing that bucket → tiny driver-side
@@ -245,8 +246,7 @@ def _bucket_probe_topk(sf_dir: str, assign_fn_factory, bucket2q: dict):
         return pd.concat(out, ignore_index=True) if out else empty
 
     partials = (tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-                .map_batches(assign_fn_factory, batch_format="pandas",
-                             concurrency=(1, 4))
+                .map_batches(assign_fn, batch_format="pandas")
                 .groupby("bucket")
                 .map_groups(bucket_topk, batch_format="pandas")
                 .to_pandas())
@@ -286,17 +286,14 @@ def ann_ivf_topk(sf_dir: str, nlist: int = 16, nprobe: int = 12):
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     cent_ref = ray.put(cn)
 
-    class Assign:
-        def __init__(self):
-            self.cn = ray.get(cent_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            em = _embed_matrix(batch)
-            em /= np.linalg.norm(em, axis=1, keepdims=True)
-            bucket = (em @ self.cn.T).argmax(axis=1)
-            return pd.DataFrame({"vec_id": batch["vec_id"].astype("int64"),
-                                 "embedding": batch["embedding"],
-                                 "bucket": bucket.astype("int64")})
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cnm = ray.get(cent_ref)  # zero-copy plasma hit — task pool suffices
+        em = _embed_matrix(batch)
+        em /= np.linalg.norm(em, axis=1, keepdims=True)
+        bucket = (em @ cnm.T).argmax(axis=1)
+        return pd.DataFrame({"vec_id": batch["vec_id"].astype("int64"),
+                             "embedding": batch["embedding"],
+                             "bucket": bucket.astype("int64")})
 
     q_ids, qm = _query_vectors(sf_dir)
     bucket2q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -304,7 +301,7 @@ def ann_ivf_topk(sf_dir: str, nlist: int = 16, nprobe: int = 12):
     for b in np.unique(probes):
         m = (probes == b).any(axis=1)
         bucket2q[int(b)] = (q_ids[m], qm[m])
-    return _bucket_probe_topk(sf_dir, Assign, bucket2q)
+    return _bucket_probe_topk(sf_dir, assign, bucket2q)
 
 
 def ann_lsh_topk(sf_dir: str, n_planes: int = 3, n_tables: int = 8):
@@ -332,25 +329,22 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = 3, n_tables: int = 8):
             out[t] = (t << planes.shape[1]) | key
         return out
 
-    class Assign:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            em = _embed_matrix(batch)
-            keys = keys_of(em, self.planes)  # (L, n)
-            L = keys.shape[0]
-            return pd.DataFrame({
-                "vec_id": np.tile(batch["vec_id"].to_numpy().astype("int64"), L),
-                "embedding": list(batch["embedding"]) * L,
-                "bucket": keys.reshape(-1)})
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(planes_ref)
+        em = _embed_matrix(batch)
+        keys = keys_of(em, pl)  # (L, n)
+        L = keys.shape[0]
+        return pd.DataFrame({
+            "vec_id": np.tile(batch["vec_id"].to_numpy().astype("int64"), L),
+            "embedding": list(batch["embedding"]) * L,
+            "bucket": keys.reshape(-1)})
 
     qkeys = keys_of(qm, planes)  # (L, n_queries)
     bucket2q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for b in np.unique(qkeys):
         m = (qkeys == b).any(axis=0)
         bucket2q[int(b)] = (q_ids[m], qm[m])
-    return _bucket_probe_topk(sf_dir, Assign, bucket2q)
+    return _bucket_probe_topk(sf_dir, assign, bucket2q)
 
 
 def ann_recall(sf_dir: str):
