@@ -41,6 +41,8 @@ def all_queries():
         "quality_by_source": text.quality_by_source,
         "lang_id": text.lang_id,
         "fingerprints": text.fingerprints,
+        "redact_terms": text.redact_terms,
+        "repetition_filter": text.repetition_filter,
         # windows / stream-shaped
         "window_hourly": windows.window_hourly,
         "asof_prev_event": windows.asof_prev_event,

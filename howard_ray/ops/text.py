@@ -340,3 +340,102 @@ SELECT doc_id,
     AS fingerprint
 FROM fp ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# redaction + repetition filter (training-data hygiene stages)
+# ---------------------------------------------------------------------------
+
+# In production these are PII patterns (emails, phone numbers, IP addresses);
+# over the synthetic corpus we redact a term class so the oracle has matches.
+# The regex is module-level: compiled once per worker PROCESS import — no
+# actor needed (see ops/similarity.py for the actor-vs-task rule).
+REDACT_PATTERN = r"\b(spark|batch)\b"
+REDACT_TOKEN = "<X>"
+
+
+def redact_terms(sf_dir: str):
+    """Pattern redaction over the corpus (the PII-scrub stage of a
+    training-data pipeline): count and replace regex matches per doc with a
+    vectorized pandas .str pass, aggregate redaction counts and post-scrub
+    sizes per source. Exact SQL twin via regexp_extract_all/regexp_replace."""
+    ds = tbl(sf_dir, "documents", ["source", "text"])
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        hits = batch["text"].str.count(REDACT_PATTERN).astype("int64")
+        after = batch["text"].str.replace(REDACT_PATTERN, REDACT_TOKEN,
+                                          regex=True)
+        return pd.DataFrame({"source": batch["source"],
+                             "n_redactions": hits,
+                             "chars_after": after.str.len().astype("int64")})
+
+    out = (ds.map_batches(scrub, batch_format="pandas")
+             .groupby("source")
+             .aggregate(Count(alias_name="n_docs"),
+                        Sum("n_redactions", alias_name="n_redactions"),
+                        Sum("chars_after", alias_name="sum_chars_after"))
+             .to_pandas())
+    for c in ["n_docs", "n_redactions", "sum_chars_after"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL["redact_terms"] = f"""
+SELECT source, count(*) AS n_docs,
+  sum(len(regexp_extract_all(text, '{REDACT_PATTERN}')))::BIGINT
+    AS n_redactions,
+  sum(length(regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g')))::BIGINT
+    AS sum_chars_after
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+REP_THRESHOLD = 0.8  # duplicate-word fraction above which a doc is flagged
+
+
+def repetition_filter(sf_dir: str):
+    """Gopher-style repetition quality filter: per-doc duplicate-word
+    fraction (1 - distinct/total), flag docs above REP_THRESHOLD, aggregate
+    flagged counts + mean fraction per source. The per-doc distinct count is
+    one vectorized exploded groupby per batch (no per-row Python)."""
+    ds = tbl(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def frac(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.split(" ")
+        lens = words.str.len().to_numpy(np.int64)
+        flat = np.concatenate(words.to_numpy()) if len(batch) else \
+            np.array([], dtype=object)
+        row = np.repeat(np.arange(len(batch)), lens)
+        nuniq = (pd.DataFrame({"r": row, "w": flat})
+                 .groupby("r")["w"].nunique()
+                 .reindex(range(len(batch)), fill_value=0).to_numpy())
+        dup_frac = 1.0 - nuniq / np.maximum(lens, 1)
+        return pd.DataFrame({
+            "source": batch["source"],
+            "dup_frac": dup_frac,
+            "flagged": (dup_frac > REP_THRESHOLD).astype("int64")})
+
+    out = (ds.map_batches(frac, batch_format="pandas")
+             .groupby("source")
+             .aggregate(Count(alias_name="n_docs"),
+                        Sum("flagged", alias_name="n_flagged"),
+                        Sum("dup_frac", alias_name="s_frac"))
+             .to_pandas())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_flagged"] = out["n_flagged"].astype("int64")
+    out["avg_dup_frac"] = (out["s_frac"] / out["n_docs"]).round(4)
+    return (out[["source", "n_docs", "n_flagged", "avg_dup_frac"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+SQL["repetition_filter"] = f"""
+WITH d AS (
+  SELECT source,
+         1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / greatest(len(string_split(text, ' ')), 1) AS dup_frac
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+  sum((dup_frac > {REP_THRESHOLD})::BIGINT)::BIGINT AS n_flagged,
+  round(avg(dup_frac), 4) AS avg_dup_frac
+FROM d GROUP BY source ORDER BY source
+"""
