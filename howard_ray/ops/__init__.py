@@ -3,14 +3,14 @@
 ``__ray_entry__.oracle_sql()``. See SURVEY.md §2 for the reference mapping.
 """
 
-from . import (dedup, engine_queries, external, genotype, multimodal, nomen,
-               process, relational, rules, rules2, sampling, similarity,
-               sql_surface, text, tokens, variants, variants2, vcf_ops, vfix,
-               windows)
+from . import (dedup, engine_queries, external, genotype, lm, multimodal,
+               nomen, process, relational, rules, rules2, sampling,
+               similarity, sql_surface, text, tokens, variants, variants2,
+               vcf_ops, vfix, windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
-           rules2, sql_surface, external, multimodal, tokens, sampling]
+           rules2, sql_surface, external, multimodal, tokens, sampling, lm]
 
 
 def all_queries():
@@ -123,6 +123,8 @@ def all_queries():
         "approx_distinct_words": sampling.approx_distinct_words,
         "sample_stratified": sampling.sample_stratified,
         "quantiles_exact": sampling.quantiles_exact,
+        # bigram LM train + perplexity inference (model-scorer shape)
+        "lm_perplexity": lm.lm_perplexity,
     }
     # SQL query surface: same SQL text on both engines
     q.update(sql_surface.QUERIES)
