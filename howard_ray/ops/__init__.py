@@ -5,12 +5,13 @@
 
 from . import (dedup, engine_queries, external, genotype, lm, multimodal,
                nomen, process, relational, rules, rules2, sampling,
-               similarity, sql_surface, text, tokens, variants, variants2,
-               vcf_ops, vfix, windows)
+               similarity, sql_surface, text, token_ids, tokens, variants,
+               variants2, vcf_ops, vfix, windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
-           rules2, sql_surface, external, multimodal, tokens, sampling, lm]
+           rules2, sql_surface, external, multimodal, tokens, sampling, lm,
+           token_ids]
 
 
 def all_queries():
@@ -125,6 +126,9 @@ def all_queries():
         "quantiles_exact": sampling.quantiles_exact,
         # bigram LM train + perplexity inference (model-scorer shape)
         "lm_perplexity": lm.lm_perplexity,
+        # token-id analytics over the north-star corpus table
+        "token_freq_topk": token_ids.token_freq_topk,
+        "token_entropy_by_source": token_ids.token_entropy_by_source,
     }
     # SQL query surface: same SQL text on both engines
     q.update(sql_surface.QUERIES)
@@ -133,6 +137,7 @@ def all_queries():
     # themselves are closed-form CTEs, nothing to materialize)
     vfix.ensure_genome()
     multimodal.ensure_media_fixture()
+    token_ids.ensure_tokens_fixture()
     # plugin surface (reference plugins/, SURVEY.md §2.14)
     from ..plugins import discover_plugins
     q.update(discover_plugins().queries)
