@@ -212,3 +212,20 @@ def test_token_bigrams_top100(ray_session):
     out = token_bigrams("/root/testdata/sf0.001")
     assert len(out) == 100
     assert (out["cnt"].diff().dropna() <= 0).all()
+
+
+def test_minhash_candidate_recall(ray_session):
+    """LSH candidate set must contain every true near-dup pair at
+    Jaccard >= 0.9 (16 bands x 4 rows: per-pair miss prob < 1e-7) —
+    the recall guarantee the near-dup pipeline's verify stage relies on."""
+    from howard_ray.ops.dedup import dedup_jaccard_join, dedup_minhash_candidates
+
+    sf = "/root/testdata/sf0.001"
+    truth = dedup_jaccard_join(sf)
+    high = truth[truth["jaccard"] >= 0.9]
+    assert len(high) > 0, "fixture must contain high-similarity pairs"
+    cand = dedup_minhash_candidates(sf)
+    cand_pairs = set(zip(cand["doc_a"], cand["doc_b"]))
+    missing = [p for p in zip(high["doc_a"], high["doc_b"])
+               if p not in cand_pairs]
+    assert not missing, f"LSH missed high-Jaccard pairs: {missing[:5]}"
