@@ -63,7 +63,8 @@ def _bincount_batch(batch: pa.Table, by_source: bool) -> pa.Table:
                              minlength=VOCAB).astype(np.int64)
         names.append(str(s))
         rows.append(counts.tobytes())
-    return pa.table({"source": pa.array(names),
+    # explicit types so an empty batch yields the same schema as full ones
+    return pa.table({"source": pa.array(names, pa.string()),
                      "regs": pa.array(rows, pa.binary())})
 
 
