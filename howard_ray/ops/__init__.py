@@ -124,6 +124,7 @@ def all_queries():
         "approx_distinct_words": sampling.approx_distinct_words,
         "sample_stratified": sampling.sample_stratified,
         "quantiles_exact": sampling.quantiles_exact,
+        "export_split_shards": sampling.export_split_shards,
         # bigram LM train + perplexity inference (model-scorer shape)
         "lm_perplexity": lm.lm_perplexity,
         # token-id analytics over the north-star corpus table

@@ -354,3 +354,59 @@ def approx_distinct_words(sf_dir: str):
         "method": f"hll_p{HLL_P}", "estimate": int(round(estimate)),
         "exact": int(exact), "rel_err": round(rel_err, 4),
     }])
+
+
+def export_split_shards(sf_dir: str, out_dir: str | None = None):
+    """Materialize the deterministic train/val/test assignment as a
+    hive-partitioned parquet layout (``split=train/source=web/…``) — the
+    training-shard export stage. Because membership is a pure row function
+    (the same LCG as split_assign), a re-run regenerates identical shard
+    CONTENTS on any cluster size — the property that makes partition-level
+    resume sound (diff existing `split=/source=` dirs and write only the
+    missing ones; this demo clears and rewrites the whole layout since the
+    fixture is small). Downstream loaders read one split with a partition
+    filter instead of a scan. Returns per-(split, source) char sums read
+    BACK from the written layout, so the oracle check verifies the
+    write→read round trip end to end."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray
+
+    if out_dir is None:
+        out_dir = os.path.join(tempfile.gettempdir(), "howard_ray_cache",
+                               "split_shards")
+    ds = tbl(sf_dir, "documents",
+             ["doc_id", "source", "text", "n_chars"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        hi = _lcg_u64(batch["doc_id"].to_numpy()) >> np.uint64(32)
+        split = np.where(hi < TRAIN_HI, "train",
+                         np.where(hi < VAL_HI, "val", "test"))
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.map_batches(assign, batch_format="pyarrow") \
+      .write_parquet(out_dir, partition_cols=["split", "source"])
+
+    back = (ray.data.read_parquet(out_dir)
+            .groupby(["split", "source"])
+            .aggregate(Sum("n_chars", alias_name="sum_chars"))
+            .to_pandas())
+    back["sum_chars"] = back["sum_chars"].astype("int64")
+    back["split"] = back["split"].astype(str)
+    back["source"] = back["source"].astype(str)
+    return back.sort_values(["split", "source"]).reset_index(drop=True)
+
+
+SQL["export_split_shards"] = f"""
+WITH h AS (
+  SELECT source, n_chars, ({_HASH_SQL} // 4294967296) AS hi
+  FROM documents)
+SELECT CASE WHEN hi < {TRAIN_HI} THEN 'train'
+            WHEN hi < {VAL_HI} THEN 'val' ELSE 'test' END AS split,
+       source, sum(n_chars)::BIGINT AS sum_chars
+FROM h GROUP BY split, source ORDER BY split, source
+"""

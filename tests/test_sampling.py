@@ -98,3 +98,19 @@ def test_hll_registers_merge_equals_union():
     assert np.array_equal(merged, union)
     est = _hll_estimate(union)
     assert abs(est - 9000) / 9000 < 0.05
+
+
+def test_export_split_shards_layout(ray_session, tmp_path):
+    """Hive layout exists per (split, source) and read-back totals equal
+    the pure-function assignment."""
+    import os
+    from howard_ray.ops.sampling import export_split_shards, split_assign
+
+    out = str(tmp_path / "shards")
+    back = export_split_shards(SF_DIR, out)
+    splits = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    assert "split=train" in splits
+    assign = split_assign(SF_DIR)
+    merged = back.merge(assign, on=["split", "source"], suffixes=("", "_want"))
+    assert len(merged) == len(assign) == len(back)
+    assert (merged["sum_chars"] == merged["sum_chars_want"]).all()
