@@ -3,15 +3,15 @@
 ``__ray_entry__.oracle_sql()``. See SURVEY.md §2 for the reference mapping.
 """
 
-from . import (dedup, engine_queries, external, genotype, lm, multimodal,
-               nomen, process, relational, rules, rules2, sampling,
-               similarity, sql_surface, text, token_ids, tokens, variants,
-               variants2, vcf_ops, vfix, windows)
+from . import (cluster, components, dedup, engine_queries, external,
+               genotype, lm, multimodal, nomen, process, relational, rules,
+               rules2, sampling, similarity, sql_surface, text, token_ids,
+               tokens, variants, variants2, vcf_ops, vfix, windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
            rules2, sql_surface, external, multimodal, tokens, sampling, lm,
-           token_ids]
+           token_ids, components, cluster]
 
 
 def all_queries():
@@ -44,6 +44,7 @@ def all_queries():
         "fingerprints": text.fingerprints,
         "redact_terms": text.redact_terms,
         "repetition_filter": text.repetition_filter,
+        "tfidf_topk": text.tfidf_topk,
         # windows / stream-shaped
         "window_hourly": windows.window_hourly,
         "asof_prev_event": windows.asof_prev_event,
@@ -57,6 +58,8 @@ def all_queries():
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_neardup": dedup.simhash_neardup,
         "dedup_embedding": dedup.dedup_embedding,
+        "dedup_components": components.dedup_components,
+        "dedup_survivors": components.dedup_survivors,
         # similarity
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
@@ -130,6 +133,9 @@ def all_queries():
         # token-id analytics over the north-star corpus table
         "token_freq_topk": token_ids.token_freq_topk,
         "token_entropy_by_source": token_ids.token_entropy_by_source,
+        # distributed k-means over embeddings (broadcast centroids +
+        # combiner partials; full-algorithm SQL twin)
+        "kmeans_assign": cluster.kmeans_assign,
     }
     # SQL query surface: same SQL text on both engines
     q.update(sql_surface.QUERIES)

@@ -258,8 +258,11 @@ def dedup_ngram_verified(sf_dir: str):
 SQL["dedup_ngram_verified"] = None  # set below (shares dedup_jaccard_join's SQL)
 
 
-def dedup_jaccard_join(sf_dir: str):
-    """Exact all-pairs shingle-Jaccard similarity join, fully distributed:
+def jaccard_pairs_ds(sf_dir: str):
+    """Exact all-pairs shingle-Jaccard similarity join, fully distributed,
+    returned as a lazy ``Dataset`` of (doc_a, doc_b, jaccard) — the edge
+    set consumed by both ``dedup_jaccard_join`` (reported pairs) and the
+    connected-components resolution (``ops/components.py``):
 
     1. per-batch: each doc emits its DISTINCT word-3-shingle hashes as
        (sh, doc_id, n_sh) rows — n_sh (the doc's shingle-set size) rides
@@ -327,10 +330,16 @@ def dedup_jaccard_join(sf_dir: str):
                             "jaccard": jac.round(4)})
         return out[jac >= JACCARD_THRESHOLD]
 
-    out = (joined.map_batches(ordered, batch_format="pyarrow")
-             .groupby("bucket")
-             .map_groups(per_bucket, batch_format="pandas")
-             .to_pandas())
+    return (joined.map_batches(ordered, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(per_bucket, batch_format="pandas"))
+
+
+def dedup_jaccard_join(sf_dir: str):
+    """Reported form of ``jaccard_pairs_ds``: the verified near-dup pair
+    set, sorted for the correctness gate (the pair set itself is tiny —
+    only survivors of the threshold leave the bucket stage)."""
+    out = jaccard_pairs_ds(sf_dir).to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),

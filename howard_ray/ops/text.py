@@ -439,3 +439,98 @@ SELECT source, count(*) AS n_docs,
   round(avg(dup_frac), 4) AS avg_dup_frac
 FROM d GROUP BY source ORDER BY source
 """
+
+
+TFIDF_TOP = 3
+
+
+def tfidf_topk(sf_dir: str, top: int = TFIDF_TOP):
+    """Per-source top TF-IDF terms — the corpus-characterization aggregate
+    a data-mixture pipeline runs per domain.
+
+    tf(source, word) = occurrences of word in that source's docs;
+    df(word) = number of docs (corpus-wide) containing word;
+    tfidf = tf * ln(N_docs / df); top `top` words per source by
+    (tfidf DESC, word ASC) on the 5dp-rounded score (deterministic
+    tie-break shared with the SQL twin).
+
+    One read pass: each doc lives in exactly one batch, so per-batch
+    ``count_distinct(doc_id)`` partials per (source, word) sum to the
+    exact global df (a doc has one source, so summing the per-source
+    partials over sources never double-counts a doc). tf partials are
+    plain grouped counts. The only shuffles are the two bounded grouped
+    aggregates and one word-keyed join of (source,word,tf) against
+    (word, df) — vocabulary-sized, not corpus-sized."""
+    import math
+
+    import ray
+
+    ds = tbl(sf_dir, "documents", ["doc_id", "source", "text"])
+    n_docs = ds.count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch["text"], " ")
+        nwords = pc.list_value_length(lists).to_numpy()
+        flat = pc.list_flatten(lists)
+        src = np.repeat(batch["source"].to_numpy(zero_copy_only=False),
+                        nwords)
+        did = np.repeat(batch["doc_id"].to_numpy(), nwords)
+        t = pa.table({"source": pa.array(src), "word": flat,
+                      "doc_id": pa.array(did)})
+        g = t.group_by(["source", "word"]).aggregate(
+            [("doc_id", "count"), ("doc_id", "count_distinct")])
+        return pa.table({"source": g["source"], "word": g["word"],
+                         "tf": pc.cast(g["doc_id_count"], pa.int64()),
+                         "dfp": pc.cast(g["doc_id_count_distinct"],
+                                        pa.int64())})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    tf = (parts.groupby(["source", "word"])
+               .aggregate(Sum("tf", alias_name="tf")))
+    df = (parts.groupby("word")
+               .aggregate(Sum("dfp", alias_name="df")))
+    joined = tf.join(df, join_type="inner", num_partitions=8,
+                     on=("word",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy().astype(np.float64)
+        dfv = batch["df"].to_numpy().astype(np.float64)
+        s = np.round(tfv * np.log(float(n_docs) / dfv), 5)
+        return pa.table({"source": batch["source"], "word": batch["word"],
+                         "tfidf": pa.array(s)})
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tfidf", "word"], ascending=[False, True])
+        return g.head(top)
+
+    out = (joined.map_batches(score, batch_format="pyarrow")
+                 .groupby("source")
+                 .map_groups(per_source, batch_format="pandas")
+                 .to_pandas())
+    out["tfidf"] = out["tfidf"].astype("float64")
+    return (out[["source", "word", "tfidf"]]
+            .sort_values(["source", "word"]).reset_index(drop=True))
+
+
+SQL["tfidf_topk"] = f"""
+WITH tf AS (
+  SELECT source, w AS word, count(*)::BIGINT AS tf
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY source, w
+), df AS (
+  SELECT word, count(*)::BIGINT AS df FROM (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents)
+  GROUP BY word
+), s AS (
+  SELECT tf.source, tf.word,
+         round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df),
+               5) AS tfidf
+  FROM tf JOIN df USING (word)
+), top AS (
+  SELECT source, word, tfidf FROM s
+  QUALIFY row_number() OVER (PARTITION BY source
+                             ORDER BY tfidf DESC, word) <= {TFIDF_TOP}
+)
+SELECT source, word, tfidf FROM top ORDER BY source, word
+"""
