@@ -46,7 +46,15 @@ def _assign_partials(centroids: np.ndarray):
 
     def f(batch: pa.Table) -> pa.Table:
         C = ray.get(c_ref)
-        X = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        # zero-copy-ish Arrow list → (n, d) matrix: flatten the list
+        # values buffer and reshape (embeddings are fixed-dim)
+        col = batch["embedding"].combine_chunks()
+        if len(col) == 0:
+            X = np.zeros((0, centroids.shape[1]), dtype=np.float64)
+        else:
+            import pyarrow.compute as _pc
+            flat = _pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            X = flat.astype(np.float64).reshape(len(col), -1)
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).round(6)
         assign = d2.argmin(axis=1)             # first min = lowest cid
         best = d2[np.arange(len(X)), assign]

@@ -208,16 +208,21 @@ def dedup_ngram_verified(sf_dir: str):
     Jaccard >= threshold.
 
     Scale-safe shape (round-1 advice item): candidate pairs are joined back
-    to the two texts via Ray's hash-partitioned ``Dataset.join`` (pairs ⋈
-    docs ON doc_a, then ⋈ docs ON doc_b), and the Jaccard kernel runs inside
-    ``map_batches`` on the co-shuffled (pair, text_a, text_b) rows. Nothing
-    is materialized on the driver except the final (tiny) verified set.
+    to the two texts via two bucketed co-shuffle lookups (pairs ⋈ docs ON
+    doc_a, then ⋈ docs ON doc_b — ``util.bucketed_lookup``, join-free
+    because a native-join output fed into a second native join dies on
+    Ray's schemaless empty partition blocks, DESIGN.md §13), and the
+    Jaccard kernel runs inside ``map_batches`` on the co-shuffled
+    (pair, text_a, text_b) rows. Nothing is materialized on the driver
+    except the final (tiny) verified set.
 
     Oracle: the fixture's near-dup pairs all sit at Jaccard >= 0.9, where
     the 16-band x 4-row LSH miss probability is < 1e-7 per pair — and the
     MinHash seed and fixture are deterministic, so candidate recall is exact
     run-to-run. The oracle is the full exact shingle-join similarity SQL
     (same as dedup_jaccard_join)."""
+    from .util import bucketed_lookup
+
     cand = _minhash_candidates_ds(sf_dir)
 
     def _texts(col_id: str, col_text: str):
@@ -229,10 +234,15 @@ def dedup_ngram_verified(sf_dir: str):
               .map_batches(_texts("a_id", "text_a"), batch_format="pyarrow"))
     docs_b = (tbl(sf_dir, "documents", ["doc_id", "text"])
               .map_batches(_texts("b_id", "text_b"), batch_format="pyarrow"))
-    joined = (cand.join(docs_a, join_type="inner", num_partitions=8,
-                        on=("doc_a",), right_on=("a_id",))
-                  .join(docs_b, join_type="inner", num_partitions=8,
-                        on=("doc_b",), right_on=("b_id",)))
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    text_schema = lambda i, t: pa.schema([(i, pa.int64()), (t, pa.string())])  # noqa: E731
+    with_a = bucketed_lookup(
+        cand, "doc_a", docs_a, "a_id", ["text_a"],
+        ds_schema=pair_schema, lookup_schema=text_schema("a_id", "text_a"))
+    joined = bucketed_lookup(
+        with_a, "doc_b", docs_b, "b_id", ["text_b"],
+        ds_schema=pair_schema.append(pa.field("text_a", pa.string())),
+        lookup_schema=text_schema("b_id", "text_b"))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         jac = np.empty(len(batch), dtype=np.float64)
