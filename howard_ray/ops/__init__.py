@@ -4,14 +4,15 @@
 """
 
 from . import (cluster, components, dedup, engine_queries, external,
-               genotype, lm, multimodal, nomen, process, relational, rules,
-               rules2, sampling, similarity, sql_surface, text, token_ids,
-               tokens, variants, variants2, vcf_ops, vfix, windows)
+               genotype, lm, mixture, multimodal, nomen, process,
+               relational, rules, rules2, sampling, similarity, sql_surface,
+               text, token_ids, tokens, variants, variants2, vcf_ops, vfix,
+               windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
            rules2, sql_surface, external, multimodal, tokens, sampling, lm,
-           token_ids, components, cluster]
+           token_ids, components, cluster, mixture]
 
 
 def all_queries():
@@ -136,6 +137,9 @@ def all_queries():
         # distributed k-means over embeddings (broadcast centroids +
         # combiner partials; full-algorithm SQL twin)
         "kmeans_assign": cluster.kmeans_assign,
+        # data-mixture curation
+        "mixture_sample": mixture.mixture_sample,
+        "length_buckets": mixture.length_buckets,
     }
     # SQL query surface: same SQL text on both engines
     q.update(sql_surface.QUERIES)

@@ -102,3 +102,43 @@ def test_tfidf_topk_small_reference(ray_session):
     assert set(out.columns) == {"source", "word", "tfidf"}
     assert (out.groupby("source").size() <= 2).all()
     assert (out["tfidf"] > 0).all()
+
+
+def test_mixture_sample_budget_tight(ray_session):
+    # per source: selected chars <= budget, and the next doc in hash order
+    # would overshoot (tightness) — the exact prefix semantics
+    from howard_ray.ops.mixture import (DEFAULT_FRAC, MIX_FRACS,
+                                        mixture_sample)
+    from howard_ray.ops.sampling import _lcg_u64
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = mixture_sample(sf_dir)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    h = _lcg_u64(docs["doc_id"].to_numpy())
+    docs = docs.assign(h=h).sort_values(["h", "doc_id"])
+    for _, row in out.iterrows():
+        g = docs[docs["source"] == row["source"]]
+        budget = int(np.floor(
+            MIX_FRACS.get(row["source"], DEFAULT_FRAC)
+            * g["n_chars"].sum()))
+        run = g["n_chars"].cumsum().to_numpy()
+        n_sel = int((run <= budget).sum())
+        assert row["n_docs"] == n_sel
+        assert row["sel_chars"] == int(g["n_chars"].iloc[:n_sel].sum())
+        assert row["sel_chars"] <= budget
+
+
+def test_length_buckets_powers_of_two(ray_session):
+    from howard_ray.ops.mixture import length_buckets
+
+    out = length_buckets("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["source", "n_chars"])
+    assert out["n_docs"].sum() == (docs["n_chars"] > 0).sum()
+    # every bucket b holds only docs with 2^b <= n_chars < 2^(b+1)
+    b0 = out.iloc[0]
+    lo, hi = 2 ** b0["len_bucket"], 2 ** (b0["len_bucket"] + 1)
+    g = docs[docs["source"] == b0["source"]]
+    n = ((g["n_chars"] >= lo) & (g["n_chars"] < hi)).sum()
+    assert b0["n_docs"] == n
