@@ -3,8 +3,8 @@
 ``__ray_entry__.oracle_sql()``. See SURVEY.md §2 for the reference mapping.
 """
 
-from . import (cluster, components, dedup, engine_queries, external,
-               genotype, lm, mixture, multimodal, nomen, process,
+from . import (cluster, components, curate, dedup, engine_queries,
+               external, genotype, lm, mixture, multimodal, nomen, process,
                relational, rules, rules2, sampling, similarity, sql_surface,
                text, token_ids, tokens, variants, variants2, vcf_ops, vfix,
                windows)
@@ -12,7 +12,7 @@ from . import (cluster, components, dedup, engine_queries, external,
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
            rules2, sql_surface, external, multimodal, tokens, sampling, lm,
-           token_ids, components, cluster, mixture]
+           token_ids, components, cluster, mixture, curate]
 
 
 def all_queries():
@@ -140,6 +140,10 @@ def all_queries():
         # data-mixture curation
         "mixture_sample": mixture.mixture_sample,
         "length_buckets": mixture.length_buckets,
+        # composite curation + mixture plan + epoch shards
+        "curate_pipeline": curate.curate_pipeline,
+        "mixture_plan": curate.mixture_plan,
+        "shuffle_shards": curate.shuffle_shards,
     }
     # SQL query surface: same SQL text on both engines
     q.update(sql_surface.QUERIES)

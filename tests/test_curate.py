@@ -1,0 +1,69 @@
+"""Composite curation pipeline + mixture plan + shard assignment
+properties: stage consistency with the standalone operators, budget/weight
+math, and pure-hash shard balance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curate_pipeline_consistent_with_stage_ops(ray_session):
+    """The composite's totals must equal an independent driver-side
+    recompute of gate -> dedup -> split over the same fixture."""
+    import duckdb
+
+    from howard_ray.ops.curate import (CURATE_DUP, CURATE_MIN_CHARS,
+                                       curate_pipeline)
+    from howard_ray.ops.sampling import TRAIN_HI, VAL_HI, _lcg_u64
+
+    got = curate_pipeline(SF_DIR)
+    df = duckdb.sql(
+        f"SELECT doc_id, source, text, n_chars FROM "
+        f"'{SF_DIR}/documents.parquet'").fetchdf()
+    words = df["text"].str.split(" ")
+    dup = 1.0 - words.map(lambda w: len(set(w))).to_numpy() / np.maximum(
+        words.str.len().to_numpy(np.int64), 1)
+    keep = (df["n_chars"].to_numpy() >= CURATE_MIN_CHARS) & (dup <= CURATE_DUP)
+    f = df[keep].sort_values("doc_id").groupby("text", as_index=False).first()
+    hi = _lcg_u64(f["doc_id"].to_numpy().astype(np.uint64)) >> np.uint64(32)
+    f = f.assign(split=np.where(hi < TRAIN_HI, "train",
+                                np.where(hi < VAL_HI, "val", "test")))
+    exp = (f.groupby(["source", "split"], as_index=False)
+           .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+           .sort_values(["source", "split"]).reset_index(drop=True))
+    exp["n_docs"] = exp["n_docs"].astype("int64")
+    exp["sum_chars"] = exp["sum_chars"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_mixture_plan_weights_sum_to_one_and_order(ray_session):
+    from howard_ray.ops.curate import BUDGET_FRAC, MIX_ALPHA, mixture_plan
+
+    got = mixture_plan(SF_DIR)
+    assert abs(got["weight"].sum() - 1.0) < 1e-4
+    # temperature < 1 flattens: the largest source's weight must be BELOW
+    # its raw char share, the smallest's above
+    shares = got["total_chars"] / got["total_chars"].sum()
+    big, small = shares.idxmax(), shares.idxmin()
+    assert got.loc[big, "weight"] < shares[big]
+    assert got.loc[small, "weight"] > shares[small]
+    # epochs = weight * budget / chars (checked against recompute)
+    exp = (got["weight"] * BUDGET_FRAC * got["total_chars"].sum()
+           / got["total_chars"]).round(4)
+    assert np.allclose(got["epochs"], exp)
+
+
+def test_shuffle_shards_pure_hash_and_complete(ray_session):
+    import duckdb
+
+    from howard_ray.ops.curate import N_SHARDS, shuffle_shards
+
+    got = shuffle_shards(SF_DIR)
+    n = duckdb.sql(f"SELECT count(*) FROM "
+                   f"'{SF_DIR}/documents.parquet'").fetchone()[0]
+    assert got["n_docs"].sum() == n
+    assert got["shard"].between(0, N_SHARDS - 1).all()
+    # determinism across invocations
+    pd.testing.assert_frame_equal(got, shuffle_shards(SF_DIR))
