@@ -137,6 +137,7 @@ def all_queries():
         # distributed k-means over embeddings (broadcast centroids +
         # combiner partials; full-algorithm SQL twin)
         "kmeans_assign": cluster.kmeans_assign,
+        "embed_quantize": cluster.embed_quantize,
         # data-mixture curation
         "mixture_sample": mixture.mixture_sample,
         "length_buckets": mixture.length_buckets,

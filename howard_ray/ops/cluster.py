@@ -166,3 +166,75 @@ WITH init AS (
 SELECT cid AS cluster, count(*) AS n_vecs, round(sum(d2), 2) AS inertia
 FROM a2 GROUP BY cid ORDER BY cid
 """
+
+
+def embed_quantize(sf_dir: str):
+    """Int8 scalar quantization of the embedding store (the standard
+    vector-DB compression step before ANN at scale): per-vector min/max
+    affine map onto 0..255, report per-label vector count, mean
+    reconstruction MSE and mean quantization step — the accuracy/size
+    trade-off table for a 4x smaller store. One stateless vectorized pass +
+    a label-bounded aggregate; rounding is floor(x+0.5) so the Ray and SQL
+    paths share exact tie semantics (no banker's rounding)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = tbl(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        if len(col) == 0:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64()),
+                             "mse": pa.array([], pa.float64()),
+                             "scale": pa.array([], pa.float64())})
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        X = flat.astype(np.float64).reshape(len(col), -1)
+        lo = X.min(axis=1, keepdims=True)
+        hi = X.max(axis=1, keepdims=True)
+        scale = (hi - lo) / 255.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.floor((X - lo) / safe + 0.5)
+        dq = lo + np.where(scale == 0.0, 0.0, q * scale)
+        mse = ((X - dq) ** 2).mean(axis=1)
+        t = pa.table({"label": batch["label"],
+                      "one": pa.array(np.ones(len(col), dtype=np.int64)),
+                      "mse": pa.array(mse),
+                      "scale": pa.array(scale[:, 0])})
+        g = t.group_by("label").aggregate(
+            [("one", "sum"), ("mse", "sum"), ("scale", "sum")])
+        return pa.table({"label": g["label"], "n": g["one_sum"],
+                         "mse": g["mse_sum"], "scale": g["scale_sum"]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("label")
+             .aggregate(Sum("n", alias_name="n_vecs"),
+                        Sum("mse", alias_name="s_mse"),
+                        Sum("scale", alias_name="s_scale"))
+             .to_pandas())
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["avg_mse"] = (out["s_mse"] / out["n_vecs"]).round(9)
+    out["avg_scale"] = (out["s_scale"] / out["n_vecs"]).round(9)
+    return (out[["label", "n_vecs", "avg_mse", "avg_scale"]]
+            .sort_values("label").reset_index(drop=True))
+
+
+SQL["embed_quantize"] = """
+WITH x AS (
+  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v FROM embeddings),
+s AS (
+  SELECT vec_id, label, min(v) AS lo, max(v) AS hi,
+         (max(v) - min(v)) / 255.0 AS scale
+  FROM x GROUP BY vec_id, label),
+d AS (
+  SELECT x.vec_id, x.label,
+         avg(pow(x.v - (s.lo + (CASE WHEN s.scale = 0 THEN 0
+              ELSE floor((x.v - s.lo) / s.scale + 0.5) END) * s.scale), 2))
+           AS mse,
+         any_value(s.scale) AS scale
+  FROM x JOIN s USING (vec_id, label)
+  GROUP BY x.vec_id, x.label)
+SELECT label, count(*) AS n_vecs, round(avg(mse), 9) AS avg_mse,
+       round(avg(scale), 9) AS avg_scale
+FROM d GROUP BY label ORDER BY label
+"""

@@ -142,3 +142,29 @@ def test_length_buckets_powers_of_two(ray_session):
     g = docs[docs["source"] == b0["source"]]
     n = ((g["n_chars"] >= lo) & (g["n_chars"] < hi)).sum()
     assert b0["n_docs"] == n
+
+
+def test_embed_quantize_error_bound_and_recompute(ray_session):
+    """Int8 SQ reconstruction error obeys the half-step bound, and the
+    per-label means match a direct numpy recompute."""
+    import numpy as np
+
+    from howard_ray.ops.cluster import embed_quantize
+
+    out = embed_quantize("/root/testdata/sf0.001")
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    lo, hi = X.min(axis=1, keepdims=True), X.max(axis=1, keepdims=True)
+    scale = (hi - lo) / 255.0
+    safe = np.where(scale == 0.0, 1.0, scale)
+    dq = lo + np.where(scale == 0.0, 0.0,
+                       np.floor((X - lo) / safe + 0.5) * scale)
+    mse = ((X - dq) ** 2).mean(axis=1)
+    exp = (pd.DataFrame({"label": emb["label"], "mse": mse,
+                         "scale": scale[:, 0]})
+           .groupby("label", as_index=False).mean()
+           .sort_values("label").reset_index(drop=True))
+    assert out["n_vecs"].sum() == len(emb)
+    assert np.allclose(out["avg_mse"], exp["mse"], atol=1e-8)
+    # max element error is scale/2 -> mse bounded by scale^2/4
+    assert (mse <= (scale[:, 0] ** 2) / 4 + 1e-12).all()
