@@ -33,7 +33,8 @@ ROWS_PER_SF = 6_000_000
 OPS_IN_BENCH = ["pricing_summary", "join_hash", "dedup_exact",
                 "window_hourly", "token_stats", "ann_cosine_topk",
                 "dedup_jaccard_join", "ann_ivf_topk", "split_assign",
-                "heavy_hitters", "redact_terms", "token_freq_topk"]
+                "heavy_hitters", "redact_terms", "token_freq_topk",
+                "curate_pipeline", "mixture_sample"]
 
 
 ALLOCATOR_ENV = {

@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ..pipeline import stable_hash_u64
+from .text import horner_hash_u64
 from .util import tbl
 
 SQL: dict[str, str] = {}
@@ -71,6 +72,18 @@ def _shingles(words: list[str], k: int = 3) -> list[str]:
     return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
 
 
+MINHASH_P = (1 << 61) - 1  # Mersenne prime
+
+# permutation constants fixed by seed=42 so signatures are deterministic
+# everywhere (mergeable-sketch discipline) — module-level so the SQL twin
+# can inline the identical (a, b) table
+_MH_RNG = np.random.default_rng(42)
+MINHASH_A = _MH_RNG.integers(1, 1 << 31, NUM_PERM,
+                             dtype=np.int64).astype(np.uint64)
+MINHASH_B = _MH_RNG.integers(0, MINHASH_P, NUM_PERM,
+                             dtype=np.int64).astype(np.uint64)
+
+
 class MinHasher:
     """Per-batch MinHash signatures over word 3-shingles.
 
@@ -80,15 +93,15 @@ class MinHasher:
     (a 61-bit a times a 64-bit h would wrap mod 2^64 before the % p and the
     map would no longer be affine — the min-wise-independence bound behind
     the documented LSH miss probability assumes the true (a*h+b) mod p).
-    a/b are fixed by seed=42 so signatures are deterministic everywhere
-    (mergeable-sketch discipline)."""
+    The base shingle hash is the SQL-expressible Horner polynomial
+    (``ops.text.horner_hash_u64``), which is what upgrades the candidate
+    set from rows-only to a full DuckDB oracle."""
 
-    P = (1 << 61) - 1  # Mersenne prime
+    P = MINHASH_P
 
     def __init__(self):
-        rng = np.random.default_rng(42)
-        self.a = rng.integers(1, 1 << 31, NUM_PERM, dtype=np.int64).astype(np.uint64)
-        self.b = rng.integers(0, self.P, NUM_PERM, dtype=np.int64).astype(np.uint64)
+        self.a = MINHASH_A
+        self.b = MINHASH_B
 
     def signature(self, text: str) -> np.ndarray:
         return self.signatures([text])[0]
@@ -116,10 +129,9 @@ class MinHasher:
             c = counts[lo:hi]
             nz = c > 0
             if nz.any():
-                flat = np.array([s for sl in shingle_lists[lo:hi] for s in sl],
-                                dtype=object)
+                flat = [s for sl in shingle_lists[lo:hi] for s in sl]
                 # 31-bit base hash: keeps a*h+b exact in uint64 (see class doc)
-                base = stable_hash_u64(flat) >> np.uint64(33)
+                base = horner_hash_u64(flat) >> np.uint64(33)
                 starts = np.concatenate(([0], np.cumsum(c)))[:-1][nz]
                 with np.errstate(over="ignore"):
                     perm = (self.a[:, None] * base[None, :]
@@ -386,19 +398,19 @@ SQL["dedup_ngram_verified"] = _JACCARD_SQL
 
 
 class SimHasher:
-    """64-bit SimHash over word features (deterministic fixed-key word
-    hashes); near-dup = small Hamming distance. Fully batch-vectorized:
-    all words of the batch are flattened into one hash call, bit votes are
-    accumulated per document with a single scatter-add (no per-row loop —
-    round-1 verdict item). Rows-only oracle."""
+    """64-bit SimHash over word features (deterministic Horner-polynomial
+    word hashes, SQL-expressible — full DuckDB oracle); near-dup = small
+    Hamming distance. Fully batch-vectorized: all words of the batch are
+    flattened into one hash call, bit votes are accumulated per document
+    with a single scatter-add (no per-row loop — round-1 verdict item)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         split = [t.split(" ") for t in batch["text"].to_numpy()]
         counts = np.array([len(w) for w in split], dtype=np.int64)
-        flat = np.array([w for ws in split for w in ws], dtype=object)
+        flat = [w for ws in split for w in ws]
         votes = np.zeros((len(batch), 64), dtype=np.int64)
-        if flat.size:
-            h = stable_hash_u64(flat)
+        if len(flat):
+            h = horner_hash_u64(flat)
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64))
                     & np.uint64(1)).astype(np.int8)
             rows = np.repeat(np.arange(len(batch)), counts)
@@ -576,4 +588,121 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= {EMBED_DUP_THRESHOLD}
 ORDER BY vec_a, vec_b
+"""
+
+
+def _minhash_perm_values() -> str:
+    return ", ".join(f"({i}, {int(a)}, {int(b)})"
+                     for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))
+
+
+# Full SQL twin of the LSH candidate pipeline — possible because every
+# stage is deterministic integer math: Horner byte hash (same expression
+# as SQL["fingerprints"]), 31-bit reduction, the exact (a*h+b) mod p
+# permutation family with the seed-42 constants inlined, FNV Horner band
+# combine, then band-collision pairs. This upgrades MinHash+LSH from
+# rows-only to driver-oracle-checked.
+SQL["dedup_minhash_candidates"] = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    END) AS sg
+  FROM docs),
+ub AS (
+  SELECT sg, hex(encode(sg)) AS hx, octet_length(encode(sg)) AS n
+  FROM (SELECT DISTINCT sg FROM sh)),
+uh AS (
+  SELECT sg,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(range(n - 1, -1, -1),
+          i -> ((strpos('0123456789ABCDEF', hx[2*i+1:2*i+1]) - 1) * 16
+               + (strpos('0123456789ABCDEF', hx[2*i+2:2*i+2]) - 1))::HUGEINT)),
+      (acc, b) -> (acc * 1099511628211 + b)
+                  % 18446744073709551616::HUGEINT)
+      // 8589934592 AS h
+  FROM ub),
+perm AS (SELECT * FROM (VALUES {{PERM}}) AS p(pid, a, b)),
+sig AS (
+  SELECT s.doc_id, p.pid,
+         min((p.a::HUGEINT * uh.h + p.b)
+             % 2305843009213693951::HUGEINT) AS mh
+  FROM sh s JOIN uh USING (sg) CROSS JOIN perm p
+  GROUP BY s.doc_id, p.pid),
+bh AS (
+  SELECT doc_id, (pid // {NUM_PERM // LSH_BANDS})::BIGINT AS band,
+    list_reduce(list_prepend(0::HUGEINT, list(mh ORDER BY pid)),
+                (acc, v) -> (acc * 1099511628211 + v)
+                            % 18446744073709551616::HUGEINT) AS band_hash
+  FROM sig GROUP BY doc_id, band)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+""".replace("{PERM}", _minhash_perm_values())
+
+
+def _bitval_values() -> str:
+    return ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+
+
+# SimHash SQL twin: same Horner word hash as SQL["fingerprints"], per-bit
+# +1/-1 votes over every word OCCURRENCE (duplicates vote again — exactly
+# the scatter-add), bit set iff votes > 0. Bit values are an inlined exact
+# HUGEINT table (no pow() double-precision detour).
+_SIMHASH_FP_SQL = f"""
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wrd AS (SELECT doc_id, unnest(w) AS word FROM docs),
+uw AS (
+  SELECT word, hex(encode(word)) AS hx, octet_length(encode(word)) AS n
+  FROM (SELECT DISTINCT word FROM wrd)),
+wh AS (
+  SELECT word,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(range(n - 1, -1, -1),
+          i -> ((strpos('0123456789ABCDEF', hx[2*i+1:2*i+1]) - 1) * 16
+               + (strpos('0123456789ABCDEF', hx[2*i+2:2*i+2]) - 1))::HUGEINT)),
+      (acc, b) -> (acc * 1099511628211 + b)
+                  % 18446744073709551616::HUGEINT) AS h
+  FROM uw),
+bitv AS (SELECT * FROM (VALUES {{BITS}}) AS t(bit, bval)),
+votes AS (
+  SELECT w.doc_id, b.bit,
+         sum(CASE WHEN (wh.h // b.bval) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM wrd w JOIN wh USING (word) CROSS JOIN bitv b
+  GROUP BY w.doc_id, b.bit),
+fp AS (
+  SELECT v.doc_id,
+    (SELECT coalesce(sum(b.bval), 0) FROM bitv b
+     JOIN votes v2 ON v2.doc_id = v.doc_id AND v2.bit = b.bit
+     WHERE v2.v > 0) AS u
+  FROM (SELECT DISTINCT doc_id FROM votes) v),
+sfp AS (
+  SELECT doc_id,
+    (CASE WHEN u >= 9223372036854775808::HUGEINT
+          THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT
+      AS simhash
+  FROM fp)
+""".replace("{BITS}", _bitval_values())
+
+SQL["simhash_fingerprints"] = f"""
+WITH {_SIMHASH_FP_SQL}
+SELECT doc_id, simhash FROM sfp ORDER BY doc_id
+"""
+
+# Hamming join twin: the pigeonhole banding is complete at d <= T, so the
+# Ray output equals the brute-force bit_count(xor) pair set.
+SQL["simhash_neardup"] = f"""
+WITH {_SIMHASH_FP_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_T}
+ORDER BY doc_a, doc_b
 """

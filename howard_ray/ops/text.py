@@ -267,45 +267,57 @@ def _pow_u64(base: np.uint64, exps: np.ndarray) -> np.ndarray:
     return result
 
 
+HORNER_BASE = 1099511628211  # FNV prime
+# BASE is odd, hence invertible mod 2^64: segmented power reset is a
+# multiply by INV_BASE^segment_start instead of a per-document cumprod
+_HORNER_INV = pow(HORNER_BASE, -1, 1 << 64)
+
+
+def horner_hash_u64(texts_in) -> np.ndarray:
+    """Vectorized 64-bit polynomial (Rabin-Karp-style) string hash:
+    sum(byte[i] * BASE^i) mod 2^64 per string, computed over ONE flat
+    concatenated buffer — global cumprod of powers, renormalized per
+    segment via the modular inverse, per-string sums via add.reduceat (no
+    per-string loop). Deterministic across processes AND SQL-expressible
+    (hex-decode + HUGEINT Horner list_reduce), which is what lets MinHash
+    signatures and document fingerprints share a DuckDB oracle."""
+    texts = [t.encode("utf-8") for t in texts_in]
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    fps = np.zeros(len(texts), dtype=np.uint64)
+    nz = lens > 0
+    if nz.any():
+        flat = np.frombuffer(b"".join(texts), dtype=np.uint8).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pows = np.full(flat.size, HORNER_BASE, dtype=np.uint64)
+            pows[0] = 1
+            np.cumprod(pows, out=pows)  # BASE^i (global position i)
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
+            # INV_BASE^start per STRING (n-sized binary exponentiation +
+            # cumprod), not a second full-text-length cumprod — that array
+            # was ~8x the batch's text bytes of transient memory gathered
+            # at only n points
+            per_doc = _pow_u64(np.uint64(_HORNER_INV), lens[nz])
+            seg_scale = np.cumprod(
+                np.concatenate(([np.uint64(1)], per_doc[:-1]))
+                .astype(np.uint64))
+            flat *= pows
+            del pows
+            sums = np.add.reduceat(flat, starts)
+            fps[nz] = sums * seg_scale
+    return fps
+
+
 class Fingerprinter:
     """64-bit rolling polynomial (Rabin-Karp-style) document fingerprint over
     the raw bytes — deterministic across processes; vectorized via numpy
     cumulative products on uint64 (wrapping arithmetic)."""
 
-    BASE = 1099511628211  # FNV prime
+    BASE = HORNER_BASE
 
-    # BASE is odd, hence invertible mod 2^64: segmented power reset is a
-    # multiply by INV_BASE^segment_start instead of a per-document cumprod
-    INV_BASE = pow(BASE, -1, 1 << 64)
+    INV_BASE = _HORNER_INV
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # polynomial hash sum(byte[i] * BASE^i) mod 2^64 with i relative to
-        # each document start, over ONE flat concatenated buffer: global
-        # cumprod of powers, renormalized per segment via the modular
-        # inverse, per-doc sums via add.reduceat — no per-document loop.
-        texts = [t.encode("utf-8") for t in batch["text"].to_numpy()]
-        lens = np.array([len(t) for t in texts], dtype=np.int64)
-        fps = np.zeros(len(texts), dtype=np.uint64)
-        nz = lens > 0
-        if nz.any():
-            flat = np.frombuffer(b"".join(texts), dtype=np.uint8).astype(np.uint64)
-            with np.errstate(over="ignore"):
-                pows = np.full(flat.size, self.BASE, dtype=np.uint64)
-                pows[0] = 1
-                np.cumprod(pows, out=pows)  # BASE^i (global position i)
-                starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
-                # INV_BASE^start per DOCUMENT (n_docs-sized binary
-                # exponentiation + cumprod), not a second full-text-length
-                # cumprod — that array was ~8x the batch's text bytes of
-                # transient memory gathered at only n_docs points
-                per_doc = _pow_u64(np.uint64(self.INV_BASE), lens[nz])
-                seg_scale = np.cumprod(
-                    np.concatenate(([np.uint64(1)], per_doc[:-1]))
-                    .astype(np.uint64))
-                flat *= pows
-                del pows
-                sums = np.add.reduceat(flat, starts)
-                fps[nz] = sums * seg_scale
+        fps = horner_hash_u64(batch["text"].to_numpy())
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "fingerprint": fps.view(np.int64)})
 
