@@ -382,6 +382,72 @@ def _per_source_counts(input_path: str | list[str]) -> dict[str, int]:
     return out
 
 
+# row groups sampled for the salt-sizing estimate: enough that any source
+# worth >1 salt (>= target_rows of data) appears many times in the sample
+_SALT_SAMPLE_GROUPS = 32
+
+
+def _per_source_counts_sampled(input_path: str | list[str]) -> dict[str, int]:
+    """Salt-sizing stats WITHOUT a corpus pass: exact total rows from the
+    parquet footers (free) + per-source SHARES from a deterministic
+    row-group sample (round-robin over files, ~_SALT_SAMPLE_GROUPS groups,
+    `source` column only). Exactness is not required here — salts only
+    bound shuffle-group size, and the block writer re-slices every group to
+    <= target_rows regardless (`_encode_tables_to_blocks`) — but
+    determinism is: the sampled groups are a pure function of the input
+    layout, so resume and any parallelism level derive identical salts.
+    A 1.25x safety factor absorbs sampling error on big sources; a source
+    too rare for the sample gets salts=1, which is exactly right for it.
+    At 10^12 rows this replaces a full read of `source` with a bounded
+    number of row-group reads on the serial critical path. Set
+    HOWARD_EXACT_STATS=1 to force the exact pass."""
+    import pyarrow.parquet as pq
+
+    if os.environ.get("HOWARD_EXACT_STATS"):
+        return _per_source_counts(input_path)
+    files = _parquet_files(input_path)
+    try:
+        pfs = [pq.ParquetFile(f) for f in files]
+        total_rows = sum(pf.metadata.num_rows for pf in pfs)
+        if total_rows == 0:
+            return {}
+        # round-robin (file, group) picks: group g of every file, then
+        # group g+1, ... until the budget — deterministic in the layout
+        picks: list[tuple[int, int]] = []
+        g = 0
+        while len(picks) < _SALT_SAMPLE_GROUPS:
+            added = False
+            for i, pf in enumerate(pfs):
+                if g < pf.metadata.num_row_groups:
+                    picks.append((i, g))
+                    added = True
+                    if len(picks) >= _SALT_SAMPLE_GROUPS:
+                        break
+            if not added:
+                break
+            g += 1
+        if not picks:
+            return _per_source_counts(input_path)
+        import pyarrow.compute as pc
+        counts: dict[str, int] = {}
+        sampled = 0
+        for i, g in picks:
+            col = pfs[i].read_row_group(g, columns=["source"])["source"]
+            vc = pc.value_counts(pc.fill_null(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col, _NULL_SRC))
+            for v, c in zip(vc.field("values").to_pylist(),
+                            vc.field("counts").to_pylist()):
+                counts[v] = counts.get(v, 0) + int(c)
+                sampled += int(c)
+        if sampled == 0:
+            return _per_source_counts(input_path)
+        scale = 1.25 * total_rows / sampled
+        return {s: max(1, int(c * scale)) for s, c in counts.items()}
+    except (OSError, KeyError):
+        return _per_source_counts(input_path)
+
+
 def encode_dataset(
     input_path: str | list[str],
     store_dir: str,
@@ -446,7 +512,7 @@ def encode_dataset(
                 batch_format="pyarrow",
             )
     elif mode == "cluster":
-        counts = _per_source_counts(input_path)
+        counts = _per_source_counts_sampled(input_path)
         salts = {s: max(1, -(-c // target_rows)) for s, c in counts.items()}
         # shuffle-volume narrowing: metadata-proven safe cast of tokens to
         # uint16/uint8 before the all-to-all halves (or quarters) the bytes
@@ -533,7 +599,7 @@ def encode_dataset(
         # full-quality blocks. Trade: encode work happens twice (fast
         # profile pre-pass + final), a clear win when the network — not the
         # CPU — prices the shuffle.
-        counts = _per_source_counts(input_path)
+        counts = _per_source_counts_sampled(input_path)
         salts = {s: max(1, -(-c // target_rows)) for s, c in counts.items()}
         FAST_CODECS = {"doc_id": "plain_str", "source": "dict_str",
                        "tokens": "for_bytes", "n_tok": "for_bytes"}
