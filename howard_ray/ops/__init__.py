@@ -61,6 +61,7 @@ def all_queries():
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_components": components.dedup_components,
         "dedup_survivors": components.dedup_survivors,
+        "dup_ngram_spans": dedup.dup_ngram_spans,
         # similarity
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,

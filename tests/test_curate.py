@@ -67,3 +67,24 @@ def test_shuffle_shards_pure_hash_and_complete(ray_session):
     assert got["shard"].between(0, N_SHARDS - 1).all()
     # determinism across invocations
     pd.testing.assert_frame_equal(got, shuffle_shards(SF_DIR))
+
+
+def test_dup_ngram_spans_matches_duckdb(ray_session):
+    """Oracle equality at sf0.001 plus sanity: fractions in [0,1], doc
+    totals complete."""
+    import duckdb
+
+    from howard_ray.ops.dedup import SQL, dup_ngram_spans
+
+    got = dup_ngram_spans(SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    exp = con.execute(SQL["dup_ngram_spans"]).fetchdf()
+    exp["n_docs"] = exp["n_docs"].astype("int64")
+    exp["n_flagged"] = exp["n_flagged"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
+    n = duckdb.sql(f"SELECT count(*) FROM "
+                   f"'{SF_DIR}/documents.parquet'").fetchone()[0]
+    assert got["n_docs"].sum() == n
+    assert got["avg_dup_frac"].between(0, 1).all()

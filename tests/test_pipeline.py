@@ -190,3 +190,37 @@ def test_resume_reencodes_on_profile_change(ray_session, corpus_file, tmp_path):
     assert f3["raw_bytes_new"] > 0
     size3 = sum(b["encoded_bytes"] for b in f3["blocks"])
     assert size3 < size1
+
+
+def test_sampled_vs_exact_salt_sizing_same_content(ray_session, corpus_file,
+                                                   tmp_path, monkeypatch):
+    """Salt sizing from the row-group sample and from the exact stats pass
+    must yield the same DECODED corpus (group sizing may differ — content
+    may not), and the sampled estimate must stay within its documented
+    envelope (>= exact count is not required per source, but every source
+    must be present or rare)."""
+    import ray
+
+    from howard_ray.pipeline import _per_source_counts, \
+        _per_source_counts_sampled
+
+    s1 = str(tmp_path / "store_sampled")
+    encode_dataset(corpus_file, s1, mode="cluster", target_rows=1000)
+    monkeypatch.setenv("HOWARD_EXACT_STATS", "1")
+    s2 = str(tmp_path / "store_exact")
+    encode_dataset(corpus_file, s2, mode="cluster", target_rows=1000)
+    monkeypatch.delenv("HOWARD_EXACT_STATS")
+
+    a = pa.concat_tables(
+        [ray.get(r) for r in decode_store(s1).to_arrow_refs()])
+    b = pa.concat_tables(
+        [ray.get(r) for r in decode_store(s2).to_arrow_refs()])
+    _assert_same(a, b)
+
+    exact = _per_source_counts(corpus_file)
+    est = _per_source_counts_sampled(corpus_file)
+    # estimates cover every non-trivial source and are sane in scale
+    for s, c in exact.items():
+        if c >= 500:
+            assert s in est
+            assert 0.2 * c <= est[s] <= 5 * c
