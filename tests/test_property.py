@@ -74,3 +74,34 @@ def test_layout_variants_roundtrip_and_codecs():
     t = make_tokens_corpus(3000, seed=7, variant="sorted_by_source")
     _, meta = encode_block(t, "s")
     assert meta["columns"]["source"]["meta"]["codec"] in ("dict_str", "fsst")
+
+
+@settings(max_examples=30, deadline=None)
+@given(strings=st.lists(st.text(min_size=0, max_size=40), min_size=1,
+                        max_size=20))
+def test_horner_hash_matches_duckdb_expression(strings):
+    """The Horner byte-polynomial hash — the foundation of the
+    fingerprints / MinHash / SimHash SQL oracles — must agree with its
+    DuckDB HUGEINT expression on arbitrary unicode (incl. multibyte)."""
+    import duckdb
+
+    from howard_ray.ops.text import horner_hash_u64
+
+    got = horner_hash_u64(strings)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    list(enumerate(strings)))
+    exp = con.execute("""
+      WITH hx AS (
+        SELECT i, hex(encode(s)) AS h, octet_length(encode(s)) AS n FROM t)
+      SELECT i, list_reduce(
+        list_prepend(0::HUGEINT,
+          list_transform(range(n - 1, -1, -1),
+            j -> ((strpos('0123456789ABCDEF', h[2*j+1:2*j+1]) - 1) * 16
+                 + (strpos('0123456789ABCDEF', h[2*j+2:2*j+2]) - 1))::HUGEINT)),
+        (acc, b) -> (acc * 1099511628211 + b)
+                    % 18446744073709551616::HUGEINT) AS u
+      FROM hx ORDER BY i""").fetchall()
+    for (i, u), g in zip(exp, got):
+        assert int(u) == int(g), (strings[i], u, g)
