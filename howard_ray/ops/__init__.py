@@ -69,6 +69,7 @@ def all_queries():
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_recall": similarity.ann_recall,
+        "ann_pq_topk": similarity.ann_pq_topk,
         # rule engine
         "rule_score_docs": rules.rule_score_docs,
         # HOWARD-semantics family over the variants_like fixture (F2)

@@ -69,6 +69,7 @@ def test_ann_recall_vs_exact(ray_session):
     r = ann_recall("/root/testdata/sf0.001").set_index("method")["recall_at_k"]
     assert r["ivf"] >= 0.8, f"IVF recall {r['ivf']:.2f} too low"
     assert r["lsh"] >= 0.8, f"LSH recall {r['lsh']:.2f} too low"
+    assert r["pq"] >= 0.8, f"PQ recall {r['pq']:.2f} too low"
 
 
 def test_manifest_torn_line_recovery(tmp_path):
