@@ -29,6 +29,29 @@ def _as_i64(vals: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(vals, dtype=np.int64)
 
 
+def _for_reduce(vals: np.ndarray):
+    """(reduced unsigned-castable array, lo, width) for frame-of-reference
+    codecs, computed in the input's NATIVE dtype whenever the span fits —
+    the int64 widening copy + 64-bit subtract roughly doubles the byte
+    codecs' memory traffic, and memory traffic (not ALU) is what prices
+    these kernels under full-node concurrency (BASELINE.md: 32 concurrent
+    encoders inflate per-task CPU 14x on the sandbox host). Returns
+    (None, lo, w) when the span exceeds 63 bits (caller degrades to
+    plain)."""
+    v = np.ascontiguousarray(vals)
+    lo = int(v.min())
+    hi = int(v.max())
+    w = bit_width(hi - lo)
+    if w > 63:
+        return None, lo, w
+    if v.dtype.kind in "iu" and v.dtype.itemsize <= 8 \
+            and hi - lo <= np.iinfo(v.dtype).max:
+        r = v - v.dtype.type(lo)     # native-width subtract, exact
+    else:
+        r = _as_i64(v) - np.int64(lo)
+    return r, lo, w
+
+
 def encode_ints(vals: np.ndarray, codec: str, post_zstd: bool = True) -> tuple[bytes, dict]:
     """Encode an integer ndarray with the named codec → (payload, meta)."""
     vals = np.asarray(vals)
@@ -126,17 +149,16 @@ def _decode_for(payload: bytes, meta: dict) -> np.ndarray:
 # packed bits. The sampling selector arbitrates by measured size.
 
 def _encode_for_bytes(vals: np.ndarray, meta: dict) -> bytes:
-    v = _as_i64(vals)
-    lo, hi, w = _for_width(v)
-    if w > 63:
+    r, lo, w = _for_reduce(vals)
+    if r is None:
         meta["codec"] = "plain"
         meta["plain_dtype"] = "<i8"
-        return v.tobytes()
+        return _as_i64(vals).tobytes()
     meta["ref"] = lo
     for dt in ("<u1", "<u2", "<u4", "<u8"):
         if w <= np.dtype(dt).itemsize * 8:
             meta["cast"] = dt
-            return (v - lo).astype(np.dtype(dt)).tobytes()
+            return r.astype(np.dtype(dt), copy=False).tobytes()
     raise AssertionError("unreachable")
 
 
@@ -157,25 +179,26 @@ def _decode_for_bytes(payload: bytes, meta: dict) -> np.ndarray:
 def _encode_for_split(vals: np.ndarray, meta: dict) -> bytes:
     from .zstd import zstd_compress
 
-    v = _as_i64(vals)
-    lo, hi, w = _for_width(v)
-    if w > 63:
+    r, lo, w = _for_reduce(vals)
+    if r is None:
         meta["codec"] = "plain"
         meta["plain_dtype"] = "<i8"
-        return v.tobytes()
+        return _as_i64(vals).tobytes()
     meta["ref"] = lo
     for dt in ("<u1", "<u2", "<u4", "<u8"):
         if w <= np.dtype(dt).itemsize * 8:
             meta["cast"] = dt
             k = np.dtype(dt).itemsize
-            u = (v - lo).astype(np.dtype(dt))
+            u = r.astype(np.dtype(dt), copy=False)
             planes = u.view(np.uint8).reshape(-1, k)
             parts = []
             lens = []
             raw_lens = []
             flags = []
             for i in range(k):
-                raw = np.ascontiguousarray(planes[:, i]).tobytes()
+                # .tobytes() on the strided column does the gather in ONE
+                # copy (ascontiguousarray first would do two)
+                raw = planes[:, i].tobytes()
                 z = zstd_compress(raw)
                 if len(z) >= len(raw):
                     z, compressed = raw, False

@@ -692,6 +692,10 @@ def encode_dataset(
 
     try:
         records = [json.loads(r["record"]) for r in rec_ds.take_all()]
+        if os.environ.get("HOWARD_PRINT_STATS"):
+            # per-stage wall/CPU/rows breakdown from Ray Data's own
+            # instrumentation — the tuning feedback loop for each mode
+            print(rec_ds.stats())
     finally:
         ctx.target_max_block_size = prev_block_size
     wall = time.perf_counter() - t0
