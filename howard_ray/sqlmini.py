@@ -9,13 +9,19 @@ surface matters: this module parses the subset
     FROM <table>
     [WHERE col OP literal [AND ...]]
     [GROUP BY col [, col ...]]
+    [HAVING alias OP literal [AND ...]]
     [ORDER BY col [DESC] [, ...]]
     [LIMIT n]
 
     item := col
           | COUNT(*) AS alias
+          | COUNT(DISTINCT col) AS alias
           | [ROUND(] SUM|MIN|MAX|AVG|COUNT (col) [, nd )] AS alias
     OP   := = != <> < <= > >= LIKE (with %substr% pattern)
+
+COUNT(DISTINCT) runs as a value-hash-bucketed distinct fold (bounded
+groupby, DESIGN.md §8.1), never a distinct-key-count Ray groupby; HAVING
+filters the (small) aggregate result driver-side.
 
 and compiles it to the idiomatic Ray pipeline: column-pruned
 ``read_parquet`` → vectorized Arrow predicate in ``map_batches`` →
@@ -41,7 +47,8 @@ _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
 _ITEM_RE = re.compile(
     r"^(?:(?P<round>ROUND\()\s*)?"
-    r"(?:(?P<agg>COUNT|SUM|MIN|MAX|AVG)\(\s*(?P<arg>\*|[A-Za-z_][\w]*)\s*\)"
+    r"(?:(?P<agg>COUNT|SUM|MIN|MAX|AVG)\(\s*(?P<distinct>DISTINCT\s+)?"
+    r"(?P<arg>\*|[A-Za-z_][\w]*)\s*\)"
     r"|(?P<col>[A-Za-z_][\w]*))"
     r"(?:\s*,\s*(?P<nd>\d+)\s*\))?"
     r"(?:\s+AS\s+(?P<alias>[A-Za-z_][\w]*))?$",
@@ -57,6 +64,7 @@ _SQL_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>[A-Za-z_][\w]*)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
@@ -92,24 +100,33 @@ def parse(sql: str) -> dict:
         d = im.groupdict()
         if d["round"] and d["nd"] is None:
             raise ValueError(f"ROUND(...) needs a digit count: {raw!r}")
+        if d["distinct"] and (d["agg"] or "").upper() != "COUNT":
+            raise ValueError(f"DISTINCT only supported in COUNT: {raw!r}")
         items.append({
             "agg": d["agg"].upper() if d["agg"] else None,
             "arg": d["arg"],
             "col": d["col"],
+            "distinct": bool(d["distinct"]),
             "nd": int(d["nd"]) if d["nd"] is not None else None,
             "alias": d["alias"] or d["col"],
         })
-    conds = []
-    if m.group("where"):
-        for raw in re.split(r"\s+AND\s+", m.group("where"), flags=re.IGNORECASE):
+
+    def _conds_of(text: str, what: str) -> list[dict]:
+        out = []
+        for raw in re.split(r"\s+AND\s+", text, flags=re.IGNORECASE):
             cm = _COND_RE.match(raw.strip())
             if not cm:
-                raise ValueError(f"unsupported WHERE condition: {raw!r}")
+                raise ValueError(f"unsupported {what} condition: {raw!r}")
             lit = cm.group("lit")
             val = lit[1:-1] if lit.startswith("'") else (
                 float(lit) if "." in lit else int(lit))
-            conds.append({"col": cm.group("col"),
-                          "op": cm.group("op").upper(), "val": val})
+            out.append({"col": cm.group("col"),
+                        "op": cm.group("op").upper(), "val": val})
+        return out
+
+    conds = _conds_of(m.group("where"), "WHERE") if m.group("where") else []
+    having = (_conds_of(m.group("having"), "HAVING")
+              if m.group("having") else [])
     group = ([c.strip() for c in m.group("group").split(",")]
              if m.group("group") else [])
     order = []
@@ -119,7 +136,7 @@ def parse(sql: str) -> dict:
             order.append((parts[0], len(parts) > 1
                           and parts[1].upper() == "DESC"))
     return {"items": items, "table": m.group("table"), "conds": conds,
-            "group": group, "order": order,
+            "having": having, "group": group, "order": order,
             "limit": int(m.group("limit")) if m.group("limit") else None}
 
 
@@ -171,6 +188,45 @@ def _predicate(batch: pa.Table, conds: list[dict]) -> pa.Table:
     return batch.filter(mask) if mask is not None else batch
 
 
+def _count_distinct(ds, group: list[str], col: str) -> pd.DataFrame:
+    """Exact grouped COUNT(DISTINCT col) under the engine's bounded-groupby
+    rule (DESIGN.md §8.1): per-batch distinct (group, value) pairs bucketed
+    by a hash of the VALUE (every copy of a value co-locates), in-bucket
+    drop_duplicates + per-group partial counts, tiny driver fold — the
+    distinct-key space never becomes a Ray group count."""
+    import numpy as np
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[group + [col]].dropna(subset=[col]).drop_duplicates()
+        d = d.copy()
+        d["__b"] = (pd.util.hash_array(d[col].to_numpy(dtype=object),
+                                       categorize=False)
+                    % np.uint64(64)).view(np.int64)
+        return d
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(group + [col])
+        if group:
+            p = d.groupby(group, as_index=False).size()
+            return p.rename(columns={"size": "__cd"})
+        return pd.DataFrame({"__cd": [len(d)]})
+
+    parts = (ds.map_batches(part, batch_format="pandas")
+               .groupby("__b").map_groups(fold, batch_format="pandas")
+               .to_pandas())
+    if group:
+        return parts.groupby(group, as_index=False)["__cd"].sum()
+    return pd.DataFrame({"__cd": [int(parts["__cd"].sum())]})
+
+
+_HAVING_OPS = {
+    "=": lambda s, v: s == v, "!=": lambda s, v: s != v,
+    "<>": lambda s, v: s != v, "<": lambda s, v: s < v,
+    "<=": lambda s, v: s <= v, ">": lambda s, v: s > v,
+    ">=": lambda s, v: s >= v,
+}
+
+
 def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
     """Parse + compile + execute over the sf tables; returns pandas."""
     from ray.data.aggregate import Count, Max, Min, Sum
@@ -187,11 +243,14 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
     if any(it["agg"] for it in plan["items"]):
         # grouped (or global) aggregate: build Ray aggregates; AVG becomes
         # SUM + COUNT merged driver-side (mergeable-partial discipline)
-        aggs, post = [], []
+        aggs, post, distinct_items = [], [], []
         for i, it in enumerate(plan["items"]):
             if not it["agg"]:
                 continue
             key = f"__a{i}"
+            if it["distinct"]:
+                distinct_items.append(it)
+                continue
             if it["agg"] == "COUNT":
                 # COUNT(*) counts rows; COUNT(col) counts NON-NULL values
                 # (SQL semantics — the DuckDB oracle runs the same text)
@@ -212,10 +271,24 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
                 aggs.append(Count(on=it["arg"], ignore_nulls=True,
                                   alias_name=key + "_c"))
             post.append((i, key, it))
-        if plan["group"]:
-            out = ds.groupby(plan["group"]).aggregate(*aggs).to_pandas()
+        if aggs:
+            if plan["group"]:
+                out = ds.groupby(plan["group"]).aggregate(*aggs).to_pandas()
+            else:
+                out = ds.groupby(None).aggregate(*aggs).to_pandas()
         else:
-            out = ds.groupby(None).aggregate(*aggs).to_pandas()
+            out = None  # COUNT(DISTINCT ...) only — built below
+        for it in distinct_items:
+            cd = _count_distinct(ds, plan["group"], it["arg"])
+            cd = cd.rename(columns={"__cd": it["alias"]})
+            cd[it["alias"]] = cd[it["alias"]].astype("int64")
+            if out is None:
+                out = cd
+            elif plan["group"]:
+                out = out.merge(cd, on=plan["group"], how="left")
+                out[it["alias"]] = out[it["alias"]].fillna(0).astype("int64")
+            else:
+                out[it["alias"]] = cd[it["alias"]].iloc[0]
         for _, key, it in post:
             if it["agg"] == "AVG":
                 out[it["alias"]] = out[key + "_s"] / out[key + "_c"]
@@ -231,7 +304,14 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
                                   if it["col"] and not it["agg"]})
         cols = [it["alias"] for it in plan["items"]]
         out = out[cols]
+        # HAVING: post-aggregate filter on the (small) result, aliases
+        # resolved — same alias-reference semantics the DuckDB oracle uses
+        for c in plan["having"]:
+            out = out[_HAVING_OPS[c["op"]](out[c["col"]], c["val"])]
+        out = out.reset_index(drop=True)
     else:
+        if plan["having"]:
+            raise ValueError("HAVING requires an aggregate SELECT")
         # plain SELECT: keep order/limit DISTRIBUTED — a large filtered
         # table must never be pulled to the driver just to sort and slice
         if plan["order"]:

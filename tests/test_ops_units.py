@@ -136,8 +136,18 @@ def test_sqlmini_parser_and_errors(ray_session):
     assert p["items"][2]["agg"] == "SUM" and p["items"][2]["nd"] == 2
     assert p["conds"][1]["op"] == "LIKE"
     assert p["order"] == [("a", True)]
+    p2 = parse("SELECT a, COUNT(DISTINCT b) AS nb FROM t GROUP BY a "
+               "HAVING nb >= 2 ORDER BY a")
+    assert p2["items"][1]["distinct"] and p2["having"][0]["op"] == ">="
     for bad in ("DELETE FROM t", "SELECT a FROM t JOIN u ON 1=1",
-                "SELECT ROUND(SUM(b)) AS s FROM t"):
+                "SELECT ROUND(SUM(b)) AS s FROM t",
+                "SELECT SUM(DISTINCT b) AS s FROM t",
+                "SELECT a FROM t HAVING a > 1"):
+        if bad == "SELECT a FROM t HAVING a > 1":
+            with _pytest.raises(ValueError):
+                run_sql("/root/testdata/sf0.001", bad.replace("t", "orders")
+                        .replace(" a ", " o_orderkey "))
+            continue
         with _pytest.raises(ValueError):
             parse(bad)
     # empty result keeps schema
