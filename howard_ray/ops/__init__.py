@@ -103,6 +103,7 @@ def all_queries():
         "roundtrip_pruned": engine_queries.roundtrip_pruned,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,
+        "media_frame_sample": multimodal.media_frame_sample,
         # external-tool shell-out stage (SURVEY.md 2.10)
         "external_gzip_compress": external.external_gzip_compress,
         # VCF format surface over the sf-scaled fixture

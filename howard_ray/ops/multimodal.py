@@ -143,3 +143,80 @@ GROUP BY 1 ORDER BY 1
 
 
 SQL["media_features"] = _media_sql()
+
+
+FRAME_BYTES = 64     # fake fixed-size frame within the payload body
+SAMPLE_EVERY = 4     # keep every 4th frame
+
+
+class FakeFrameSampler:
+    """STUB frame sampler (a real one would seek ffmpeg keyframes): treats
+    the payload body as concatenated FRAME_BYTES-sized frames and keeps
+    every SAMPLE_EVERY-th — the video frame-sampling stage shape (actor
+    pool, byte-aware batches, typed metadata out). Deterministic, so the
+    DuckDB oracle recomputes the sampled byte sum from the same blob."""
+
+    def __init__(self, every: int = SAMPLE_EVERY):
+        self.every = every  # a real sampler would init demuxer state here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_frames, n_sampled, sums = [], [], [], []
+        for mid, p in zip(batch["media_id"], batch["payload"]):
+            body = np.frombuffer(p.as_py(), dtype=np.uint8, offset=8)
+            nf = body.size // FRAME_BYTES
+            frames = body[:nf * FRAME_BYTES].reshape(-1, FRAME_BYTES)
+            sampled = frames[::self.every]
+            ids.append(mid.as_py())
+            n_frames.append(nf)
+            n_sampled.append(len(sampled))
+            sums.append(int(sampled.sum(dtype=np.int64)))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.string()),
+            "n_frames": pa.array(n_frames, type=pa.int64()),
+            "n_sampled": pa.array(n_sampled, type=pa.int64()),
+            "sampled_sum": pa.array(sums, type=pa.int64()),
+        })
+
+
+def media_frame_sample(sf_dir: str):
+    """queries() entry: frame-sample the deterministic media corpus via the
+    actor-pool stage; per-media frame counts + exact integer byte sum of
+    the sampled frames (integer output → float-free oracle)."""
+    path = ensure_media_fixture()
+    ds = ray.data.read_parquet(path)
+    out = (ds.map_batches(FakeFrameSampler, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4), num_cpus=1)
+           .to_pandas())
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def _frame_sample_sql() -> str:
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "howard_ray_cache",
+                        "media.parquet")
+    return f"""
+WITH m AS (
+  SELECT media_id, hex(payload) AS hx,
+         (octet_length(payload) - 8) // {FRAME_BYTES} AS n_frames
+  FROM read_parquet('{path}')),
+s AS (
+  SELECT media_id, n_frames,
+         len(range(0, n_frames, {SAMPLE_EVERY})) AS n_sampled,
+         coalesce(list_sum(list_transform(
+           flatten(list_transform(range(0, n_frames, {SAMPLE_EVERY}),
+             fr -> range(fr * {FRAME_BYTES}, (fr + 1) * {FRAME_BYTES}))),
+           -- absolute byte p of the BODY sits at payload byte 8+p: hex
+           -- chars 2*(8+p)+1 and +2 (1-based slices)
+           p -> (strpos('0123456789ABCDEF', hx[2*(8+p)+1:2*(8+p)+1]) - 1) * 16
+              + (strpos('0123456789ABCDEF', hx[2*(8+p)+2:2*(8+p)+2]) - 1))),
+           0) AS sampled_sum
+  FROM m)
+SELECT media_id, n_frames::BIGINT AS n_frames,
+       n_sampled::BIGINT AS n_sampled, sampled_sum::BIGINT AS sampled_sum
+FROM s ORDER BY media_id
+"""
+
+
+SQL["media_frame_sample"] = _frame_sample_sql()
