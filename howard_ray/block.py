@@ -60,7 +60,9 @@ def _encode_int_col(arr: pa.Array, codec: str | None) -> tuple[bytes, dict]:
     codec = codec or choose_int_codec(vals)
     payload, meta = encode_ints(vals, codec)
     entry = {"kind": "int", "meta": meta,
-             "stats": {"min": int(vals.min()), "max": int(vals.max())} if vals.size else {}}
+             "stats": {"min": int(vals.min()), "max": int(vals.max()),
+                       "sum": int(vals.sum(dtype=np.int64))}
+             if vals.size else {}}
     return payload, entry
 
 
@@ -83,6 +85,7 @@ def _encode_list_int_col(arr: pa.Array, codec: str | None) -> tuple[bytes, dict]
     vcodec = codec or choose_int_codec(values)
     p_val, m_val = encode_ints(values, vcodec)
     stats = {"min": int(values.min()), "max": int(values.max()),
+             "sum": int(values.sum(dtype=np.int64)),
              "n_values": int(values.size)} if values.size else {"n_values": 0}
     entry = {"kind": "list_int", "len_meta": m_len, "val_meta": m_val,
              "parts": [len(p_len), len(p_val)],

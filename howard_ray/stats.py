@@ -52,4 +52,39 @@ def store_report(store_dir: str) -> dict:
         "throughput_gbps": footer.get("throughput_gbps"),
         "codec_blocks": dict(sorted(codec_counts.items())),
         "per_source": dict(sorted(per_source.items())),
+        # O(metadata) token total from the zone-map sums (None on stores
+        # written before sum-bearing stats)
+        "sum_n_tok_meta": _meta_sum(blocks, "n_tok"),
     }
+
+
+def _meta_sum(blocks: list[dict], column: str):
+    total = 0
+    for b in blocks:
+        st = (b.get("columns", {}).get(column) or {}).get("stats", {})
+        if "sum" not in st:
+            return None
+        total += int(st["sum"])
+    return total
+
+
+def metadata_aggregate(store_dir: str, column: str) -> dict:
+    """O(metadata) SUM/COUNT of an integer (or list<int>) column straight
+    from the footer zone maps — no block is read or decoded. The Parquet
+    column-statistics idea applied to the encoded store: a 100-TB store
+    answers `SUM(n_tok)` from its footer alone. Returns
+    {"n_rows", "sum", "n_blocks", "complete"}; `complete` is False when any
+    block predates the sum-bearing stats (then the caller must decode)."""
+    footer = load_footer(store_dir)
+    total = 0
+    rows = 0
+    complete = True
+    for b in footer["blocks"]:
+        st = (b.get("columns", {}).get(column) or {}).get("stats", {})
+        if "sum" not in st:
+            complete = False
+        else:
+            total += int(st["sum"])
+        rows += b["n_rows"]
+    return {"n_rows": rows, "sum": total if complete else None,
+            "n_blocks": footer["n_blocks"], "complete": complete}

@@ -95,3 +95,31 @@ def test_block_meta_readable():
     meta = read_block_meta(data)
     assert meta["block_id"] == "bX"
     assert set(meta["columns"]) == {"doc_id", "tokens", "n_tok", "source"}
+
+
+def test_metadata_aggregate_matches_decode(ray_session, tmp_path):
+    """Footer-only SUM(n_tok)/SUM(tokens) must equal the decoded truth —
+    the O(metadata) aggregate path a 100-TB store answers without reading
+    one block."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from howard_ray.fixtures import write_corpus
+    from howard_ray.pipeline import decode_store, encode_dataset
+    from howard_ray.stats import metadata_aggregate
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 2000, seed=9)
+    store = str(tmp_path / "store")
+    encode_dataset(src, store, mode="cluster", target_rows=500)
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(src)
+    truth_ntok = int(pc.sum(t["n_tok"]).as_py())
+    truth_tok = int(pc.sum(pc.list_flatten(t["tokens"])).as_py())
+
+    m1 = metadata_aggregate(store, "n_tok")
+    m2 = metadata_aggregate(store, "tokens")
+    assert m1["complete"] and m1["sum"] == truth_ntok
+    assert m2["complete"] and m2["sum"] == truth_tok
+    assert m1["n_rows"] == t.num_rows
