@@ -131,6 +131,7 @@ def all_queries():
         "approx_distinct_words": sampling.approx_distinct_words,
         "sample_stratified": sampling.sample_stratified,
         "quantiles_exact": sampling.quantiles_exact,
+        "quantiles_by_source": sampling.quantiles_by_source,
         "export_split_shards": sampling.export_split_shards,
         # bigram LM train + perplexity inference (model-scorer shape)
         "lm_perplexity": lm.lm_perplexity,

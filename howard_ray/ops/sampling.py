@@ -410,3 +410,44 @@ SELECT CASE WHEN hi < {TRAIN_HI} THEN 'train'
        source, sum(n_chars)::BIGINT AS sum_chars
 FROM h GROUP BY split, source ORDER BY split, source
 """
+
+
+def quantiles_by_source(sf_dir: str, ps: list[float] = QUANTILE_PS):
+    """Per-source EXACT quantiles via the same mergeable value-histogram as
+    quantiles_exact — keys are (source, distinct value), bounded by value
+    cardinality x sources, so the column itself never shuffles and the
+    driver walks |sources| tiny cumsums. The per-source length/quality
+    percentile table every mixture decision starts from."""
+    ds = tbl(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": batch["source"],
+            "v": pc.cast(batch["n_chars"], pa.int64()),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+        g = t.group_by(["source", "v"]).aggregate([("one", "sum")])
+        return pa.table({"source": g["source"], "v": g["v"],
+                         "cnt": g["one_sum"]})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["source", "v"])
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    rows = []
+    for source, g in hist.groupby("source"):
+        g = g.sort_values("v")
+        cum = g["cnt"].astype("int64").cumsum().to_numpy()
+        vals = g["v"].astype("int64").to_numpy()
+        n = int(cum[-1])
+        for p in ps:
+            idx = int(np.searchsorted(cum, math.ceil(p * n), side="left"))
+            rows.append({"source": source, "p": p, "value": int(vals[idx])})
+    out = pd.DataFrame(rows)
+    return out.sort_values(["source", "p"]).reset_index(drop=True)
+
+
+SQL["quantiles_by_source"] = ("SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT source, {p} AS p, quantile_disc(n_chars, {p})::BIGINT"
+        " AS value FROM documents GROUP BY source" for p in QUANTILE_PS)
+    + ") ORDER BY source, p")
