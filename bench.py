@@ -34,7 +34,7 @@ OPS_IN_BENCH = ["pricing_summary", "join_hash", "dedup_exact",
                 "window_hourly", "token_stats", "ann_cosine_topk",
                 "dedup_jaccard_join", "ann_ivf_topk", "split_assign",
                 "heavy_hitters", "redact_terms", "token_freq_topk",
-                "curate_pipeline", "mixture_sample"]
+                "curate_pipeline", "mixture_sample", "dup_ngram_spans"]
 
 
 ALLOCATOR_ENV = {
