@@ -478,6 +478,16 @@ def encode_dataset(
     # ~32 MiB scan/shuffle blocks: fine-grained enough to keep every CPU busy
     # on medium inputs without flooding the object store with tiny objects
     ctx.target_max_block_size = 32 * 1024 * 1024
+    # push-based shuffle for the salted groupby exchange: two-stage
+    # map→merge pipelining instead of the sort shuffle's all-map-then-
+    # all-reduce barrier — measured 16-19 s → 10-11 s on the 3M-row cluster
+    # encode at 32 CPUs. Safe because group CONTENT no longer depends on
+    # arrival order (groups are sorted by doc_id before block slicing;
+    # per-block resume therefore assumes unique doc_id per the input_hint).
+    # HOWARD_SORT_SHUFFLE=1 restores the sort-based exchange.
+    prev_push = getattr(ctx, "use_push_based_shuffle", None)
+    if prev_push is not None and not os.environ.get("HOWARD_SORT_SHUFFLE"):
+        ctx.use_push_based_shuffle = True
     t0 = time.perf_counter()
 
     if mode == "stream":
@@ -553,6 +563,12 @@ def encode_dataset(
             if wide_type is not None:
                 idx = body.schema.get_field_index("tokens")
                 body = body.set_column(idx, "tokens", body["tokens"].cast(wide_type))
+            # deterministic content: order by doc_id, not by arrival — block
+            # contents (and therefore resume identity) must not depend on
+            # the shuffle implementation's intra-key merge order (this is
+            # what makes the push-based shuffle safe to enable below)
+            import pyarrow.compute as pc
+            body = body.take(pc.sort_indices(body["doc_id"]))
             key = f"{source}-{salt:05d}"
             recs = _encode_tables_to_blocks(
                 [body], store_dir, key, sort_key=f"{source}/{salt:05d}",
@@ -698,6 +714,8 @@ def encode_dataset(
             print(rec_ds.stats())
     finally:
         ctx.target_max_block_size = prev_block_size
+        if prev_push is not None:
+            ctx.use_push_based_shuffle = prev_push
     wall = time.perf_counter() - t0
     raw_bytes = sum(r["raw_bytes"] for r in records)
     # throughput counts only FRESHLY encoded bytes: a resumed run that
