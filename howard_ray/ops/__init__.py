@@ -104,6 +104,7 @@ def all_queries():
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.media_frame_sample,
+        "media_resize": multimodal.media_resize,
         # external-tool shell-out stage (SURVEY.md 2.10)
         "external_gzip_compress": external.external_gzip_compress,
         # VCF format surface over the sf-scaled fixture

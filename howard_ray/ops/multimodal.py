@@ -220,3 +220,75 @@ FROM s ORDER BY media_id
 
 
 SQL["media_frame_sample"] = _frame_sample_sql()
+
+
+RESIZE_TARGET = 256  # longest-edge target for the fake resize
+
+
+class FakeResizer:
+    """STUB resize (a real one calls PIL.Image.resize): decimates the
+    payload body by the integer factor that brings the longest metadata
+    edge under RESIZE_TARGET — the thumbnail/preprocess stage of an image
+    pipeline (actor pool, typed metadata out, byte-aware batches).
+    Deterministic: output dims + the strided byte sum are recomputable
+    from the blob, so the oracle is exact."""
+
+    def __init__(self, target: int = RESIZE_TARGET):
+        self.target = target  # a real resizer would init filters here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ow, oh, fs, sums = [], [], [], [], []
+        for mid, p, w, h in zip(batch["media_id"], batch["payload"],
+                                batch["width"], batch["height"]):
+            w, h = int(w.as_py()), int(h.as_py())
+            f = max(1, -(-max(w, h) // self.target))   # ceil-div factor
+            body = np.frombuffer(p.as_py(), dtype=np.uint8, offset=8)
+            ids.append(mid.as_py())
+            ow.append(w // f)
+            oh.append(h // f)
+            fs.append(f)
+            sums.append(int(body[::f].sum(dtype=np.int64)))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.string()),
+            "out_w": pa.array(ow, type=pa.int64()),
+            "out_h": pa.array(oh, type=pa.int64()),
+            "factor": pa.array(fs, type=pa.int64()),
+            "resized_sum": pa.array(sums, type=pa.int64()),
+        })
+
+
+def media_resize(sf_dir: str):
+    """queries() entry: resize stage over the deterministic media corpus;
+    per-media output dims + exact strided byte sum (integer oracle)."""
+    path = ensure_media_fixture()
+    ds = ray.data.read_parquet(path)
+    out = (ds.map_batches(FakeResizer, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4), num_cpus=1)
+           .to_pandas())
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def _resize_sql() -> str:
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "howard_ray_cache",
+                        "media.parquet")
+    return f"""
+WITH m AS (
+  SELECT media_id, hex(payload) AS hx,
+         octet_length(payload) - 8 AS bl, width, height,
+         greatest(1, ceil(greatest(width, height)
+                          / {RESIZE_TARGET}.0)::BIGINT) AS f
+  FROM read_parquet('{path}'))
+SELECT media_id, (width // f)::BIGINT AS out_w,
+       (height // f)::BIGINT AS out_h, f AS factor,
+       coalesce(list_sum(list_transform(range(0, bl, f),
+         p -> (strpos('0123456789ABCDEF', hx[2*(8+p)+1:2*(8+p)+1]) - 1) * 16
+            + (strpos('0123456789ABCDEF', hx[2*(8+p)+2:2*(8+p)+2]) - 1))),
+         0)::BIGINT AS resized_sum
+FROM m ORDER BY media_id
+"""
+
+
+SQL["media_resize"] = _resize_sql()
