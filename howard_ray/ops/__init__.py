@@ -150,6 +150,7 @@ def all_queries():
         "curate_pipeline": curate.curate_pipeline,
         "mixture_plan": curate.mixture_plan,
         "shuffle_shards": curate.shuffle_shards,
+        "curate_store": curate.curate_store,
     }
     # SQL query surface: same SQL text on both engines
     q.update(sql_surface.QUERIES)

@@ -240,3 +240,76 @@ SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
        count(DISTINCT source) AS n_sources
 FROM h GROUP BY shard ORDER BY shard
 """
+
+
+def curate_store(sf_dir: str):
+    """End-to-end integration of the curation ops with the columnar
+    engine: quality gate → exact dedup → survivors written to parquet →
+    encoded through the FLAGSHIP salted-cluster pipeline → decoded →
+    per-source aggregate of the decoded curated corpus. The oracle
+    aggregates the same curation CTE chain in DuckDB, so one value-hash
+    ties gate + dedup + encode + block store + decode together."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..pipeline import decode_store, encode_dataset
+
+    ds = tbl(sf_dir, "documents", ["doc_id", "source", "text", "n_chars"])
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = _dup_frac(batch)
+        keep = ((batch["n_chars"].to_numpy() >= CURATE_MIN_CHARS)
+                & (dup <= CURATE_DUP))
+        out = batch.loc[keep, ["doc_id", "source", "text", "n_chars"]]
+        h = stable_hash_u64(pa.array(out["text"].to_numpy(dtype=object)))
+        return out.assign(b=(h % np.uint64(N_DEDUP_BUCKETS))
+                          .view(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        surv = (g.sort_values("doc_id")
+                 .groupby("text", as_index=False)
+                 .first())
+        return surv[["doc_id", "source", "n_chars"]]
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cache = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
+    cur_dir = os.path.join(cache, f"curated_{tag}")
+    store = os.path.join(cache, f"store_curated_{tag}")
+    shutil.rmtree(cur_dir, ignore_errors=True)
+    shutil.rmtree(store, ignore_errors=True)
+    (ds.map_batches(gate, batch_format="pandas")
+       .groupby("b").map_groups(per_bucket, batch_format="pandas")
+       .write_parquet(cur_dir))
+    encode_dataset(cur_dir, store, mode="cluster", target_rows=20_000,
+                   resume=False)
+    out = (decode_store(store)
+           .groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_chars", alias_name="sum_chars"),
+                      Sum("doc_id", alias_name="sum_ids"))
+           .to_pandas())
+    for c in ["n_docs", "sum_chars", "sum_ids"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL["curate_store"] = f"""
+WITH q AS (
+  SELECT doc_id, source, text, n_chars,
+         1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / greatest(len(string_split(text, ' ')), 1) AS dup_frac
+  FROM documents),
+f AS (
+  SELECT * FROM q
+  WHERE n_chars >= {CURATE_MIN_CHARS} AND dup_frac <= {CURATE_DUP}),
+d AS (
+  SELECT * FROM f
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       sum(doc_id)::BIGINT AS sum_ids
+FROM d GROUP BY source ORDER BY source
+"""
