@@ -88,3 +88,25 @@ def test_dup_ngram_spans_matches_duckdb(ray_session):
                    f"'{SF_DIR}/documents.parquet'").fetchone()[0]
     assert got["n_docs"].sum() == n
     assert got["avg_dup_frac"].between(0, 1).all()
+
+
+def test_media_stages_deterministic_and_consistent(ray_session):
+    """Frame-sample and resize stages: deterministic across invocations,
+    dims/factors consistent with the fixture metadata."""
+    import numpy as np
+
+    from howard_ray.ops.multimodal import (FRAME_BYTES, RESIZE_TARGET,
+                                           SAMPLE_EVERY, media_frame_sample,
+                                           media_resize)
+
+    fs = media_frame_sample(SF_DIR)
+    rz = media_resize(SF_DIR)
+    pd.testing.assert_frame_equal(fs, media_frame_sample(SF_DIR))
+    pd.testing.assert_frame_equal(rz, media_resize(SF_DIR))
+    # every sampled count is ceil(n_frames / SAMPLE_EVERY)
+    exp = -(-fs["n_frames"].to_numpy() // SAMPLE_EVERY)
+    assert (fs["n_sampled"].to_numpy() == exp).all()
+    # resize never exceeds the target on the longest edge
+    assert (np.maximum(rz["out_w"], rz["out_h"])
+            <= RESIZE_TARGET).all()
+    assert (rz["factor"] >= 1).all()
