@@ -122,3 +122,112 @@ FROM c JOIN n USING (source) GROUP BY c.source ORDER BY c.source
 
 
 SQL["token_freq_topk"], SQL["token_entropy_by_source"] = _twin_sql()
+
+
+# ---- distributed BPE merge rounds (iterative algorithm on tokens) ----
+
+BPE_ROUNDS = 4
+BPE_BASE = 1 << 20          # merged-symbol ids start above any vocab id
+_PACK = 21                  # ids < 2^21 after BPE_ROUNDS rounds -> exact pack
+
+
+def _flat_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.compute as pc
+    vals = pc.list_flatten(batch["tokens"]).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(batch["tokens"]).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return vals, lens
+
+
+def _greedy_merge(vals: np.ndarray, lens: np.ndarray,
+                  merges: list[tuple[int, int, int]]
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Apply merge rules in order with exact left-to-right greedy
+    semantics, fully vectorized. Overlapping candidates only chain when
+    a == b (runs of one symbol); greedy there = every other position from
+    each run start, computed from consecutive-index groups."""
+    for a, b, new in merges:
+        if vals.size < 2:
+            continue
+        ends = np.cumsum(lens) - 1              # last index of each row
+        cand = (vals[:-1] == a) & (vals[1:] == b)
+        cand[ends[ends < cand.size]] = False    # no cross-row pairs
+        idx = np.flatnonzero(cand)
+        if idx.size == 0:
+            continue
+        grp_start = np.concatenate(([True], np.diff(idx) != 1))
+        offset = np.arange(idx.size) - np.maximum.accumulate(
+            np.where(grp_start, np.arange(idx.size), -1))
+        keep = idx[offset % 2 == 0]
+        vals = vals.copy()
+        vals[keep] = new
+        row_of = np.searchsorted(np.cumsum(lens) - 1, keep + 1, "left")
+        vals = np.delete(vals, keep + 1)
+        lens = lens - np.bincount(row_of, minlength=lens.size)
+    return vals, lens
+
+
+def bpe_merges(sf_dir: str, rounds: int = BPE_ROUNDS):
+    """Distributed BPE training rounds over the north-star tokens corpus:
+    each round applies the merges learned so far (broadcast rule list,
+    exact vectorized greedy inside ``map_batches``), counts adjacent-pair
+    frequencies as per-batch partials, reduces with one grouped sum +
+    per-block top-1 prune, and the driver picks the argmax pair
+    (count DESC, pair ASC tie-break) as the round's new symbol — the
+    k-means-style iterative-algorithm shape (broadcast state, combiner
+    partials) applied to the tokens table. Iterative resegmentation is not
+    SQL-expressible → rows-only; pytest recomputes the rounds with an
+    independent scalar reference."""
+    path = ensure_tokens_fixture()
+    ds = ray.data.read_parquet(path, columns=["tokens"])
+    merges: list[tuple[int, int, int]] = []
+    rows = []
+    for r in range(rounds):
+        m_ref = ray.put(list(merges))
+
+        def pair_partials(batch: pa.Table) -> pa.Table:
+            vals, lens = _flat_tokens(batch)
+            vals, lens = _greedy_merge(vals, lens, ray.get(m_ref))
+            if vals.size < 2:
+                return pa.table({"pair": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            ends = np.cumsum(lens) - 1
+            mask = np.ones(vals.size - 1, dtype=bool)
+            mask[ends[ends < mask.size]] = False
+            key = (vals[:-1] << _PACK) | vals[1:]
+            u, c = np.unique(key[mask], return_counts=True)
+            return pa.table({"pair": pa.array(u),
+                             "cnt": pa.array(c.astype(np.int64))})
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.append_column(
+                "b", pc.cast(pc.bit_wise_and(batch["pair"],
+                                             pa.scalar(255, pa.int64())),
+                             pa.int32()))
+
+        def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+            # bounded-groupby rule (DESIGN.md §8.1): the distinct-pair key
+            # space scales with vocab^2, so the per-pair sum runs as a
+            # vectorized pandas groupby inside 256 hash buckets; argmax of
+            # a total order distributes over the bucket partition
+            t = g.groupby("pair", as_index=False)["cnt"].sum()
+            t = t.sort_values(["cnt", "pair"], ascending=[False, True])
+            return t.head(1)
+
+        best = (ds.map_batches(pair_partials, batch_format="pyarrow")
+                  .map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("b").map_groups(bucket_top, batch_format="pandas")
+                  .to_pandas()
+                  .sort_values(["cnt", "pair"], ascending=[False, True]))
+        if best.empty:
+            break
+        pair = int(best.iloc[0]["pair"])
+        cnt = int(best.iloc[0]["cnt"])
+        a, b = pair >> _PACK, pair & ((1 << _PACK) - 1)
+        new = BPE_BASE + r
+        merges.append((a, b, new))
+        rows.append({"round": r, "tok_a": a, "tok_b": b,
+                     "new_id": new, "cnt": cnt})
+    return pd.DataFrame(rows)

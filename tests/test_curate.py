@@ -110,3 +110,43 @@ def test_media_stages_deterministic_and_consistent(ray_session):
     assert (np.maximum(rz["out_w"], rz["out_h"])
             <= RESIZE_TARGET).all()
     assert (rz["factor"] >= 1).all()
+
+
+def test_bpe_merges_match_scalar_reference(ray_session):
+    """The distributed BPE rounds must equal an independent pure-python
+    greedy reference over the same corpus."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from howard_ray.ops.token_ids import (BPE_BASE, bpe_merges,
+                                          ensure_tokens_fixture)
+
+    got = bpe_merges("/root/testdata/sf0.001", rounds=3)
+    rows = [list(r) for r in
+            pq.read_table(ensure_tokens_fixture(),
+                          columns=["tokens"])["tokens"].to_pylist()]
+    merges = []
+    exp = []
+    for r in range(3):
+        # apply merges scalar greedy left-to-right, then count pairs
+        cnt = collections.Counter()
+        for row in rows:
+            seq = row
+            for a, b, new in merges:
+                out, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == a and seq[i+1] == b:
+                        out.append(new)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seq = out
+            for x, y in zip(seq, seq[1:]):
+                cnt[(x, y)] += 1
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, BPE_BASE + r))
+        exp.append({"round": r, "tok_a": a, "tok_b": b,
+                    "new_id": BPE_BASE + r, "cnt": c})
+    assert got.to_dict("records") == exp
