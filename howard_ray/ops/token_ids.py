@@ -231,3 +231,41 @@ def bpe_merges(sf_dir: str, rounds: int = BPE_ROUNDS):
         rows.append({"round": r, "tok_a": a, "tok_b": b,
                      "new_id": new, "cnt": cnt})
     return pd.DataFrame(rows)
+
+
+def bpe_apply(sf_dir: str, rounds: int = BPE_ROUNDS):
+    """Apply the learned BPE merge table corpus-wide and report per-source
+    token counts before/after — the vocabulary-extension payoff check
+    (tokens_after/tokens_before < 1). One training call (itself
+    distributed) + one stateless apply pass with the merge rules
+    broadcast; rows-only + pytest consistency with bpe_merges counts."""
+    from ray.data.aggregate import Sum
+
+    trained = bpe_merges(sf_dir, rounds=rounds)
+    merges = [(int(r["tok_a"]), int(r["tok_b"]), int(r["new_id"]))
+              for _, r in trained.iterrows()]
+    m_ref = ray.put(merges)
+    path = ensure_tokens_fixture()
+    ds = ray.data.read_parquet(path, columns=["tokens", "source"])
+
+    def apply_count(batch: pa.Table) -> pa.Table:
+        vals, lens = _flat_tokens(batch)
+        _, lens2 = _greedy_merge(vals, lens, ray.get(m_ref))
+        t = pa.table({"source": batch["source"],
+                      "before": pa.array(lens),
+                      "after": pa.array(lens2)})
+        g = t.group_by("source").aggregate(
+            [("before", "sum"), ("after", "sum")])
+        return pa.table({"source": g["source"],
+                         "tok_before": g["before_sum"],
+                         "tok_after": g["after_sum"]})
+
+    out = (ds.map_batches(apply_count, batch_format="pyarrow")
+             .groupby("source")
+             .aggregate(Sum("tok_before", alias_name="tok_before"),
+                        Sum("tok_after", alias_name="tok_after"))
+             .to_pandas())
+    out["tok_before"] = out["tok_before"].astype("int64")
+    out["tok_after"] = out["tok_after"].astype("int64")
+    out["ratio"] = (out["tok_after"] / out["tok_before"]).round(4)
+    return out.sort_values("source").reset_index(drop=True)

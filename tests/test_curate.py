@@ -150,3 +150,36 @@ def test_bpe_merges_match_scalar_reference(ray_session):
         exp.append({"round": r, "tok_a": a, "tok_b": b,
                     "new_id": BPE_BASE + r, "cnt": c})
     assert got.to_dict("records") == exp
+
+
+def test_bpe_apply_reduces_tokens_consistently(ray_session):
+    """Corpus-wide BPE application: totals shrink, and the per-source
+    after-counts equal a driver-side whole-corpus recompute (the greedy
+    kernel itself is proven against the scalar reference above)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from howard_ray.ops.token_ids import (_greedy_merge, bpe_apply,
+                                          bpe_merges, ensure_tokens_fixture)
+
+    trained = bpe_merges("/root/testdata/sf0.001", rounds=2)
+    applied = bpe_apply("/root/testdata/sf0.001", rounds=2)
+    assert (applied["tok_after"] < applied["tok_before"]).all()
+
+    t = pq.read_table(ensure_tokens_fixture(), columns=["tokens", "source"])
+    vals = pc.list_flatten(t["tokens"]).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(t["tokens"]).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    merges = [(int(r["tok_a"]), int(r["tok_b"]), int(r["new_id"]))
+              for _, r in trained.iterrows()]
+    _, lens2 = _greedy_merge(vals, lens, merges)
+    src_arr = t["source"].to_numpy(zero_copy_only=False)
+    import pandas as _pd
+    exp = (_pd.DataFrame({"source": src_arr, "before": lens,
+                          "after": lens2})
+           .groupby("source", as_index=False).sum()
+           .sort_values("source").reset_index(drop=True))
+    assert applied["tok_before"].tolist() == exp["before"].tolist()
+    assert applied["tok_after"].tolist() == exp["after"].tolist()
