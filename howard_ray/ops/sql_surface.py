@@ -30,6 +30,9 @@ GROUP BY l_returnflag HAVING n >= 10000 ORDER BY l_returnflag""",
     "sql_count_distinct": """SELECT o_orderpriority,
 COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n FROM orders
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "sql_order_by_alias": """SELECT o_orderpriority, COUNT(*) AS n,
+ROUND(SUM(o_totalprice), 2) AS rev FROM orders
+GROUP BY o_orderpriority ORDER BY rev DESC, o_orderpriority LIMIT 3""",
 }
 
 

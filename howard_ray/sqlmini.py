@@ -150,8 +150,13 @@ def _needed_columns(plan: dict) -> list[str]:
     for c in plan["conds"]:
         cols.add(c["col"])
     cols.update(plan["group"])
+    # ORDER BY may reference an output ALIAS (e.g. an aggregate's name) —
+    # those are not table columns and must not reach the pruned read; the
+    # final sort runs on the result frame where aliases exist
+    aliases = {it["alias"] for it in plan["items"] if it["alias"]}
     for c, _ in plan["order"]:
-        cols.add(c)
+        if c not in aliases:
+            cols.add(c)
     return sorted(cols)
 
 
@@ -282,6 +287,9 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
             cd = _count_distinct(ds, plan["group"], it["arg"])
             cd = cd.rename(columns={"__cd": it["alias"]})
             cd[it["alias"]] = cd[it["alias"]].astype("int64")
+            if it["nd"] is not None:
+                cd[it["alias"]] = cd[it["alias"]].astype(float) \
+                    .round(it["nd"])
             if out is None:
                 out = cd
             elif plan["group"]:
@@ -313,9 +321,13 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
         if plan["having"]:
             raise ValueError("HAVING requires an aggregate SELECT")
         # plain SELECT: keep order/limit DISTRIBUTED — a large filtered
-        # table must never be pulled to the driver just to sort and slice
+        # table must never be pulled to the driver just to sort and slice.
+        # ORDER BY may use an output alias; the Dataset still carries the
+        # underlying column names
         if plan["order"]:
-            ds = ds.sort([c for c, _ in plan["order"]],
+            alias2col = {it["alias"]: it["col"]
+                         for it in plan["items"] if it["col"]}
+            ds = ds.sort([alias2col.get(c, c) for c, _ in plan["order"]],
                          descending=[d for _, d in plan["order"]])
         if plan["limit"] is not None:
             ds = ds.limit(plan["limit"])
@@ -332,7 +344,13 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
             out[it["alias"]] = out[it["alias"]].astype(float).round(it["nd"])
 
     if plan["order"]:
-        out = out.sort_values([c for c, _ in plan["order"]],
+        # the result frame carries ALIASES; accept either the alias or the
+        # underlying column name in ORDER BY
+        col2alias = {it["col"]: it["alias"]
+                     for it in plan["items"] if it["col"]}
+        keys = [c if c in out.columns else col2alias.get(c, c)
+                for c, _ in plan["order"]]
+        out = out.sort_values(keys,
                               ascending=[not d for _, d in plan["order"]])
     if plan["limit"] is not None:
         out = out.head(plan["limit"])

@@ -139,6 +139,12 @@ def test_sqlmini_parser_and_errors(ray_session):
     p2 = parse("SELECT a, COUNT(DISTINCT b) AS nb FROM t GROUP BY a "
                "HAVING nb >= 2 ORDER BY a")
     assert p2["items"][1]["distinct"] and p2["having"][0]["op"] == ">="
+    # ORDER BY an aggregate alias must not leak into the pruned read
+    out2 = run_sql("/root/testdata/sf0.001",
+                   "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+                   "GROUP BY o_orderpriority ORDER BY n DESC LIMIT 2")
+    assert list(out2.columns) == ["o_orderpriority", "n"]
+    assert out2["n"].is_monotonic_decreasing
     for bad in ("DELETE FROM t", "SELECT a FROM t JOIN u ON 1=1",
                 "SELECT ROUND(SUM(b)) AS s FROM t",
                 "SELECT SUM(DISTINCT b) AS s FROM t",
