@@ -183,3 +183,48 @@ def test_bpe_apply_reduces_tokens_consistently(ray_session):
            .sort_values("source").reset_index(drop=True))
     assert applied["tok_before"].tolist() == exp["before"].tolist()
     assert applied["tok_after"].tolist() == exp["after"].tolist()
+
+
+def test_sqlmini_differential_grid(ray_session):
+    """Differential check: a deterministic grid of generated mini-SQL
+    statements must match DuckDB running the same text (the compiler's
+    whole contract)."""
+    import duckdb
+
+    from howard_ray.sqlmini import run_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW orders AS SELECT * FROM read_parquet("
+                "'/root/testdata/sf0.001/orders.parquet')")
+    cases = []
+    for where in ["", " WHERE o_totalprice >= 200000",
+                  " WHERE o_orderpriority = '1-URGENT'"]:
+        for tail in ["", " ORDER BY n DESC, o_orderpriority LIMIT 3",
+                     " HAVING n >= 5 ORDER BY o_orderpriority"]:
+            cases.append(
+                "SELECT o_orderpriority, COUNT(*) AS n, "
+                "ROUND(AVG(o_totalprice), 3) AS avg_p, "
+                "COUNT(DISTINCT o_custkey) AS nc FROM orders"
+                + where + " GROUP BY o_orderpriority" + tail)
+    cases += [
+        "SELECT COUNT(*) AS n, MIN(o_totalprice) AS lo, "
+        "MAX(o_totalprice) AS hi FROM orders",
+        "SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_totalprice > 430000 ORDER BY o_custkey DESC, o_orderkey "
+        "LIMIT 7",
+    ]
+    for sql in cases:
+        a = run_sql("/root/testdata/sf0.001", sql).reset_index(drop=True)
+        b = con.execute(sql).fetchdf().reset_index(drop=True)
+        assert list(a.columns) == list(b.columns), sql
+        if "ORDER BY" not in sql:   # row order unspecified: canonicalize
+            cols = list(a.columns)
+            a = a.sort_values(cols).reset_index(drop=True)
+            b = b.sort_values(cols).reset_index(drop=True)
+        for c in b.columns:
+            bd = str(b[c].dtype)
+            if bd.startswith(("int", "uint")):
+                b[c] = b[c].astype("int64")
+                a[c] = a[c].astype("int64")
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      obj=f"mismatch for: {sql}")
