@@ -46,6 +46,7 @@ def all_queries():
         "redact_terms": text.redact_terms,
         "repetition_filter": text.repetition_filter,
         "tfidf_topk": text.tfidf_topk,
+        "quality_topk_by_source": text.quality_topk_by_source,
         # windows / stream-shaped
         "window_hourly": windows.window_hourly,
         "asof_prev_event": windows.asof_prev_event,

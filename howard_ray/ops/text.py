@@ -546,3 +546,62 @@ WITH tf AS (
 )
 SELECT source, word, tfidf FROM top ORDER BY source, word
 """
+
+
+QUALITY_TOPK = 5
+
+
+def quality_topk_by_source(sf_dir: str, k: int = QUALITY_TOPK):
+    """Per-source top-k docs by stopword-ratio quality score — the
+    "best exemplars per domain" selection. No shuffle at all: each batch
+    emits its per-source partial top-k (<= sources x k rows), the driver
+    merges the tiny candidate union — the grouped analog of
+    ann_cosine_topk's partial-top-k discipline. Score is rounded to 6dp
+    BEFORE ranking on both engines so the (score DESC, doc_id ASC)
+    tie-break is exact."""
+    ds = tbl(sf_dir, "documents", ["doc_id", "source", "text"])
+    stop = np.array(sorted(STOPWORDS), dtype=object)
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n = (text.str.count(" ") + 1).astype("float64")
+        words = text.str.split(" ")
+        lens = words.str.len().to_numpy(np.int64)
+        flat = np.concatenate(words.to_numpy()) if len(batch) else \
+            np.array([], dtype=object)
+        hit = pd.Series(flat, dtype=object).isin(stop).to_numpy()
+        row = np.repeat(np.arange(len(batch)), lens)
+        n_stop = np.bincount(row, weights=hit, minlength=len(batch))
+        d = pd.DataFrame({
+            "source": batch["source"],
+            "doc_id": batch["doc_id"].astype("int64"),
+            "score": np.round(n_stop / n.to_numpy(), 6)})
+        d = d.sort_values(["source", "score", "doc_id"],
+                          ascending=[True, False, True])
+        return d.groupby("source", as_index=False).head(k)
+
+    cand = (ds.map_batches(partial_topk, batch_format="pandas")
+              .to_pandas())
+    cand = cand.sort_values(["source", "score", "doc_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("source", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("source").cumcount().astype("int64") + 1
+    return (out[["source", "doc_id", "rank", "score"]]
+            .sort_values(["source", "rank"]).reset_index(drop=True))
+
+
+SQL["quality_topk_by_source"] = f"""
+WITH per_doc AS (
+  SELECT source, doc_id,
+         round(len(list_filter(string_split(text, ' '),
+               w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) * 1.0
+               / len(string_split(text, ' ')), 6) AS score
+  FROM documents),
+r AS (
+  SELECT source, doc_id, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM per_doc)
+SELECT source, doc_id, rank, score FROM r WHERE rank <= {QUALITY_TOPK}
+ORDER BY source, rank
+"""
