@@ -52,6 +52,7 @@ def all_queries():
         "asof_prev_event": windows.asof_prev_event,
         "sessionize": windows.sessionize,
         "window_sliding": windows.window_sliding,
+        "funnel_steps": windows.funnel_steps,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_candidates": dedup.dedup_minhash_candidates,

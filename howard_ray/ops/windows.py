@@ -197,3 +197,61 @@ FROM expanded
 GROUP BY event_type, window_start
 ORDER BY event_type, window_start
 """
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_steps(sf_dir: str):
+    """Ordered funnel analysis over the event stream: users who viewed,
+    then clicked strictly AFTER their first view, then purchased strictly
+    after that first qualifying click — the step-conversion count every
+    product-event pipeline runs. One bucketed shuffle of the (filtered)
+    relevant events; each user's whole history folds inside its user-hash
+    bucket with vectorized pandas (bounded-groupby rule), and the driver
+    sums 64 partial rows."""
+    import numpy as np
+
+    ds = tbl(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin(FUNNEL_STEPS)].copy()
+        b["b"] = (b["user_id"].to_numpy(np.int64) % 64)
+        return b
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        v = (g[g["event_type"] == FUNNEL_STEPS[0]]
+             .groupby("user_id")["ts"].min().rename("t1").reset_index())
+        c = g[g["event_type"] == FUNNEL_STEPS[1]].merge(v, on="user_id")
+        c = (c[c["ts"] > c["t1"]]
+             .groupby("user_id")["ts"].min().rename("t2").reset_index())
+        p = g[g["event_type"] == FUNNEL_STEPS[2]].merge(c, on="user_id")
+        p = (p[p["ts"] > p["t2"]]
+             .groupby("user_id")["ts"].min().reset_index())
+        return pd.DataFrame({"step_view": [len(v)],
+                             "step_click": [len(c)],
+                             "step_purchase": [len(p)]})
+
+    parts = (ds.map_batches(bucketize, batch_format="pandas")
+               .groupby("b").map_groups(fold, batch_format="pandas")
+               .to_pandas())
+    return pd.DataFrame({
+        "step_view": [int(parts["step_view"].sum())],
+        "step_click": [int(parts["step_click"].sum())],
+        "step_purchase": [int(parts["step_purchase"].sum())]})
+
+
+SQL["funnel_steps"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS step_view,
+       (SELECT count(*) FROM c) AS step_click,
+       (SELECT count(*) FROM p) AS step_purchase
+"""
