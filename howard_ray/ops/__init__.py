@@ -53,6 +53,7 @@ def all_queries():
         "sessionize": windows.sessionize,
         "window_sliding": windows.window_sliding,
         "funnel_steps": windows.funnel_steps,
+        "retention_hourly": windows.retention_hourly,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_candidates": dedup.dedup_minhash_candidates,

@@ -255,3 +255,59 @@ SELECT (SELECT count(*) FROM v) AS step_view,
        (SELECT count(*) FROM c) AS step_click,
        (SELECT count(*) FROM p) AS step_purchase
 """
+
+
+def retention_hourly(sf_dir: str):
+    """Hour-over-hour retention: for every hour h, how many users active
+    in h were also active in h+1. Distinct (user, hour) pairs co-locate
+    under a user-hash bucket (one shuffle), consecutive-hour pairs are a
+    vectorized diff inside the bucket, and the final per-hour aggregate is
+    bounded by the time range."""
+    import numpy as np
+
+    ds = tbl(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        # unit-safe hour id: parquet timestamps may arrive as ns OR us
+        h = (np.asarray(batch["ts"], dtype="datetime64[s]")
+             .astype(np.int64) // 3600)
+        d = (pd.DataFrame({"user_id": batch["user_id"].to_numpy(np.int64),
+                           "h": h})
+             .drop_duplicates())
+        d["b"] = d["user_id"].to_numpy() % 64
+        return d
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "h"]).sort_values(["user_id", "h"])
+        u = d["user_id"].to_numpy()
+        h = d["h"].to_numpy()
+        consec = (u[1:] == u[:-1]) & (h[1:] == h[:-1] + 1)
+        first = h[:-1][consec]
+        if first.size == 0:
+            return pd.DataFrame({"hour_id": pd.Series([], dtype="int64"),
+                                 "retained": pd.Series([], dtype="int64")})
+        vc = pd.Series(first).value_counts()
+        return pd.DataFrame({"hour_id": vc.index.astype("int64"),
+                             "retained": vc.to_numpy(np.int64)})
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(pairs, batch_format="pandas")
+             .groupby("b").map_groups(fold, batch_format="pandas")
+             .groupby("hour_id")
+             .aggregate(Sum("retained", alias_name="retained"))
+             .to_pandas())
+    out["hour_id"] = out["hour_id"].astype("int64")
+    out["retained"] = out["retained"].astype("int64")
+    return out.sort_values("hour_id").reset_index(drop=True)
+
+
+SQL["retention_hourly"] = """
+WITH a AS (
+  -- date_trunc, not epoch(ts)::BIGINT: the cast ROUNDS fractional
+  -- seconds, pushing hh:59:59.5+ events into the next hour
+  SELECT DISTINCT user_id,
+         (epoch(date_trunc('hour', ts))::BIGINT // 3600) AS h FROM events)
+SELECT a.h AS hour_id, count(*) AS retained
+FROM a JOIN a b ON a.user_id = b.user_id AND b.h = a.h + 1
+GROUP BY a.h ORDER BY hour_id
+"""
