@@ -41,6 +41,11 @@ def _zipf_tokens(rng: np.random.Generator, n: int) -> np.ndarray:
     return np.searchsorted(_ZIPF_CDF, u, side="left").astype(np.int32)
 
 
+# int32 list-offset capacity; module-level so tests can exercise the
+# chunked construction without generating 2^31 tokens
+_OFFSET_LIMIT = 2**31
+
+
 def make_tokens_corpus(n_rows: int, seed: int = 42, variant: str = "base") -> pa.Table:
     """Build the corpus table.
 
@@ -82,15 +87,33 @@ def make_tokens_corpus(n_rows: int, seed: int = 42, variant: str = "base") -> pa
     elif variant == "shuffled":
         order = rng.permutation(n_rows)
 
-    tokens = pa.ListArray.from_arrays(
-        pa.array(offsets.astype(np.int32) if total < 2**31 else offsets, type=pa.int32()),
-        pa.array(values, type=pa.int32()))
-    t = pa.table({
-        "doc_id": pa.array(doc_id, type=pa.string()),
-        "tokens": tokens,
-        "n_tok": pa.array(n_tok, type=pa.int32()),
-        "source": pa.array(source, type=pa.string()),
-    })
+    # list<int32> offsets are 32-bit: past 2^31 total token values
+    # (~8.6M rows at this length distribution) build the column in row
+    # chunks whose per-chunk value counts fit, and concat — identical
+    # logical content, chunked physical layout
+    def _chunk_table(lo_row: int, hi_row: int) -> pa.Table:
+        off = (offsets[lo_row:hi_row + 1] - offsets[lo_row]).astype(np.int32)
+        vals = values[offsets[lo_row]:offsets[hi_row]]
+        tok = pa.ListArray.from_arrays(pa.array(off, type=pa.int32()),
+                                       pa.array(vals, type=pa.int32()))
+        return pa.table({
+            "doc_id": pa.array(doc_id[lo_row:hi_row], type=pa.string()),
+            "tokens": tok,
+            "n_tok": pa.array(n_tok[lo_row:hi_row], type=pa.int32()),
+            "source": pa.array(source[lo_row:hi_row], type=pa.string()),
+        })
+
+    if total < _OFFSET_LIMIT:
+        t = _chunk_table(0, n_rows)
+    else:
+        lim = _OFFSET_LIMIT - max(1, _OFFSET_LIMIT >> 9)
+        bounds = [0]
+        while bounds[-1] < n_rows:
+            nxt = int(np.searchsorted(offsets, offsets[bounds[-1]] + lim,
+                                      "left"))
+            bounds.append(min(max(nxt - 1, bounds[-1] + 1), n_rows))
+        t = pa.concat_tables(_chunk_table(a, b)
+                             for a, b in zip(bounds[:-1], bounds[1:]))
     return t.take(pa.array(order)) if variant != "base" else t
 
 

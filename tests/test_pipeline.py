@@ -224,3 +224,15 @@ def test_sampled_vs_exact_salt_sizing_same_content(ray_session, corpus_file,
         if c >= 500:
             assert s in est
             assert 0.2 * c <= est[s] <= 5 * c
+
+
+def test_corpus_chunked_construction_identical(monkeypatch):
+    """Past 2^31 total tokens the fixture builds its list column in chunks
+    (int32 offsets); a lowered limit must produce identical content."""
+    import howard_ray.fixtures as F
+
+    t1 = F.make_tokens_corpus(2000, seed=7)
+    monkeypatch.setattr(F, "_OFFSET_LIMIT", 50_000)
+    t2 = F.make_tokens_corpus(2000, seed=7)
+    assert len(t2["tokens"].chunks) > 1
+    assert t1.combine_chunks().equals(t2.combine_chunks())
