@@ -3,7 +3,7 @@
 ``__ray_entry__.oracle_sql()``. See SURVEY.md §2 for the reference mapping.
 """
 
-from . import (cluster, components, curate, dedup, engine_queries,
+from . import (attach, cluster, components, curate, dedup, engine_queries,
                external, genotype, lm, mixture, multimodal, nomen, process,
                relational, rules, rules2, sampling, similarity, sql_surface,
                text, token_ids, tokens, variants, variants2, vcf_ops, vfix,
@@ -12,7 +12,7 @@ from . import (cluster, components, curate, dedup, engine_queries,
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
            rules2, sql_surface, external, multimodal, tokens, sampling, lm,
-           token_ids, components, cluster, mixture, curate]
+           token_ids, components, cluster, mixture, curate, attach]
 
 
 def all_queries():
@@ -156,6 +156,11 @@ def all_queries():
         "mixture_plan": curate.mixture_plan,
         "shuffle_shards": curate.shuffle_shards,
         "curate_store": curate.curate_store,
+        # database-attach sources as value-checked round-trips + the
+        # percentile quality gate (aggregate -> broadcast -> filter)
+        "duckdb_attach": attach.duckdb_attach,
+        "sqlite_attach": attach.sqlite_attach,
+        "quality_gate": attach.quality_gate,
     }
     # SQL query surface: same SQL text on both engines
     q.update(sql_surface.QUERIES)
