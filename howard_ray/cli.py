@@ -45,6 +45,17 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def cmd_append(args) -> int:
+    from .pipeline import append_to_store
+
+    footer = append_to_store(args.store, args.input, mode=args.mode,
+                             target_rows=args.target_rows)
+    print(json.dumps({k: footer[k] for k in
+                      ("n_blocks", "n_rows", "encoded_bytes", "raw_bytes",
+                       "append_epoch", "wall_sec", "throughput_gbps")}))
+    return 0
+
+
 def _parse_where(expr: str | None) -> tuple | None:
     """``col:op:value`` → decode_store predicate (value auto-typed)."""
     if not expr:
@@ -149,6 +160,15 @@ def main(argv=None) -> int:
     e.add_argument("--target-rows", type=int, default=None)
     e.add_argument("--no-resume", action="store_true")
     e.set_defaults(fn=cmd_encode)
+
+    ap = sub.add_parser("append", help="incremental ingest: encode new rows "
+                        "into an existing store as a fresh append epoch")
+    ap.add_argument("store")
+    ap.add_argument("input")
+    ap.add_argument("--mode", choices=["stream", "cluster", "cluster-exchange"],
+                    default="cluster")
+    ap.add_argument("--target-rows", type=int, default=None)
+    ap.set_defaults(fn=cmd_append)
 
     d = sub.add_parser("decode")
     d.add_argument("store")

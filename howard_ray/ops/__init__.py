@@ -104,6 +104,7 @@ def all_queries():
         "pushdown_filter_decode": engine_queries.pushdown_filter_decode,
         "running_total": engine_queries.running_total,
         "roundtrip_pruned": engine_queries.roundtrip_pruned,
+        "store_append": engine_queries.store_append,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.media_frame_sample,

@@ -83,6 +83,60 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def store_append(sf_dir: str):
+    """Incremental-ingest round trip: documents arrive as two deliveries
+    (split on doc_id parity). Delivery 1 is encoded into a fresh store;
+    delivery 2 is APPENDED as a new epoch (prior blocks untouched, union
+    footer atomically swapped); the store is then COMPACTED (tail-merge)
+    and decoded. The per-source aggregate of the decoded union must match
+    the oracle's aggregate over the whole documents table — one value-hash
+    ties append + epoch namespacing + compaction + decode together."""
+    from ..pipeline import append_to_store, compact_store
+
+    cols = ["doc_id", "source", "n_chars"]
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d1 = os.path.join(CACHE, f"delivery1_{tag}")
+    d2 = os.path.join(CACHE, f"delivery2_{tag}")
+    store = os.path.join(CACHE, f"store_append_{tag}")
+    for p in (d1, d2, store):
+        shutil.rmtree(p, ignore_errors=True)
+    def parity(rem: int):
+        def f(batch):
+            import pyarrow.compute as _pc
+            return batch.filter(_pc.equal(
+                _pc.bit_wise_and(batch["doc_id"], 1), rem))
+        return f
+
+    ds = ray.data.read_parquet(src, columns=cols)
+    ds.map_batches(parity(0), batch_format="pyarrow").write_parquet(d1)
+    ds.map_batches(parity(1), batch_format="pyarrow").write_parquet(d2)
+
+    f1 = encode_dataset(d1, store, mode="cluster", target_rows=20_000,
+                        resume=False)
+    f2 = append_to_store(store, d2, mode="cluster", target_rows=20_000)
+    assert f2["append_epoch"] == 1 and f2["n_rows"] > f1["n_rows"]
+    compact_store(store, target_rows=20_000)
+
+    out = (decode_store(store)
+           .groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_chars", alias_name="sum_chars"),
+                      Sum("doc_id", alias_name="sum_ids"))
+           .to_pandas())
+    for c in ["n_docs", "sum_chars", "sum_ids"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL["store_append"] = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT)  AS sum_ids
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def roundtrip_embeddings(sf_dir: str):
     """embeddings (embedding: list<float> → 'list_float' kind, bss_float
     byte-stream-split value codec) → encode → decode → per-label aggregate

@@ -172,7 +172,8 @@ class BlockEncoder:
     howard/objects/variants.py:8128, :3522)."""
 
     def __init__(self, store_dir: str, target_rows: int,
-                 completed: dict[str, dict], profile: str = "standard"):
+                 completed: dict[str, dict], profile: str = "standard",
+                 block_ns: str = ""):
         from .codecs import zstd as zstd_mod
         from .codecs.bitpack import warmup
         warmup()  # pre-fault packing scratch once per actor
@@ -181,6 +182,7 @@ class BlockEncoder:
         self.target_rows = target_rows
         self.completed = completed
         self.profile = profile
+        self.block_ns = block_ns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -219,7 +221,7 @@ class BlockEncoder:
                     int(np.sum(h * pows, dtype=np.uint64)))
         if first is None:
             first = "nested"
-        key = f"s{int(mix):016x}"
+        key = f"{self.block_ns}s{int(mix):016x}"
         recs = _encode_tables_to_blocks(
             [batch], self.store_dir, key, sort_key=first,
             target_rows=self.target_rows, completed=self.completed,
@@ -459,8 +461,16 @@ def encode_dataset(
     resume: bool = True,
     columns: list[str] | None = None,
     use_actors: bool = False,
+    block_ns: str = "",
+    base_records: list[dict] | None = None,
+    extra_footer: dict | None = None,
 ) -> dict:
-    """Run the encode pipeline; returns the footer dict (global index)."""
+    """Run the encode pipeline; returns the footer dict (global index).
+
+    ``block_ns``/``base_records``/``extra_footer`` are the incremental-append
+    plumbing (see :func:`append_to_store`): new blocks are namespaced so they
+    cannot collide with an existing epoch's (source, salt) ids, and the final
+    footer is the union of the prior footer's records and this run's."""
     init_store(store_dir)
     completed = completed_blocks(store_dir) if resume else {}
     if target_rows is None:
@@ -496,7 +506,8 @@ def encode_dataset(
             # zstd level, completed-set) initialized once per actor
             rec_ds = ds.map_batches(
                 BlockEncoder,
-                fn_constructor_args=(store_dir, target_rows, completed, profile),
+                fn_constructor_args=(store_dir, target_rows, completed,
+                                     profile, block_ns),
                 batch_size=target_rows,
                 batch_format="pyarrow",
                 concurrency=pool,
@@ -513,7 +524,8 @@ def encode_dataset(
 
             def encode_stream_batch(batch: pa.Table) -> pa.Table:
                 enc = BlockEncoder(store_dir, target_rows,
-                                   _cached_get(completed_ref), profile)
+                                   _cached_get(completed_ref), profile,
+                                   block_ns)
                 return enc(batch)
 
             rec_ds = ds.map_batches(
@@ -569,7 +581,7 @@ def encode_dataset(
             # what makes the push-based shuffle safe to enable below)
             import pyarrow.compute as pc
             body = body.take(pc.sort_indices(body["doc_id"]))
-            key = f"{source}-{salt:05d}"
+            key = f"{block_ns}{source}-{salt:05d}"
             recs = _encode_tables_to_blocks(
                 [body], store_dir, key, sort_key=f"{source}/{salt:05d}",
                 target_rows=target_rows, completed=completed,
@@ -685,7 +697,7 @@ def encode_dataset(
             # block — block boundaries can then never mix two runs' orders.
             import pyarrow.compute as pc
             body = body.take(pc.sort_indices(body["doc_id"]))
-            key = f"{source}-{salt:05d}"
+            key = f"{block_ns}{source}-{salt:05d}"
             recs = _encode_tables_to_blocks(
                 [body], store_dir, key, sort_key=f"{source}/{salt:05d}",
                 target_rows=target_rows, completed=completed,
@@ -723,15 +735,52 @@ def encode_dataset(
     # this wall-clock encoded them
     raw_bytes_new = sum(r["raw_bytes"] for r in records
                         if not r.get("resumed"))
-    footer = write_footer(store_dir, records, extra={
+    if base_records:
+        # append run: prior epochs' records ride along untouched; the
+        # namespaced keys guarantee disjoint block ids (write_footer's
+        # duplicate tripwire still backstops that invariant)
+        records = list(base_records) + records
+        raw_bytes = sum(r["raw_bytes"] for r in records)
+    extra = {
         "mode": mode,
         "profile": profile,
         "wall_sec": round(wall, 4),
         "raw_bytes": raw_bytes,
         "raw_bytes_new": raw_bytes_new,
         "throughput_gbps": round(raw_bytes_new / max(wall, 1e-9) / 1e9, 4),
-    })
-    return footer
+    }
+    extra.update(extra_footer or {})
+    return write_footer(store_dir, records, extra=extra)
+
+
+def append_to_store(store_dir: str, input_path: str | list[str], *,
+                    mode: str = "cluster", profile: str = "standard",
+                    target_rows: int | None = None,
+                    concurrency: int | None = None) -> dict:
+    """Incremental ingest: encode ``input_path`` into an EXISTING store as a
+    new append epoch, leaving every prior block untouched, and atomically
+    swap in the union footer (the daily-drop shape: each delivery appends,
+    :func:`compact_store` later folds the accumulated tails).
+
+    New blocks are namespaced ``a<epoch>-…`` so a (source, salt) group in
+    the appended data cannot collide with the same group's ids from an
+    earlier epoch. Crash safety: the union footer is the single atomic flip
+    (before it, the old footer still fully describes the store; appended
+    blocks are invisible garbage); a retried append re-derives the SAME
+    epoch (the footer was never swapped) and resumes via the lineage
+    manifest. The caller contract is the reference's skip-if-done database
+    build (functions/databases.py:2112-2124) at delivery granularity: feed
+    each input delivery exactly once — re-appending an already-committed
+    delivery duplicates its rows under a fresh epoch."""
+    footer = load_footer(store_dir)
+    base_records = load_blocks(store_dir, footer=footer)
+    epoch = int(footer.get("append_epoch", 0)) + 1
+    return encode_dataset(
+        input_path, store_dir, mode=mode, profile=profile,
+        target_rows=target_rows, concurrency=concurrency,
+        block_ns=f"a{epoch:02d}-", base_records=base_records,
+        extra_footer={"append_epoch": epoch},
+    )
 
 
 _PRED_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
