@@ -5,14 +5,15 @@
 
 from . import (attach, cluster, components, curate, dedup, engine_queries,
                external, genotype, lm, mixture, multimodal, nomen, process,
-               relational, rules, rules2, sampling, similarity, sql_surface,
+               relational, relational2, rules, rules2, sampling, similarity, sql_surface,
                text, token_ids, tokens, variants, variants2, vcf_ops, vfix,
                windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
            rules2, sql_surface, external, multimodal, tokens, sampling, lm,
-           token_ids, components, cluster, mixture, curate, attach]
+           token_ids, components, cluster, mixture, curate, attach,
+           relational2]
 
 
 def all_queries():
@@ -36,6 +37,9 @@ def all_queries():
         "latest_order_per_customer": relational.latest_order_per_customer,
         "parts_by_brand": relational.parts_by_brand,
         "supplier_by_region": relational.supplier_by_region,
+        "join_left_outer": relational2.join_left_outer,
+        "rollup_revenue": relational2.rollup_revenue,
+        "pivot_orders": relational2.pivot_orders,
         # text analysis
         "explode_word_counts": text.explode_word_counts,
         "parse_props": text.parse_props,
