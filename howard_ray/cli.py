@@ -56,6 +56,23 @@ def cmd_append(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    from .pipeline import delete_where
+
+    pred = _parse_where(args.where)
+    if pred is None:
+        raise SystemExit("delete requires --where 'col OP value'")
+    print(json.dumps(delete_where(args.store, pred)))
+    return 0
+
+
+def cmd_purge(args) -> int:
+    from .pipeline import purge_deletes
+
+    print(json.dumps(purge_deletes(args.store)))
+    return 0
+
+
 def _parse_where(expr: str | None) -> tuple | None:
     """``col:op:value`` → decode_store predicate (value auto-typed)."""
     if not expr:
@@ -178,6 +195,18 @@ def main(argv=None) -> int:
                    help="pushdown row filter col:op:value (op: == != < <= > >= in; "
                         "in takes comma-separated values)")
     d.set_defaults(fn=cmd_decode)
+
+    dl = sub.add_parser("delete", help="row-level delete via per-block "
+                        "tombstones (blocks stay immutable; purge reclaims)")
+    dl.add_argument("store")
+    dl.add_argument("--where", required=True,
+                    help="predicate col:op:value, e.g. 'source:==:web'")
+    dl.set_defaults(fn=cmd_delete)
+
+    pg = sub.add_parser("purge", help="rewrite tombstoned blocks without "
+                        "their deleted rows and reclaim the bytes")
+    pg.add_argument("store")
+    pg.set_defaults(fn=cmd_purge)
 
     cp = sub.add_parser("compact")
     cp.add_argument("store")

@@ -274,3 +274,76 @@ def load_blocks(store_dir: str, zones: dict | None = None,
             lambda c, _b=b: ((_b.get("columns") or {}).get(c) or {}).get("stats"),
             zones)]
     return blocks
+
+
+# ---------------------------------------------------------------------------
+# Row-level delete tombstones
+#
+# A tombstone is a per-block sorted uint32 row-index list stored NEXT TO the
+# immutable block file (blocks are never rewritten by a delete — the GDPR /
+# curation-delete shape at 10^12-row scale: a delete touches only the blocks
+# whose zone maps admit the predicate, writes O(deleted rows) bytes, and the
+# data disappears from every subsequent decode; ``purge_deletes`` later
+# rewrites affected blocks to reclaim bytes). Format: magic + uint64 count +
+# uint32[] + crc32 trailer; atomic tmp+rename like block files.
+
+_TOMB_MAGIC = b"HRT1"
+
+
+def tombstone_path(store_dir: str, block_id: str) -> str:
+    return os.path.join(store_dir, "tombstones", f"{block_id}.tmb")
+
+
+def write_tombstone(store_dir: str, block_id: str, indices) -> None:
+    """Persist the FULL deleted-row-index set for a block (callers union
+    new deletions with the existing tombstone before writing)."""
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(sorted(set(int(i) for i in indices)), dtype=np.uint32)
+    path = tombstone_path(store_dir, block_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    body = idx.tobytes()
+    payload = (_TOMB_MAGIC + len(idx).to_bytes(8, "little") + body
+               + zlib.crc32(body).to_bytes(4, "little"))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def load_tombstone(store_dir: str, block_id: str):
+    """Sorted uint32 deleted-row indices for a block, or None. A torn or
+    corrupt tombstone raises — silently decoding deleted rows back to life
+    would be a correctness bug, not a recovery."""
+    import zlib
+
+    import numpy as np
+
+    path = tombstone_path(store_dir, block_id)
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except FileNotFoundError:
+        return None
+    if data[:4] != _TOMB_MAGIC:
+        raise ValueError(f"bad tombstone magic: {path}")
+    n = int.from_bytes(data[4:12], "little")
+    body = data[12:12 + 4 * n]
+    if len(body) != 4 * n or zlib.crc32(body) != int.from_bytes(
+            data[12 + 4 * n:16 + 4 * n], "little"):
+        raise ValueError(f"corrupt tombstone: {path}")
+    return np.frombuffer(body, dtype=np.uint32)
+
+
+def list_tombstones(store_dir: str) -> dict:
+    """block_id -> tombstone path for every tombstone present."""
+    d = os.path.join(store_dir, "tombstones")
+    try:
+        return {f[:-4]: os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".tmb")}
+    except OSError:
+        return {}

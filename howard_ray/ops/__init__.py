@@ -109,6 +109,7 @@ def all_queries():
         "running_total": engine_queries.running_total,
         "roundtrip_pruned": engine_queries.roundtrip_pruned,
         "store_append": engine_queries.store_append,
+        "store_delete": engine_queries.store_delete,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.media_frame_sample,

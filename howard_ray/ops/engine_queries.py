@@ -137,6 +137,50 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def store_delete(sf_dir: str):
+    """Row-level delete round trip: documents encoded, rows with
+    lang='fr' tombstone-deleted (blocks immutable, zone-pruned scan),
+    decoded BOTH before purge (lazy tombstone apply) and after
+    :func:`purge_deletes` (physical rewrite) — the two aggregates must be
+    identical to each other and to the oracle's ``WHERE lang != 'fr'``."""
+    from ..pipeline import delete_where, purge_deletes
+
+    cols = ["doc_id", "source", "lang", "n_chars"]
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE, f"store_delete_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="cluster", target_rows=20_000,
+                   resume=False, columns=cols)
+    delete_where(store, ("lang", "==", "fr"))
+
+    def agg():
+        out = (decode_store(store)
+               .groupby("source")
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("n_chars", alias_name="sum_chars"),
+                          Sum("doc_id", alias_name="sum_ids"))
+               .to_pandas())
+        for c in ["n_docs", "sum_chars", "sum_ids"]:
+            out[c] = out[c].astype("int64")
+        return out.sort_values("source").reset_index(drop=True)
+
+    lazy = agg()
+    purge_deletes(store)
+    physical = agg()
+    assert lazy.equals(physical), "purge changed the logical content"
+    return physical
+
+
+SQL["store_delete"] = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT)  AS sum_ids
+FROM documents WHERE lang != 'fr'
+GROUP BY source ORDER BY source
+"""
+
+
 def roundtrip_embeddings(sf_dir: str):
     """embeddings (embedding: list<float> → 'list_float' kind, bss_float
     byte-stream-split value codec) → encode → decode → per-label aggregate

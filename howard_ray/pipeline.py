@@ -51,9 +51,13 @@ from .manifest import (
     block_path,
     completed_blocks,
     init_store,
+    list_tombstones,
     load_blocks,
     load_footer,
+    load_tombstone,
+    tombstone_path,
     write_footer,
+    write_tombstone,
 )
 
 
@@ -834,12 +838,35 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
     # sharded footers prune whole shard files by their aggregate zone maps
     # before any block record is read (manifest.load_blocks)
     blocks = load_blocks(store_dir, zones)
-    paths = [{"path": block_path(store_dir, b["block_id"])} for b in blocks]
+    # tombstoned blocks are flagged at plan time (one driver-side listdir);
+    # workers load only the tombstones they decode
+    tombs = list_tombstones(store_dir)
+    paths = [{"path": block_path(store_dir, b["block_id"]),
+              "tomb": b["block_id"] if b["block_id"] in tombs else ""}
+             for b in blocks]
     if not paths:
         return ray.data.from_items([]).map_batches(lambda b: b)
 
+    def _keep_mask(tomb_id: str, n_rows: int):
+        """Boolean keep-vector for a block, or None when nothing is deleted."""
+        if not tomb_id:
+            return None
+        idx = load_tombstone(store_dir, tomb_id)
+        if idx is None or len(idx) == 0:
+            return None
+        keep = np.ones(n_rows, dtype=bool)
+        keep[idx] = False
+        return keep
+
     def decode_one(batch: pa.Table) -> list[pa.Table]:
-        return [read_block_file(p.as_py(), columns) for p in batch["path"]]
+        out = []
+        for p, tomb in zip(batch["path"], batch["tomb"]):
+            t = read_block_file(p.as_py(), columns)
+            keep = _keep_mask(tomb.as_py(), t.num_rows)
+            if keep is not None:
+                t = t.filter(pa.array(keep))
+            out.append(t)
+        return out
 
     def decode_pred(batch: pa.Table) -> list[pa.Table]:
         import pyarrow.compute as pc
@@ -847,7 +874,7 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
         from .block import decode_block, read_block_meta
         col, op, val = predicate
         out = []
-        for p in batch["path"]:
+        for p, tomb in zip(batch["path"], batch["tomb"]):
             with open(p.as_py(), "rb") as f:
                 data = f.read()
             filt_col = decode_block(data, [col])[col]
@@ -857,6 +884,9 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
                 mask = {"==": pc.equal, "!=": pc.not_equal,
                         "<": pc.less, "<=": pc.less_equal,
                         ">": pc.greater, ">=": pc.greater_equal}[op](filt_col, val)
+            keep = _keep_mask(tomb.as_py(), len(filt_col))
+            if keep is not None:
+                mask = pc.and_(mask, pa.array(keep))
             n_match = pc.sum(mask.cast(pa.int8())).as_py() or 0
             if n_match == 0:
                 continue  # late-materialization win: rest never decoded
@@ -905,6 +935,16 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
     if target_rows is None:
         target_rows = max((b["n_rows"] for b in blocks), default=TARGET_ROWS_PER_BLOCK)
     thresh = max(1, int(target_rows * min_fill))
+    # fill is judged on LIVE rows: a block hollowed out by tombstone deletes
+    # is a merge candidate even if it was written full, so compaction both
+    # fixes sizing AND folds accumulated deletes into real bytes reclaimed
+    tombs = list_tombstones(store_dir)
+    live = {bid: None for bid in tombs}
+    for b in blocks:
+        bid = b["block_id"]
+        if bid in tombs:
+            idx = load_tombstone(store_dir, bid)
+            live[bid] = b["n_rows"] - (0 if idx is None else len(idx))
 
     # plan: bin-pack the undersized blocks in FOOTER order (sorted by
     # sort_key, so same-source tails are adjacent and merge together first;
@@ -923,12 +963,15 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
         cur, cur_rows = [], 0
 
     for b in blocks:
-        if b["n_rows"] >= thresh:
-            continue  # full block: never touched, never resets the bin
-        if cur and cur_rows + b["n_rows"] > target_rows:
+        n_live = live.get(b["block_id"])
+        if n_live is None:
+            n_live = b["n_rows"]
+        if n_live >= thresh:
+            continue  # full (live) block: never touched, never resets the bin
+        if cur and cur_rows + n_live > target_rows:
             close()
         cur.append(b)
-        cur_rows += b["n_rows"]
+        cur_rows += n_live
     close()
 
     before = {"n_blocks": footer["n_blocks"],
@@ -952,8 +995,18 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
         for members_json, sort_key in zip(batch["members"].to_pylist(),
                                           batch["sort_key"].to_pylist()):
             member_ids = json.loads(members_json)
-            tables = [read_block_file(block_path(store_dir, bid))
-                      for bid in member_ids]
+            tables = []
+            for bid in member_ids:
+                t = read_block_file(block_path(store_dir, bid))
+                # deletes survive compaction: merged blocks are built from
+                # the LIVE rows only, and the members' tombstones die with
+                # the member files after the footer swap
+                idx = load_tombstone(store_dir, bid)
+                if idx is not None and len(idx):
+                    keep = np.ones(t.num_rows, dtype=bool)
+                    keep[idx] = False
+                    t = t.filter(pa.array(keep))
+                tables.append(t)
             # 128-bit id: at 10^7-block scale a 32-bit crc would collide
             # (~birthday at 2^16 bins) and silently overwrite a merged block
             import hashlib
@@ -978,17 +1031,153 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
              if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
                           "blocks", "sharded", "shards")}
     new_footer = write_footer(store_dir, kept + new_records, extra=extra)
-    # footer is durable — now the old files are unreachable garbage
+    # footer is durable — now the old files (and their tombstones, already
+    # folded into the merged blocks) are unreachable garbage
     for bid in merged_ids:
-        try:
-            os.remove(block_path(store_dir, bid))
-        except OSError:
-            pass
+        for path in (block_path(store_dir, bid),
+                     tombstone_path(store_dir, bid)):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
     return {"n_blocks_before": before["n_blocks"],
             "encoded_bytes_before": before["encoded_bytes"],
             "n_blocks_after": new_footer["n_blocks"],
             "encoded_bytes_after": new_footer["encoded_bytes"],
             "merged": len(merged_ids), "created": len(new_records)}
+
+
+def delete_where(store_dir: str, predicate: tuple) -> dict:
+    """Row-level delete: mark every row matching ``predicate``
+    (``(col, op, value)``, same ops as :func:`decode_store`) as deleted via
+    per-block tombstones. Blocks stay immutable — the delete writes
+    O(matched rows) bytes into ``tombstones/`` and every subsequent decode,
+    compaction and purge honors them. Zone maps prune the scan: only blocks
+    whose footer range admits the predicate decode even one column.
+
+    Idempotent (re-running unions into the same index sets) and atomic per
+    block (tmp+rename); a killed delete leaves some blocks deleted and
+    others not — rerun to converge. Physical reclamation is
+    :func:`purge_deletes`."""
+    import pyarrow.compute as pc
+
+    from .block import decode_block
+
+    col, op, val = predicate
+    if op not in _PRED_OPS:
+        raise ValueError(f"unsupported predicate op {op!r}")
+    blocks = load_blocks(store_dir, _predicate_zone(predicate))
+    if not blocks:
+        return {"n_blocks_scanned": 0, "n_deleted_new": 0}
+    items = [{"block_id": b["block_id"]} for b in blocks]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out_id, out_new = [], []
+        for bid_a in batch["block_id"]:
+            bid = bid_a.as_py()
+            with open(block_path(store_dir, bid), "rb") as f:
+                data = f.read()
+            filt_col = decode_block(data, [col])[col]
+            if op == "in":
+                mask = pc.is_in(filt_col, value_set=pa.array(list(val)))
+            else:
+                mask = {"==": pc.equal, "!=": pc.not_equal,
+                        "<": pc.less, "<=": pc.less_equal,
+                        ">": pc.greater, ">=": pc.greater_equal}[op](filt_col, val)
+            idx = np.flatnonzero(
+                mask.to_numpy(zero_copy_only=False).astype(bool))
+            prior = load_tombstone(store_dir, bid)
+            n_prior = 0 if prior is None else len(prior)
+            if len(idx):
+                merged = idx if prior is None else \
+                    np.union1d(prior, idx.astype(np.uint32))
+                if len(merged) != n_prior:
+                    write_tombstone(store_dir, bid, merged)
+                    out_id.append(bid)
+                    out_new.append(len(merged) - n_prior)
+                    continue
+            out_id.append(bid)
+            out_new.append(0)
+        return pa.table({"block_id": pa.array(out_id, type=pa.string()),
+                         "n_new": pa.array(out_new, type=pa.int64())})
+
+    res = (ray.data.from_items(items,
+                               override_num_blocks=max(1, len(items)))
+           .map_batches(scan, batch_size=8, batch_format="pyarrow")
+           .to_pandas())
+    return {"n_blocks_scanned": int(len(res)),
+            "n_deleted_new": int(res["n_new"].sum())}
+
+
+def purge_deletes(store_dir: str, profile: str = "standard") -> dict:
+    """Physically reclaim deleted rows: every tombstoned block is rewritten
+    without its dead rows (fully-deleted blocks drop entirely), the footer
+    swaps atomically, then the superseded files and tombstones are removed.
+    Same crash contract as compaction: before the swap the old footer +
+    tombstones still describe the store exactly; after it, only live rows
+    exist physically."""
+    import hashlib
+
+    footer = load_footer(store_dir)
+    blocks = load_blocks(store_dir, footer=footer)
+    tombs = list_tombstones(store_dir)
+    doomed = [b for b in blocks if b["block_id"] in tombs]
+    if not doomed:
+        return {"n_blocks_rewritten": 0, "n_rows_purged": 0}
+    items = [{"block_id": b["block_id"],
+              "sort_key": b.get("sort_key", ""),
+              "n_rows": b["n_rows"]} for b in doomed]
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        from .codecs import zstd as zstd_mod
+        from .codecs.bitpack import warmup
+        warmup()
+        zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
+        recs = []
+        for bid_a, sk_a, nr_a in zip(batch["block_id"], batch["sort_key"],
+                                     batch["n_rows"]):
+            bid, sort_key = bid_a.as_py(), sk_a.as_py()
+            t = read_block_file(block_path(store_dir, bid))
+            idx = load_tombstone(store_dir, bid)
+            keep = np.ones(t.num_rows, dtype=bool)
+            if idx is not None:
+                keep[idx] = False
+            live = t.filter(pa.array(keep))
+            purged = t.num_rows - live.num_rows
+            if live.num_rows:
+                digest = hashlib.blake2b(bid.encode(),
+                                         digest_size=16).hexdigest()
+                recs.extend(_encode_tables_to_blocks(
+                    [live], store_dir, f"prg-{digest}", sort_key=sort_key,
+                    target_rows=max(live.num_rows, 1), completed={},
+                    input_info=f"purge:{bid}", profile=profile))
+            recs.append({"__purged__": bid, "n": purged})
+        return _records_table(recs)
+
+    rec_ds = ray.data.from_items(items,
+                                 override_num_blocks=max(1, len(items))) \
+        .map_batches(rewrite, batch_size=1, batch_format="pyarrow")
+    raw = [json.loads(r) for r in rec_ds.to_pandas()["record"].tolist()]
+    new_records = [r for r in raw if "__purged__" not in r]
+    purged_rows = sum(r["n"] for r in raw if "__purged__" in r)
+
+    doomed_ids = {b["block_id"] for b in doomed}
+    kept = [b for b in blocks if b["block_id"] not in doomed_ids]
+    extra = {k: v for k, v in footer.items()
+             if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
+                          "blocks", "sharded", "shards")}
+    new_footer = write_footer(store_dir, kept + new_records, extra=extra)
+    for bid in doomed_ids:
+        for path in (block_path(store_dir, bid),
+                     tombstone_path(store_dir, bid)):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+    return {"n_blocks_rewritten": len(doomed_ids),
+            "n_rows_purged": purged_rows,
+            "n_blocks_after": new_footer["n_blocks"],
+            "n_rows_after": new_footer["n_rows"]}
 
 
 def store_total_bytes(store_dir: str) -> int:
