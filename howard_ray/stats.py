@@ -55,7 +55,20 @@ def store_report(store_dir: str) -> dict:
         # O(metadata) token total from the zone-map sums (None on stores
         # written before sum-bearing stats)
         "sum_n_tok_meta": _meta_sum(blocks, "n_tok"),
+        # pending row-level deletes (tombstoned, not yet purged/compacted):
+        # footer n_rows counts these until purge_deletes reclaims them
+        "tombstoned_rows": _tombstoned_rows(store_dir),
     }
+
+
+def _tombstoned_rows(store_dir: str) -> int:
+    from .manifest import list_tombstones, load_tombstone
+
+    total = 0
+    for bid in list_tombstones(store_dir):
+        idx = load_tombstone(store_dir, bid)
+        total += 0 if idx is None else len(idx)
+    return total
 
 
 def _meta_sum(blocks: list[dict], column: str):
