@@ -73,6 +73,33 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_derive(args) -> int:
+    """Schema evolution from the CLI: the derived expression is a
+    calculation spec (plugins.py JSON grammar, the reference's
+    calculations_config shape) evaluated per block over its input
+    columns; no base block is rewritten."""
+    from .plugins import _eval_spec
+    from .pipeline import derive_column
+
+    spec = json.loads(args.spec)
+    name = spec.pop("name", None) or args.name
+    if not name:
+        raise SystemExit("derive requires a column name "
+                         "(--name or \"name\" in --spec)")
+    inputs = args.inputs.split(",") if args.inputs else None
+
+    def fn(t):
+        import pyarrow as _pa
+        v = _eval_spec(spec, t)
+        if isinstance(v, _pa.Scalar):  # const spec -> broadcast
+            v = _pa.array([v.as_py()] * t.num_rows)
+        return v
+
+    print(json.dumps(derive_column(args.store, name, fn,
+                                   input_columns=inputs)))
+    return 0
+
+
 def _parse_where(expr: str | None) -> tuple | None:
     """``col:op:value`` → decode_store predicate (value auto-typed)."""
     if not expr:
@@ -207,6 +234,20 @@ def main(argv=None) -> int:
                         "their deleted rows and reclaim the bytes")
     pg.add_argument("store")
     pg.set_defaults(fn=cmd_purge)
+
+    dv = sub.add_parser("derive", help="add a derived column to an existing "
+                        "store via per-block encoded sidecars (schema "
+                        "evolution; no base block rewritten)")
+    dv.add_argument("store")
+    dv.add_argument("--spec", required=True,
+                    help='calculation spec JSON, e.g. '
+                         '\'{"name":"kb","op":"div","args":["n_chars",'
+                         '{"const":1000}]}\'')
+    dv.add_argument("--name", default=None,
+                    help="derived column name (overrides spec name)")
+    dv.add_argument("--inputs", default=None,
+                    help="comma-separated input columns (pruned block read)")
+    dv.set_defaults(fn=cmd_derive)
 
     cp = sub.add_parser("compact")
     cp.add_argument("store")

@@ -110,6 +110,7 @@ def all_queries():
         "roundtrip_pruned": engine_queries.roundtrip_pruned,
         "store_append": engine_queries.store_append,
         "store_delete": engine_queries.store_delete,
+        "store_derive": engine_queries.store_derive,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.media_frame_sample,

@@ -335,3 +335,54 @@ SELECT round(l_quantity, 2) AS l_quantity, count(*) AS n,
 FROM lineitem WHERE l_quantity >= 40
 GROUP BY l_quantity ORDER BY l_quantity
 """
+
+
+def _chars_bucket_fn(t):
+    """Derived column: n_chars // 100 (module-level so ray.put ships it)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    return pc.divide(pc.cast(t["n_chars"], pa.int64()),
+                     pa.scalar(100, type=pa.int64()))
+
+
+def store_derive(sf_dir: str):
+    """Schema-evolution round trip: documents encoded, a DERIVED column
+    (``chars_c = n_chars // 100``) added via :func:`derive_column` — no base
+    block is rewritten; each block gets a single-column encoded sidecar with
+    its own codec + zone-map stats — then decoded WITH A PUSHDOWN PREDICATE
+    ON THE DERIVED COLUMN (``chars_c >= 3``: footer zone maps prune blocks
+    on sidecar stats, the sidecar alone is decoded for the row mask, base
+    columns late-materialize). Aggregate of the surviving rows must match
+    the oracle computing the same expression + WHERE on the original
+    table — one value-hash covering derive, sidecar encode/decode, derived
+    zone maps, and mixed base+sidecar reads."""
+    from ..pipeline import derive_column
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE, f"store_derive_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="stream", target_rows=20_000,
+                   resume=False, columns=["doc_id", "lang", "n_chars"])
+    res = derive_column(store, "chars_c", _chars_bucket_fn, ["n_chars"])
+    assert res["n_blocks_derived"] > 0 and res["ext_bytes"] > 0
+
+    ds = decode_store(store, columns=["doc_id", "lang", "chars_c"],
+                      predicate=("chars_c", ">=", 3))
+    out = (ds.groupby("lang")
+             .aggregate(Count(alias_name="n_docs"),
+                        Sum("doc_id", alias_name="sum_ids"),
+                        Sum("chars_c", alias_name="sum_buckets"))
+             .to_pandas())
+    for c in ["n_docs", "sum_ids", "sum_buckets"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL["store_derive"] = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(n_chars // 100) AS BIGINT) AS sum_buckets
+FROM documents WHERE n_chars // 100 >= 3
+GROUP BY lang ORDER BY lang
+"""

@@ -757,6 +757,119 @@ def encode_dataset(
     return write_footer(store_dir, records, extra=extra)
 
 
+def _ext_file_name(block_id: str, name: str) -> str:
+    return f"{block_id}.c_{name}.hrb"
+
+
+def _read_logical_block(store_dir: str, block_id: str, ext: dict,
+                        columns: list[str] | None = None) -> pa.Table:
+    """Read a block's LOGICAL table: base columns from the immutable block
+    file, derived columns from their per-block sidecar column files
+    (``ext``: column name -> sidecar file name). Column pruning never opens
+    a file it doesn't need."""
+    want = columns if columns is not None else None
+    want_ext = [c for c in (want if want is not None else list(ext))
+                if c in ext]
+    base_cols = None if want is None else [c for c in want if c not in ext]
+    t = None
+    if base_cols is None or base_cols:
+        t = read_block_file(block_path(store_dir, block_id), base_cols)
+    for c in want_ext:
+        col_t = read_block_file(
+            os.path.join(store_dir, "blocks", ext[c]), [c])
+        t = col_t if t is None else t.append_column(c, col_t[c])
+    if want is not None:
+        t = t.select(want)
+    return t
+
+
+def derive_column(store_dir: str, name: str, fn,
+                  input_columns: list[str] | None = None,
+                  profile: str = "standard") -> dict:
+    """Schema evolution: add a derived column to an existing store WITHOUT
+    rewriting any base block — the store-level analog of the reference's
+    calculation family (``ALTER TABLE ADD COLUMN`` + vectorized ``UPDATE``,
+    howard/objects/variants.py:1641-1769, 8365-8510). Per block, a Ray task
+    reads only ``input_columns``, evaluates ``fn(table) -> pa.Array`` over
+    ALL physical rows (tombstoned rows included, so the sidecar always
+    aligns with the base block), and writes one encoded single-column
+    sidecar file; the footer swap publishes the column with its own codec
+    + zone-map stats, so predicate pushdown and block pruning work on
+    derived columns exactly as on base ones.
+
+    Idempotent backfill: blocks that already carry the column are skipped,
+    so re-running after an :func:`append_to_store` derives only the new
+    epoch's blocks."""
+    footer = load_footer(store_dir)
+    blocks = load_blocks(store_dir, footer=footer)
+    if any(name in (b.get("columns") or {}) and name not in
+           (b.get("ext_files") or {}) for b in blocks):
+        raise ValueError(f"column {name!r} already exists as a base column")
+    todo = [b for b in blocks if name not in (b.get("ext_files") or {})]
+    if not todo:
+        return {"n_blocks_derived": 0, "ext_bytes": 0}
+    items = [{"block_id": b["block_id"],
+              "ext": json.dumps(b.get("ext_files") or {})} for b in todo]
+    fn_ref = ray.put(fn)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        from .codecs import zstd as zstd_mod
+        from .codecs.bitpack import warmup
+        warmup()
+        zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
+        f = _cached_get(fn_ref)
+        recs = []
+        for bid_a, ext_a in zip(batch["block_id"], batch["ext"]):
+            bid, ext = bid_a.as_py(), json.loads(ext_a.as_py())
+            t_in = _read_logical_block(store_dir, bid, ext, input_columns)
+            arr = f(t_in)
+            if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                arr = pa.array(arr)
+            if len(arr) != t_in.num_rows:
+                raise ValueError(
+                    f"derive fn returned {len(arr)} values for "
+                    f"{t_in.num_rows}-row block {bid}")
+            col_tbl = pa.table({name: arr})
+            fname = _ext_file_name(bid, name)
+            file_bytes, meta = encode_block(col_tbl, f"{bid}.c_{name}")
+            write_block_file(os.path.join(store_dir, "blocks", fname),
+                             file_bytes)
+            e = meta["columns"][name]
+            recs.append({
+                "block_id": bid,
+                "file": fname,
+                "ext_bytes": len(file_bytes),
+                "codec": e.get("meta", e.get("val_meta", {})).get(
+                    "codec", e["kind"]),
+                "stats": e.get("stats", {}),
+            })
+        return _records_table(recs)
+
+    rec_ds = ray.data.from_items(items,
+                                 override_num_blocks=max(1, len(items))) \
+        .map_batches(derive, batch_size=4, batch_format="pyarrow")
+    new = {r["block_id"]: r for r in
+           (json.loads(x) for x in rec_ds.to_pandas()["record"].tolist())}
+
+    ext_bytes = 0
+    for b in blocks:
+        r = new.get(b["block_id"])
+        if r is None:
+            continue
+        b.setdefault("ext_files", {})[name] = r["file"]
+        b.setdefault("columns", {})[name] = {"stats": r["stats"]}
+        b.setdefault("codecs", {})[name] = r["codec"]
+        ext_bytes += r["ext_bytes"]
+    extra = {k: v for k, v in footer.items()
+             if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
+                          "blocks", "sharded", "shards")}
+    derived = dict(extra.get("derived_cols") or {})
+    derived[name] = input_columns
+    extra["derived_cols"] = derived
+    write_footer(store_dir, blocks, extra=extra)
+    return {"n_blocks_derived": len(new), "ext_bytes": ext_bytes}
+
+
 def append_to_store(store_dir: str, input_path: str | list[str], *,
                     mode: str = "cluster", profile: str = "standard",
                     target_rows: int | None = None,
@@ -842,6 +955,8 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
     # workers load only the tombstones they decode
     tombs = list_tombstones(store_dir)
     paths = [{"path": block_path(store_dir, b["block_id"]),
+              "block_id": b["block_id"],
+              "ext": json.dumps(b.get("ext_files") or {}),
               "tomb": b["block_id"] if b["block_id"] in tombs else ""}
              for b in blocks]
     if not paths:
@@ -860,8 +975,10 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
 
     def decode_one(batch: pa.Table) -> list[pa.Table]:
         out = []
-        for p, tomb in zip(batch["path"], batch["tomb"]):
-            t = read_block_file(p.as_py(), columns)
+        for bid, ext_j, tomb in zip(batch["block_id"], batch["ext"],
+                                    batch["tomb"]):
+            t = _read_logical_block(store_dir, bid.as_py(),
+                                    json.loads(ext_j.as_py()), columns)
             keep = _keep_mask(tomb.as_py(), t.num_rows)
             if keep is not None:
                 t = t.filter(pa.array(keep))
@@ -874,10 +991,17 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
         from .block import decode_block, read_block_meta
         col, op, val = predicate
         out = []
-        for p, tomb in zip(batch["path"], batch["tomb"]):
-            with open(p.as_py(), "rb") as f:
-                data = f.read()
-            filt_col = decode_block(data, [col])[col]
+        for p, bid_a, ext_j, tomb in zip(batch["path"], batch["block_id"],
+                                         batch["ext"], batch["tomb"]):
+            bid, ext = bid_a.as_py(), json.loads(ext_j.as_py())
+            if col in ext:  # predicate on a derived column: its sidecar
+                filt_col = read_block_file(
+                    os.path.join(store_dir, "blocks", ext[col]), [col])[col]
+                data = None
+            else:
+                with open(p.as_py(), "rb") as f:
+                    data = f.read()
+                filt_col = decode_block(data, [col])[col]
             if op == "in":
                 mask = pc.is_in(filt_col, value_set=pa.array(list(val)))
             else:
@@ -890,12 +1014,21 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
             n_match = pc.sum(mask.cast(pa.int8())).as_py() or 0
             if n_match == 0:
                 continue  # late-materialization win: rest never decoded
-            names = columns if columns is not None \
-                else list(read_block_meta(data)["columns"])
+            if columns is not None:
+                names = columns
+            else:
+                if data is None:
+                    with open(p.as_py(), "rb") as f:
+                        data = f.read()
+                # full logical schema: base columns then every derived
+                # sidecar column (incl. a derived predicate column)
+                names = list(read_block_meta(data)["columns"]) + list(ext)
             rest = [c for c in names if c != col]
-            t = decode_block(data, rest) if rest else pa.table({})
+            t = _read_logical_block(store_dir, bid, ext, rest) if rest \
+                else pa.table({})
             if col in names:
-                t = t.append_column(col, filt_col) if rest else pa.table({col: filt_col})
+                t = t.append_column(col, filt_col) if rest \
+                    else pa.table({col: filt_col})
                 t = t.select(names)  # caller's column order
             out.append(t.filter(mask) if n_match < len(filt_col) else t)
         return out
@@ -982,7 +1115,8 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
                 "encoded_bytes_after": footer["encoded_bytes"],
                 "merged": 0, "created": 0}
 
-    items = [{"members": json.dumps([b["block_id"] for b in bin_]),
+    items = [{"members": json.dumps(
+                  [[b["block_id"], b.get("ext_files") or {}] for b in bin_]),
               "sort_key": str(bin_[0].get("sort_key", ""))}
              for bin_ in bins]
 
@@ -994,10 +1128,12 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
         recs: list[dict] = []
         for members_json, sort_key in zip(batch["members"].to_pylist(),
                                           batch["sort_key"].to_pylist()):
-            member_ids = json.loads(members_json)
+            members = json.loads(members_json)
+            member_ids = [m[0] for m in members]
             tables = []
-            for bid in member_ids:
-                t = read_block_file(block_path(store_dir, bid))
+            for bid, ext in members:
+                # derived sidecar columns fold into the merged base block
+                t = _read_logical_block(store_dir, bid, ext)
                 # deletes survive compaction: merged blocks are built from
                 # the LIVE rows only, and the members' tombstones die with
                 # the member files after the footer swap
@@ -1025,17 +1161,22 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
     new_records = [json.loads(r) for r in
                    rec_ds.to_pandas()["record"].tolist()]
 
-    merged_ids = {b["block_id"] for bin_ in bins for b in bin_}
+    merged = {b["block_id"]: b for bin_ in bins for b in bin_}
+    merged_ids = set(merged)
     kept = [b for b in blocks if b["block_id"] not in merged_ids]
     extra = {k: v for k, v in footer.items()
              if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
                           "blocks", "sharded", "shards")}
     new_footer = write_footer(store_dir, kept + new_records, extra=extra)
-    # footer is durable — now the old files (and their tombstones, already
-    # folded into the merged blocks) are unreachable garbage
+    # footer is durable — now the old files (and their tombstones and
+    # derived-column sidecars, already folded into the merged blocks) are
+    # unreachable garbage
     for bid in merged_ids:
+        ext = merged[bid].get("ext_files") or {}
         for path in (block_path(store_dir, bid),
-                     tombstone_path(store_dir, bid)):
+                     tombstone_path(store_dir, bid),
+                     *(os.path.join(store_dir, "blocks", f)
+                       for f in ext.values())):
             try:
                 os.remove(path)
             except OSError:
@@ -1061,23 +1202,20 @@ def delete_where(store_dir: str, predicate: tuple) -> dict:
     :func:`purge_deletes`."""
     import pyarrow.compute as pc
 
-    from .block import decode_block
-
     col, op, val = predicate
     if op not in _PRED_OPS:
         raise ValueError(f"unsupported predicate op {op!r}")
     blocks = load_blocks(store_dir, _predicate_zone(predicate))
     if not blocks:
         return {"n_blocks_scanned": 0, "n_deleted_new": 0}
-    items = [{"block_id": b["block_id"]} for b in blocks]
+    items = [{"block_id": b["block_id"],
+              "ext": json.dumps(b.get("ext_files") or {})} for b in blocks]
 
     def scan(batch: pa.Table) -> pa.Table:
         out_id, out_new = [], []
-        for bid_a in batch["block_id"]:
-            bid = bid_a.as_py()
-            with open(block_path(store_dir, bid), "rb") as f:
-                data = f.read()
-            filt_col = decode_block(data, [col])[col]
+        for bid_a, ext_j in zip(batch["block_id"], batch["ext"]):
+            bid, ext = bid_a.as_py(), json.loads(ext_j.as_py())
+            filt_col = _read_logical_block(store_dir, bid, ext, [col])[col]
             if op == "in":
                 mask = pc.is_in(filt_col, value_set=pa.array(list(val)))
             else:
@@ -1126,6 +1264,7 @@ def purge_deletes(store_dir: str, profile: str = "standard") -> dict:
         return {"n_blocks_rewritten": 0, "n_rows_purged": 0}
     items = [{"block_id": b["block_id"],
               "sort_key": b.get("sort_key", ""),
+              "ext": json.dumps(b.get("ext_files") or {}),
               "n_rows": b["n_rows"]} for b in doomed]
 
     def rewrite(batch: pa.Table) -> pa.Table:
@@ -1134,10 +1273,12 @@ def purge_deletes(store_dir: str, profile: str = "standard") -> dict:
         warmup()
         zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
         recs = []
-        for bid_a, sk_a, nr_a in zip(batch["block_id"], batch["sort_key"],
-                                     batch["n_rows"]):
+        for bid_a, sk_a, ext_j in zip(batch["block_id"], batch["sort_key"],
+                                      batch["ext"]):
             bid, sort_key = bid_a.as_py(), sk_a.as_py()
-            t = read_block_file(block_path(store_dir, bid))
+            # derived sidecars fold into the rewritten base block
+            t = _read_logical_block(store_dir, bid,
+                                    json.loads(ext_j.as_py()))
             idx = load_tombstone(store_dir, bid)
             keep = np.ones(t.num_rows, dtype=bool)
             if idx is not None:
@@ -1167,9 +1308,12 @@ def purge_deletes(store_dir: str, profile: str = "standard") -> dict:
              if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
                           "blocks", "sharded", "shards")}
     new_footer = write_footer(store_dir, kept + new_records, extra=extra)
+    doomed_ext = {b["block_id"]: b.get("ext_files") or {} for b in doomed}
     for bid in doomed_ids:
         for path in (block_path(store_dir, bid),
-                     tombstone_path(store_dir, bid)):
+                     tombstone_path(store_dir, bid),
+                     *(os.path.join(store_dir, "blocks", f)
+                       for f in doomed_ext[bid].values())):
             try:
                 os.remove(path)
             except OSError:
