@@ -131,7 +131,8 @@ def cmd_decode(args) -> int:
     from .pipeline import decode_store
 
     ds = decode_store(args.store, columns=args.columns,
-                      predicate=_parse_where(args.where))
+                      predicate=_parse_where(args.where),
+                      as_of=args.as_of)
     ds.write_parquet(args.output)
     # row count from the WRITTEN parquet footers (metadata-only): ds.count()
     # on the lazy Dataset would re-run the whole decode pipeline a second time
@@ -139,6 +140,12 @@ def cmd_decode(args) -> int:
     n = sum(pq.ParquetFile(os.path.join(args.output, f)).metadata.num_rows
             for f in os.listdir(args.output) if f.endswith(".parquet"))
     print(json.dumps({"rows": n, "output": args.output}))
+    return 0
+
+
+def cmd_snapshots(args) -> int:
+    from .manifest import list_snapshots
+    print(json.dumps(list_snapshots(args.store), indent=1))
     return 0
 
 
@@ -221,7 +228,16 @@ def main(argv=None) -> int:
     d.add_argument("--where", default=None,
                    help="pushdown row filter col:op:value (op: == != < <= > >= in; "
                         "in takes comma-separated values)")
+    d.add_argument("--as-of", type=int, default=None, dest="as_of",
+                   help="decode an archived snapshot id (time travel; "
+                        "see the snapshots subcommand)")
     d.set_defaults(fn=cmd_decode)
+
+    sn = sub.add_parser("snapshots", help="list retained footer snapshots "
+                        "(every footer swap archives one; decode --as-of "
+                        "reads them)")
+    sn.add_argument("store")
+    sn.set_defaults(fn=cmd_snapshots)
 
     dl = sub.add_parser("delete", help="row-level delete via per-block "
                         "tombstones (blocks stay immutable; purge reclaims)")

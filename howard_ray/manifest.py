@@ -177,9 +177,21 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
     _, _, footer_path = store_paths(store_dir)
     shard_size = _footer_shard_size()
     shard_dir = os.path.join(store_dir, "footer_shards")
+    # callers carry prior-footer extras forward wholesale; the snapshot
+    # counter and timestamp are write_footer's own and must not be echoed
+    extra = {k: v for k, v in (extra or {}).items()
+             if k not in ("snapshot_id", "ts")} or None
+    snap_id = 1
+    try:  # monotone snapshot counter survives every footer rewrite
+        with open(footer_path) as f:
+            snap_id = int(json.load(f).get("snapshot_id", 0)) + 1
+    except (OSError, ValueError):
+        pass
 
     def _clean_stale(keep: set) -> None:
-        # after the footer swap: unreferenced shard files are garbage
+        # after the footer swap: shard files referenced by neither the live
+        # footer nor a retained snapshot are garbage
+        keep = keep | _snapshot_shard_refs(store_dir)
         try:
             for f in os.listdir(shard_dir):
                 if f not in keep and not f.endswith(".tmp"):
@@ -188,10 +200,12 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
             pass
 
     if len(recs) <= shard_size:
-        footer = {"version": 1, **totals, "blocks": recs}
+        footer = {"version": 1, "snapshot_id": snap_id, "ts": _now_iso(),
+                  **totals, "blocks": recs}
         if extra:
             footer.update(extra)
         _atomic_json(footer_path, footer)
+        _write_snapshot(store_dir, footer)
         _clean_stale(set())
         return footer
     os.makedirs(shard_dir, exist_ok=True)
@@ -212,20 +226,166 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
         shards.append({"file": fname, "n_blocks": len(chunk),
                        "n_rows": sum(r["n_rows"] for r in chunk),
                        "zone": _shard_zone(chunk)})
-    footer = {"version": 2, "sharded": True, **totals, "shards": shards}
+    footer = {"version": 2, "sharded": True, "snapshot_id": snap_id,
+              "ts": _now_iso(), **totals, "shards": shards}
     if extra:
         footer.update(extra)
     _atomic_json(footer_path, footer)
+    _write_snapshot(store_dir, footer)
     _clean_stale({sh["file"] for sh in shards})
     return footer
 
 
-def load_footer(store_dir: str) -> dict:
+# ---------------------------------------------------------------------------
+# Snapshots (time travel)
+#
+# Every footer swap archives the new footer under snapshots/footer-<id>.json
+# with a monotone snapshot_id — the Iceberg snapshot idea at footer
+# granularity. A snapshot is pure METADATA (for sharded footers it holds the
+# shard index; shard files it references are protected from shard GC), so
+# additive operations (append, derive) keep every older snapshot readable:
+# block files are immutable and never touched. Destructive maintenance
+# (compact, purge) physically removes superseded block files and must call
+# :func:`expire_snapshots` with the removed ids — snapshots that reference
+# any of them are dropped eagerly instead of failing lazily at decode.
+#
+# Row-level DELETES intentionally pierce time travel: tombstones are keyed
+# by block_id and applied at decode regardless of ``as_of`` — an erasure
+# (GDPR) delete must not remain readable through an older snapshot. This is
+# a deliberate divergence from Iceberg's snapshot-scoped delete files.
+
+
+def snapshot_path(store_dir: str, snapshot_id: int) -> str:
+    return os.path.join(store_dir, "snapshots",
+                        f"footer-{snapshot_id:08d}.json")
+
+
+def _snapshot_retain() -> int:
+    return int(os.environ.get("HOWARD_SNAPSHOT_RETAIN", "16"))
+
+
+def _now_iso() -> str:
+    import time
+    return time.strftime("%Y-%m-%dT%H:%M:%S")
+
+
+def _write_snapshot(store_dir: str, footer: dict) -> None:
+    snap_dir = os.path.join(store_dir, "snapshots")
+    os.makedirs(snap_dir, exist_ok=True)
+    _atomic_json(snapshot_path(store_dir, footer["snapshot_id"]), footer)
+    keep = _snapshot_retain()
+    ids = sorted(list_snapshot_ids(store_dir))
+    for sid in ids[:-keep] if len(ids) > keep else []:
+        try:
+            os.remove(snapshot_path(store_dir, sid))
+        except OSError:
+            pass
+
+
+def list_snapshot_ids(store_dir: str) -> list[int]:
+    snap_dir = os.path.join(store_dir, "snapshots")
+    out = []
+    try:
+        for f in os.listdir(snap_dir):
+            if f.startswith("footer-") and f.endswith(".json"):
+                try:
+                    out.append(int(f[len("footer-"):-len(".json")]))
+                except ValueError:
+                    continue
+    except OSError:
+        pass
+    return sorted(out)
+
+
+def list_snapshots(store_dir: str) -> list[dict]:
+    """One summary row per retained snapshot (id, ts, totals)."""
+    rows = []
+    for sid in list_snapshot_ids(store_dir):
+        try:
+            with open(snapshot_path(store_dir, sid)) as f:
+                s = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        rows.append({"snapshot_id": sid, "ts": s.get("ts"),
+                     "n_blocks": s["n_blocks"], "n_rows": s["n_rows"],
+                     "encoded_bytes": s["encoded_bytes"]})
+    return rows
+
+
+def _snapshot_shard_refs(store_dir: str) -> set:
+    """Footer-shard files referenced by any retained snapshot (protected
+    from shard GC). Bounded by the retention count."""
+    refs: set = set()
+    for sid in list_snapshot_ids(store_dir):
+        try:
+            with open(snapshot_path(store_dir, sid)) as f:
+                s = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for sh in s.get("shards") or []:
+            refs.add(sh["file"])
+    return refs
+
+
+def expire_snapshots(store_dir: str, removed_block_ids: set) -> int:
+    """Drop snapshots that reference any physically removed block — called
+    by destructive maintenance (compact / purge) right after its footer
+    swap. Returns the number of snapshots expired. The LIVE footer's own
+    snapshot is never expired (it references only surviving files)."""
+    if not removed_block_ids:
+        return 0
+    removed = set(removed_block_ids)
+    live_sid = None
+    try:
+        _, _, footer_path = store_paths(store_dir)
+        with open(footer_path) as f:
+            live_sid = json.load(f).get("snapshot_id")
+    except (OSError, ValueError):
+        pass
+    n = 0
+    for sid in list_snapshot_ids(store_dir):
+        if sid == live_sid:
+            continue
+        try:
+            with open(snapshot_path(store_dir, sid)) as f:
+                s = json.load(f)
+            if s.get("sharded"):
+                blocks = []
+                shard_dir = os.path.join(store_dir, "footer_shards")
+                for sh in s["shards"]:
+                    with open(os.path.join(shard_dir, sh["file"])) as g:
+                        blocks.extend(json.load(g))
+            else:
+                blocks = s["blocks"]
+            dead = any(b["block_id"] in removed for b in blocks)
+        except (OSError, json.JSONDecodeError, KeyError):
+            dead = True  # unreadable snapshot is already expired
+        if dead:
+            try:
+                os.remove(snapshot_path(store_dir, sid))
+                n += 1
+            except OSError:
+                pass
+    return n
+
+
+def load_footer(store_dir: str, as_of: int | None = None) -> dict:
     """Full footer with ``blocks`` inflated (sharded footers load every
     shard — fine for stats/tests; the scale path for filtered reads is
-    ``load_blocks``, which prunes shards before reading them)."""
-    _, _, footer_path = store_paths(store_dir)
-    with open(footer_path) as f:
+    ``load_blocks``, which prunes shards before reading them).
+
+    ``as_of``: read the archived snapshot footer instead of the live one
+    (time travel; raises ``FileNotFoundError`` for an expired/unknown id)."""
+    if as_of is not None:
+        path = snapshot_path(store_dir, as_of)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"snapshot {as_of} not found in {store_dir} (expired by "
+                f"maintenance or never written); retained: "
+                f"{list_snapshot_ids(store_dir)}")
+    else:
+        _, _, path = store_paths(store_dir)
+    with open(path) as f:
         footer = json.load(f)
     if footer.get("sharded"):
         footer["blocks"] = load_blocks(store_dir, footer=footer)
@@ -246,14 +406,23 @@ def _zone_survives(stats_of, zones: dict) -> bool:
 
 
 def load_blocks(store_dir: str, zones: dict | None = None,
-                footer: dict | None = None) -> list[dict]:
+                footer: dict | None = None,
+                as_of: int | None = None) -> list[dict]:
     """Block records surviving the ``zones`` filter
     (col -> (lo, hi), either bound None = open). For sharded footers,
     shards whose aggregate zone map misses the filter are never read —
-    the driver touches O(surviving blocks), not O(all blocks)."""
+    the driver touches O(surviving blocks), not O(all blocks).
+    ``as_of`` reads the archived snapshot footer (time travel)."""
     if footer is None:
-        _, _, footer_path = store_paths(store_dir)
-        with open(footer_path) as f:
+        if as_of is not None:
+            path = snapshot_path(store_dir, as_of)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"snapshot {as_of} not found in {store_dir}; retained: "
+                    f"{list_snapshot_ids(store_dir)}")
+        else:
+            _, _, path = store_paths(store_dir)
+        with open(path) as f:
             footer = json.load(f)
     zones = zones or {}
     if footer.get("sharded"):

@@ -386,3 +386,69 @@ SELECT lang, count(*) AS n_docs,
 FROM documents WHERE n_chars // 100 >= 3
 GROUP BY lang ORDER BY lang
 """
+
+
+def store_time_travel(sf_dir: str):
+    """Snapshot time travel: documents arrive as two deliveries (doc_id
+    parity). Delivery 1's footer swap archives snapshot A; the append of
+    delivery 2 archives snapshot B. Decoding ``as_of=A`` must see EXACTLY
+    the first delivery (block files are immutable; the snapshot footer is
+    pure metadata), while the live decode sees the union. Both aggregates
+    are emitted tagged and checked against one SQL twin — a single
+    value-hash covering snapshot archival, as_of planning, and the
+    immutability of already-written blocks across an append."""
+    from ..pipeline import append_to_store
+
+    cols = ["doc_id", "lang", "source", "n_chars"]  # cluster mode groups by source
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d1 = os.path.join(CACHE, f"tt_delivery1_{tag}")
+    d2 = os.path.join(CACHE, f"tt_delivery2_{tag}")
+    store = os.path.join(CACHE, f"store_tt_{tag}")
+    for p in (d1, d2, store):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def parity(rem: int):
+        def f(batch):
+            import pyarrow.compute as _pc
+            return batch.filter(_pc.equal(
+                _pc.bit_wise_and(batch["doc_id"], 1), rem))
+        return f
+
+    ds = ray.data.read_parquet(src, columns=cols)
+    ds.map_batches(parity(0), batch_format="pyarrow").write_parquet(d1)
+    ds.map_batches(parity(1), batch_format="pyarrow").write_parquet(d2)
+
+    f1 = encode_dataset(d1, store, mode="cluster", target_rows=20_000,
+                        resume=False)
+    snap_a = f1["snapshot_id"]
+    f2 = append_to_store(store, d2, mode="cluster", target_rows=20_000)
+    assert f2["snapshot_id"] > snap_a
+
+    def agg(ds_, label):
+        out = (ds_.groupby("lang")
+                  .aggregate(Count(alias_name="n_docs"),
+                             Sum("doc_id", alias_name="sum_ids"))
+                  .to_pandas())
+        out["snap"] = label
+        for c in ["n_docs", "sum_ids"]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    import pandas as pd
+    out = pd.concat([agg(decode_store(store, as_of=snap_a), "as_of_even"),
+                     agg(decode_store(store), "current")])
+    return (out[["snap", "lang", "n_docs", "sum_ids"]]
+            .sort_values(["snap", "lang"]).reset_index(drop=True))
+
+
+SQL["store_time_travel"] = """
+SELECT 'as_of_even' AS snap, lang, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+UNION ALL
+SELECT 'current' AS snap, lang, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY lang
+ORDER BY snap, lang
+"""

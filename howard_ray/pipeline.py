@@ -50,6 +50,7 @@ from .manifest import (
     append_lineage,
     block_path,
     completed_blocks,
+    expire_snapshots,
     init_store,
     list_tombstones,
     load_blocks,
@@ -922,7 +923,8 @@ def _predicate_zone(predicate: tuple) -> dict:
 
 def decode_store(store_dir: str, columns: list[str] | None = None,
                  zone_filter: dict | None = None,
-                 predicate: tuple | None = None) -> ray.data.Dataset:
+                 predicate: tuple | None = None,
+                 as_of: int | None = None) -> ray.data.Dataset:
     """Decode an encoded store back to a lazy Dataset (block-parallel).
 
     ``zone_filter`` prunes whole blocks using the footer's per-column
@@ -949,8 +951,12 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
         for c, rng in _predicate_zone(predicate).items():
             zones.setdefault(c, rng)
     # sharded footers prune whole shard files by their aggregate zone maps
-    # before any block record is read (manifest.load_blocks)
-    blocks = load_blocks(store_dir, zones)
+    # before any block record is read (manifest.load_blocks); as_of reads
+    # an archived snapshot footer instead (time travel — block files are
+    # immutable, so any retained snapshot decodes exactly as written;
+    # tombstones deliberately pierce snapshots: erasure deletes must not
+    # be readable via time travel)
+    blocks = load_blocks(store_dir, zones, as_of=as_of)
     # tombstoned blocks are flagged at plan time (one driver-side listdir);
     # workers load only the tombstones they decode
     tombs = list_tombstones(store_dir)
@@ -1168,6 +1174,9 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
              if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
                           "blocks", "sharded", "shards")}
     new_footer = write_footer(store_dir, kept + new_records, extra=extra)
+    # snapshots that reference the about-to-be-removed member blocks are
+    # expired eagerly (time travel does not cross destructive maintenance)
+    expire_snapshots(store_dir, merged_ids)
     # footer is durable — now the old files (and their tombstones and
     # derived-column sidecars, already folded into the merged blocks) are
     # unreachable garbage
@@ -1308,6 +1317,7 @@ def purge_deletes(store_dir: str, profile: str = "standard") -> dict:
              if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
                           "blocks", "sharded", "shards")}
     new_footer = write_footer(store_dir, kept + new_records, extra=extra)
+    expire_snapshots(store_dir, doomed_ids)
     doomed_ext = {b["block_id"]: b.get("ext_files") or {} for b in doomed}
     for bid in doomed_ids:
         for path in (block_path(store_dir, bid),
