@@ -143,6 +143,25 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_alter(args) -> int:
+    from .pipeline import alter_store
+    rename = {}
+    for spec in args.rename or []:
+        old, _, new = spec.partition("=")
+        if not new:
+            raise SystemExit(f"--rename wants old=new, got {spec!r}")
+        rename[old] = new
+    print(json.dumps(alter_store(args.store, rename=rename,
+                                 drop=args.drop or [])))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from .pipeline import vacuum_store
+    print(json.dumps(vacuum_store(args.store)))
+    return 0
+
+
 def cmd_snapshots(args) -> int:
     from .manifest import list_snapshots
     print(json.dumps(list_snapshots(args.store), indent=1))
@@ -238,6 +257,21 @@ def main(argv=None) -> int:
                         "reads them)")
     sn.add_argument("store")
     sn.set_defaults(fn=cmd_snapshots)
+
+    al = sub.add_parser("alter", help="metadata-only schema evolution: "
+                        "rename/drop columns via a footer swap (no block "
+                        "rewritten; compact/purge fold it physically)")
+    al.add_argument("store")
+    al.add_argument("--rename", action="append", default=[],
+                    metavar="OLD=NEW")
+    al.add_argument("--drop", action="append", default=[], metavar="COL")
+    al.set_defaults(fn=cmd_alter)
+
+    vc = sub.add_parser("vacuum", help="delete store files referenced by "
+                        "neither the live footer, any retained snapshot, "
+                        "nor the lineage manifest")
+    vc.add_argument("store")
+    vc.set_defaults(fn=cmd_vacuum)
 
     dl = sub.add_parser("delete", help="row-level delete via per-block "
                         "tombstones (blocks stay immutable; purge reclaims)")

@@ -112,6 +112,7 @@ def all_queries():
         "store_delete": engine_queries.store_delete,
         "store_derive": engine_queries.store_derive,
         "store_time_travel": engine_queries.store_time_travel,
+        "store_alter": engine_queries.store_alter,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.media_frame_sample,

@@ -452,3 +452,45 @@ SELECT 'current' AS snap, lang, count(*) AS n_docs,
 FROM documents GROUP BY lang
 ORDER BY snap, lang
 """
+
+
+def store_alter(sf_dir: str):
+    """Metadata-only schema evolution round trip: documents encoded, then
+    ``alter_store`` RENAMES n_chars→chars and DROPS source — a pure footer
+    swap, zero block files touched — and the store is decoded WITH A
+    PUSHDOWN PREDICATE ON THE RENAMED COLUMN (zone maps were re-keyed to
+    the logical name, so block pruning and the single-column late-
+    materialized decode run untranslated). The per-lang aggregate of the
+    surviving rows must match the oracle computing the same filter on the
+    original table — one value-hash covering rename maps, drops, re-keyed
+    zone maps, and the renamed pushdown path."""
+    from ..pipeline import alter_store
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE, f"store_alter_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="cluster", target_rows=20_000,
+                   resume=False, columns=["doc_id", "lang", "source",
+                                          "n_chars"])
+    r = alter_store(store, rename={"n_chars": "chars"}, drop=["source"])
+    assert r["renamed"] == 1 and r["dropped"] == 1
+
+    ds = decode_store(store, predicate=("chars", ">=", 500))
+    out = (ds.groupby("lang")
+             .aggregate(Count(alias_name="n_docs"),
+                        Sum("doc_id", alias_name="sum_ids"),
+                        Sum("chars", alias_name="sum_chars"))
+             .to_pandas())
+    for c in ["n_docs", "sum_ids", "sum_chars"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL["store_alter"] = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE n_chars >= 500
+GROUP BY lang ORDER BY lang
+"""

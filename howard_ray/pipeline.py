@@ -762,26 +762,59 @@ def _ext_file_name(block_id: str, name: str) -> str:
     return f"{block_id}.c_{name}.hrb"
 
 
-def _read_logical_block(store_dir: str, block_id: str, ext: dict,
+def _block_rmap(b: dict) -> dict:
+    """The block's READ MAP: everything :func:`_read_logical_block` needs to
+    turn the immutable physical files into the current logical table —
+    ``ext`` (logical name → derived-column sidecar file), ``ren`` (in-file
+    name → logical name, from metadata-only renames), ``drop`` (in-file
+    names excluded by metadata-only drops)."""
+    m = {}
+    if b.get("ext_files"):
+        m["ext"] = b["ext_files"]
+    if b.get("renames"):
+        m["ren"] = b["renames"]
+    if b.get("drops"):
+        m["drop"] = b["drops"]
+    return m
+
+
+def _read_logical_block(store_dir: str, block_id: str, rmap: dict,
                         columns: list[str] | None = None) -> pa.Table:
     """Read a block's LOGICAL table: base columns from the immutable block
-    file, derived columns from their per-block sidecar column files
-    (``ext``: column name -> sidecar file name). Column pruning never opens
-    a file it doesn't need."""
-    want = columns if columns is not None else None
-    want_ext = [c for c in (want if want is not None else list(ext))
-                if c in ext]
-    base_cols = None if want is None else [c for c in want if c not in ext]
+    file (in-file names translated through the rename map, dropped names
+    excluded), derived columns from their per-block sidecar column files.
+    ``columns`` is in LOGICAL names; column pruning never opens or decodes
+    what it doesn't need (a metadata-dropped column is never decoded)."""
+    from .block import decode_block, read_block_meta
+
+    ext = rmap.get("ext") or {}
+    ren = rmap.get("ren") or {}
+    drops = set(rmap.get("drop") or ())
+    if columns is None:
+        with open(block_path(store_dir, block_id), "rb") as f:
+            data = f.read()
+        base_phys = [c for c in read_block_meta(data)["columns"]
+                     if c not in drops]
+        t = decode_block(data, base_phys)
+        if ren:
+            t = t.rename_columns([ren.get(c, c) for c in base_phys])
+        for c, fname in ext.items():
+            col_t = read_block_file(os.path.join(store_dir, "blocks", fname))
+            t = t.append_column(c, col_t.column(0))
+        return t
+    inv = {v: k for k, v in ren.items()}  # logical -> in-file
+    want_ext = [c for c in columns if c in ext]
+    base_logical = [c for c in columns if c not in ext]
     t = None
-    if base_cols is None or base_cols:
-        t = read_block_file(block_path(store_dir, block_id), base_cols)
+    if base_logical:
+        t = read_block_file(block_path(store_dir, block_id),
+                            [inv.get(c, c) for c in base_logical])
+        t = t.rename_columns(base_logical)
     for c in want_ext:
-        col_t = read_block_file(
-            os.path.join(store_dir, "blocks", ext[c]), [c])
-        t = col_t if t is None else t.append_column(c, col_t[c])
-    if want is not None:
-        t = t.select(want)
-    return t
+        col = read_block_file(
+            os.path.join(store_dir, "blocks", ext[c])).column(0)
+        t = pa.table({c: col}) if t is None else t.append_column(c, col)
+    return t.select(columns)
 
 
 def derive_column(store_dir: str, name: str, fn,
@@ -810,7 +843,7 @@ def derive_column(store_dir: str, name: str, fn,
     if not todo:
         return {"n_blocks_derived": 0, "ext_bytes": 0}
     items = [{"block_id": b["block_id"],
-              "ext": json.dumps(b.get("ext_files") or {})} for b in todo]
+              "rmap": json.dumps(_block_rmap(b))} for b in todo]
     fn_ref = ray.put(fn)
 
     def derive(batch: pa.Table) -> pa.Table:
@@ -820,9 +853,11 @@ def derive_column(store_dir: str, name: str, fn,
         zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
         f = _cached_get(fn_ref)
         recs = []
-        for bid_a, ext_a in zip(batch["block_id"], batch["ext"]):
-            bid, ext = bid_a.as_py(), json.loads(ext_a.as_py())
-            t_in = _read_logical_block(store_dir, bid, ext, input_columns)
+        for bid_a, rmap_a in zip(batch["block_id"], batch["rmap"]):
+            bid = bid_a.as_py()
+            t_in = _read_logical_block(store_dir, bid,
+                                       json.loads(rmap_a.as_py()),
+                                       input_columns)
             arr = f(t_in)
             if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
                 arr = pa.array(arr)
@@ -871,6 +906,156 @@ def derive_column(store_dir: str, name: str, fn,
     return {"n_blocks_derived": len(new), "ext_bytes": ext_bytes}
 
 
+def alter_store(store_dir: str, rename: dict | None = None,
+                drop: list[str] | None = None) -> dict:
+    """Metadata-only schema evolution: RENAME and DROP columns without
+    touching a single block file — the store-level ``ALTER TABLE RENAME /
+    DROP COLUMN`` (analog of the reference's INFO-field rename/remove
+    operators, howard/objects/variants.py batched regex renames, re-expressed
+    as an O(metadata) footer swap instead of a data rewrite).
+
+    The footer's per-block column stats are re-keyed to the new LOGICAL
+    names — zone-map pruning, predicate pushdown and column-pruned reads
+    keep working with zero translation — and each block carries a tiny read
+    map (in-file name → logical name; dropped in-file names) that
+    :func:`_read_logical_block` applies at decode. A dropped column is never
+    even decoded. Normal maintenance (compact / purge) folds the evolution
+    physically; until then dropped derived-column sidecars stay on disk for
+    retained snapshots — :func:`vacuum_store` reclaims them once
+    unreferenced. Time travel: snapshots archived before the alter keep the
+    OLD schema (the read map lives in the footer, not the block files)."""
+    rename = dict(rename or {})
+    drop = list(drop or [])
+    if not rename and not drop:
+        return {"renamed": 0, "dropped": 0}
+    footer = load_footer(store_dir)
+    blocks = load_blocks(store_dir, footer=footer)
+    live: set = set()
+    for b in blocks:
+        live |= set(b.get("columns") or {})
+    targets = list(rename.values())
+    for old, new in rename.items():
+        if old not in live:
+            raise ValueError(f"rename: column {old!r} does not exist")
+        if old in drop:
+            raise ValueError(f"cannot rename and drop {old!r} in one alter")
+        if new != old and (new in live or targets.count(new) > 1):
+            raise ValueError(f"rename target {new!r} already exists")
+    for c in drop:
+        if c not in live:
+            raise ValueError(f"drop: column {c!r} does not exist")
+    for b in blocks:
+        cols = b.get("columns") or {}
+        codecs = b.get("codecs") or {}
+        ext = dict(b.get("ext_files") or {})
+        ren = dict(b.get("renames") or {})
+        drops = list(b.get("drops") or [])
+        inv = {v: k for k, v in ren.items()}  # logical -> in-file
+        for c in drop:
+            if c in ext:
+                ext.pop(c)  # sidecar file orphaned until vacuum
+            elif c in cols:
+                p = inv.pop(c, c)
+                ren.pop(p, None)
+                drops.append(p)
+            cols.pop(c, None)
+            codecs.pop(c, None)
+        for old, new in rename.items():
+            if old not in cols and old not in ext:
+                continue  # column absent from this block's epoch
+            if old in ext:
+                ext[new] = ext.pop(old)  # sidecar read names by ext key
+            else:
+                p = inv.pop(old, old)  # in-file name stays fixed
+                if p == new:
+                    ren.pop(p, None)  # renamed back to the in-file name
+                else:
+                    ren[p] = new
+                inv[new] = p
+            if old in cols:
+                cols[new] = cols.pop(old)
+            if old in codecs:
+                codecs[new] = codecs.pop(old)
+        for k, v in (("ext_files", ext), ("renames", ren), ("drops", drops)):
+            if v:
+                b[k] = v
+            else:
+                b.pop(k, None)
+    extra = {k: v for k, v in footer.items()
+             if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
+                          "blocks", "sharded", "shards")}
+    # name history guards future appends: an input delivery carrying a
+    # renamed-away or dropped name would silently fork the schema
+    hist = {k: rename.get(v, v)
+            for k, v in (extra.get("renamed_history") or {}).items()}
+    hist.update(rename)
+    extra["renamed_history"] = {k: v for k, v in hist.items() if k != v}
+    extra["dropped_history"] = sorted(
+        set(extra.get("dropped_history") or []) | set(drop))
+    dc = dict(extra.get("derived_cols") or {})
+    for c in drop:
+        dc.pop(c, None)
+    for old, new in rename.items():
+        if old in dc:
+            dc[new] = dc.pop(old)
+    extra["derived_cols"] = dc
+    f = write_footer(store_dir, blocks, extra=extra)
+    return {"renamed": len(rename), "dropped": len(drop),
+            "snapshot_id": f["snapshot_id"]}
+
+
+def vacuum_store(store_dir: str) -> dict:
+    """Garbage-collect unreferenced store files: anything under ``blocks/``
+    or ``tombstones/`` referenced by NEITHER the live footer, NOR any
+    retained snapshot, NOR the lineage manifest (an in-flight append's
+    completed blocks resume through the manifest and must survive a vacuum).
+    Reclaims sidecars of metadata-dropped derived columns and any
+    half-unlinked maintenance leftovers. Metadata-only planning; never
+    touches a referenced file."""
+    footers = [load_footer(store_dir)]
+    from .manifest import list_snapshot_ids, load_manifest
+    for sid in list_snapshot_ids(store_dir):
+        try:
+            footers.append(load_footer(store_dir, as_of=sid))
+        except FileNotFoundError:
+            continue
+    refs: set = set()
+    live_ids: set = set()
+    for f in footers:
+        for b in f["blocks"]:
+            refs.add(f"{b['block_id']}.hrb")
+            live_ids.add(b["block_id"])
+            refs.update((b.get("ext_files") or {}).values())
+    for rec in load_manifest(store_dir):
+        refs.add(f"{rec['block_id']}.hrb")
+        live_ids.add(rec["block_id"])
+    removed = freed = 0
+    bdir = os.path.join(store_dir, "blocks")
+    for fn in sorted(os.listdir(bdir)):
+        if fn.endswith(".tmp") or fn in refs:
+            continue
+        p = os.path.join(bdir, fn)
+        try:
+            freed += os.path.getsize(p)
+            os.remove(p)
+            removed += 1
+        except OSError:
+            pass
+    tdir = os.path.join(store_dir, "tombstones")
+    if os.path.isdir(tdir):
+        for fn in sorted(os.listdir(tdir)):
+            if fn.endswith(".tmp") or fn[:-len(".tmb")] in live_ids:
+                continue
+            p = os.path.join(tdir, fn)
+            try:
+                freed += os.path.getsize(p)
+                os.remove(p)
+                removed += 1
+            except OSError:
+                pass
+    return {"files_removed": removed, "bytes_freed": freed}
+
+
 def append_to_store(store_dir: str, input_path: str | list[str], *,
                     mode: str = "cluster", profile: str = "standard",
                     target_rows: int | None = None,
@@ -893,11 +1078,27 @@ def append_to_store(store_dir: str, input_path: str | list[str], *,
     footer = load_footer(store_dir)
     base_records = load_blocks(store_dir, footer=footer)
     epoch = int(footer.get("append_epoch", 0)) + 1
+    # schema-evolution guard: a delivery carrying a renamed-away or dropped
+    # column name would silently fork the logical schema (names, not field
+    # ids, identify columns here — the documented limitation vs Iceberg)
+    hist = footer.get("renamed_history") or {}
+    dropped = set(footer.get("dropped_history") or [])
+    carry = {k: footer[k] for k in
+             ("derived_cols", "renamed_history", "dropped_history")
+             if footer.get(k)}
+    if hist or dropped:
+        in_names = set(ray.data.read_parquet(input_path).schema().names)
+        bad = sorted(in_names & (set(hist) | dropped))
+        if bad:
+            raise ValueError(
+                f"append input carries column(s) {bad} that were renamed or "
+                f"dropped on this store; rename them in the delivery (or "
+                f"compact + re-create the column) before appending")
     return encode_dataset(
         input_path, store_dir, mode=mode, profile=profile,
         target_rows=target_rows, concurrency=concurrency,
         block_ns=f"a{epoch:02d}-", base_records=base_records,
-        extra_footer={"append_epoch": epoch},
+        extra_footer={"append_epoch": epoch, **carry},
     )
 
 
@@ -962,7 +1163,7 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
     tombs = list_tombstones(store_dir)
     paths = [{"path": block_path(store_dir, b["block_id"]),
               "block_id": b["block_id"],
-              "ext": json.dumps(b.get("ext_files") or {}),
+              "rmap": json.dumps(_block_rmap(b)),
               "tomb": b["block_id"] if b["block_id"] in tombs else ""}
              for b in blocks]
     if not paths:
@@ -981,10 +1182,10 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
 
     def decode_one(batch: pa.Table) -> list[pa.Table]:
         out = []
-        for bid, ext_j, tomb in zip(batch["block_id"], batch["ext"],
-                                    batch["tomb"]):
+        for bid, rmap_j, tomb in zip(batch["block_id"], batch["rmap"],
+                                     batch["tomb"]):
             t = _read_logical_block(store_dir, bid.as_py(),
-                                    json.loads(ext_j.as_py()), columns)
+                                    json.loads(rmap_j.as_py()), columns)
             keep = _keep_mask(tomb.as_py(), t.num_rows)
             if keep is not None:
                 t = t.filter(pa.array(keep))
@@ -997,17 +1198,21 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
         from .block import decode_block, read_block_meta
         col, op, val = predicate
         out = []
-        for p, bid_a, ext_j, tomb in zip(batch["path"], batch["block_id"],
-                                         batch["ext"], batch["tomb"]):
-            bid, ext = bid_a.as_py(), json.loads(ext_j.as_py())
+        for p, bid_a, rmap_j, tomb in zip(batch["path"], batch["block_id"],
+                                          batch["rmap"], batch["tomb"]):
+            bid, rmap = bid_a.as_py(), json.loads(rmap_j.as_py())
+            ext = rmap.get("ext") or {}
+            ren = rmap.get("ren") or {}
             if col in ext:  # predicate on a derived column: its sidecar
                 filt_col = read_block_file(
-                    os.path.join(store_dir, "blocks", ext[col]), [col])[col]
+                    os.path.join(store_dir, "blocks", ext[col])).column(0)
                 data = None
             else:
                 with open(p.as_py(), "rb") as f:
                     data = f.read()
-                filt_col = decode_block(data, [col])[col]
+                # predicate names the LOGICAL column; decode its in-file name
+                inv = {v: k for k, v in ren.items()}
+                filt_col = decode_block(data, [inv.get(col, col)]).column(0)
             if op == "in":
                 mask = pc.is_in(filt_col, value_set=pa.array(list(val)))
             else:
@@ -1026,11 +1231,14 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
                 if data is None:
                     with open(p.as_py(), "rb") as f:
                         data = f.read()
-                # full logical schema: base columns then every derived
-                # sidecar column (incl. a derived predicate column)
-                names = list(read_block_meta(data)["columns"]) + list(ext)
+                # full logical schema: base columns (renamed, minus dropped)
+                # then every derived sidecar column
+                drops = set(rmap.get("drop") or ())
+                names = [ren.get(c, c)
+                         for c in read_block_meta(data)["columns"]
+                         if c not in drops] + list(ext)
             rest = [c for c in names if c != col]
-            t = _read_logical_block(store_dir, bid, ext, rest) if rest \
+            t = _read_logical_block(store_dir, bid, rmap, rest) if rest \
                 else pa.table({})
             if col in names:
                 t = t.append_column(col, filt_col) if rest \
@@ -1122,7 +1330,7 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
                 "merged": 0, "created": 0}
 
     items = [{"members": json.dumps(
-                  [[b["block_id"], b.get("ext_files") or {}] for b in bin_]),
+                  [[b["block_id"], _block_rmap(b)] for b in bin_]),
               "sort_key": str(bin_[0].get("sort_key", ""))}
              for bin_ in bins]
 
@@ -1137,9 +1345,11 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
             members = json.loads(members_json)
             member_ids = [m[0] for m in members]
             tables = []
-            for bid, ext in members:
-                # derived sidecar columns fold into the merged base block
-                t = _read_logical_block(store_dir, bid, ext)
+            for bid, rmap in members:
+                # derived sidecars, renames and drops fold PHYSICALLY into
+                # the merged base block (metadata-only schema evolution is
+                # materialized by normal maintenance)
+                t = _read_logical_block(store_dir, bid, rmap)
                 # deletes survive compaction: merged blocks are built from
                 # the LIVE rows only, and the members' tombstones die with
                 # the member files after the footer swap
@@ -1218,13 +1428,14 @@ def delete_where(store_dir: str, predicate: tuple) -> dict:
     if not blocks:
         return {"n_blocks_scanned": 0, "n_deleted_new": 0}
     items = [{"block_id": b["block_id"],
-              "ext": json.dumps(b.get("ext_files") or {})} for b in blocks]
+              "rmap": json.dumps(_block_rmap(b))} for b in blocks]
 
     def scan(batch: pa.Table) -> pa.Table:
         out_id, out_new = [], []
-        for bid_a, ext_j in zip(batch["block_id"], batch["ext"]):
-            bid, ext = bid_a.as_py(), json.loads(ext_j.as_py())
-            filt_col = _read_logical_block(store_dir, bid, ext, [col])[col]
+        for bid_a, rmap_j in zip(batch["block_id"], batch["rmap"]):
+            bid = bid_a.as_py()
+            filt_col = _read_logical_block(
+                store_dir, bid, json.loads(rmap_j.as_py()), [col])[col]
             if op == "in":
                 mask = pc.is_in(filt_col, value_set=pa.array(list(val)))
             else:
@@ -1273,7 +1484,7 @@ def purge_deletes(store_dir: str, profile: str = "standard") -> dict:
         return {"n_blocks_rewritten": 0, "n_rows_purged": 0}
     items = [{"block_id": b["block_id"],
               "sort_key": b.get("sort_key", ""),
-              "ext": json.dumps(b.get("ext_files") or {}),
+              "rmap": json.dumps(_block_rmap(b)),
               "n_rows": b["n_rows"]} for b in doomed]
 
     def rewrite(batch: pa.Table) -> pa.Table:
@@ -1282,12 +1493,12 @@ def purge_deletes(store_dir: str, profile: str = "standard") -> dict:
         warmup()
         zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
         recs = []
-        for bid_a, sk_a, ext_j in zip(batch["block_id"], batch["sort_key"],
-                                      batch["ext"]):
+        for bid_a, sk_a, rmap_j in zip(batch["block_id"], batch["sort_key"],
+                                       batch["rmap"]):
             bid, sort_key = bid_a.as_py(), sk_a.as_py()
-            # derived sidecars fold into the rewritten base block
+            # derived sidecars / renames / drops fold into the rewrite
             t = _read_logical_block(store_dir, bid,
-                                    json.loads(ext_j.as_py()))
+                                    json.loads(rmap_j.as_py()))
             idx = load_tombstone(store_dir, bid)
             keep = np.ones(t.num_rows, dtype=bool)
             if idx is not None:
