@@ -137,8 +137,10 @@ def cmd_decode(args) -> int:
     # row count from the WRITTEN parquet footers (metadata-only): ds.count()
     # on the lazy Dataset would re-run the whole decode pipeline a second time
     import pyarrow.parquet as pq
-    n = sum(pq.ParquetFile(os.path.join(args.output, f)).metadata.num_rows
-            for f in os.listdir(args.output) if f.endswith(".parquet"))
+    n = 0
+    if os.path.isdir(args.output):  # an all-pruned decode writes nothing
+        n = sum(pq.ParquetFile(os.path.join(args.output, f)).metadata.num_rows
+                for f in os.listdir(args.output) if f.endswith(".parquet"))
     print(json.dumps({"rows": n, "output": args.output}))
     return 0
 
@@ -153,6 +155,13 @@ def cmd_alter(args) -> int:
         rename[old] = new
     print(json.dumps(alter_store(args.store, rename=rename,
                                  drop=args.drop or [])))
+    return 0
+
+
+def cmd_bloom(args) -> int:
+    from .pipeline import build_bloom_index
+    print(json.dumps(build_bloom_index(args.store, args.column,
+                                       bits_per_key=args.bits_per_key)))
     return 0
 
 
@@ -266,6 +275,16 @@ def main(argv=None) -> int:
                     metavar="OLD=NEW")
     al.add_argument("--drop", action="append", default=[], metavar="COL")
     al.set_defaults(fn=cmd_alter)
+
+    bl = sub.add_parser("bloom", help="build per-block Bloom sidecars over "
+                        "a column: decode --where point lookups (==, in) "
+                        "then skip definite-miss blocks without decoding "
+                        "anything")
+    bl.add_argument("store")
+    bl.add_argument("column")
+    bl.add_argument("--bits-per-key", type=int, default=10,
+                    dest="bits_per_key")
+    bl.set_defaults(fn=cmd_bloom)
 
     vc = sub.add_parser("vacuum", help="delete store files referenced by "
                         "neither the live footer, any retained snapshot, "

@@ -494,3 +494,41 @@ SELECT lang, count(*) AS n_docs,
 FROM documents WHERE n_chars >= 500
 GROUP BY lang ORDER BY lang
 """
+
+
+def store_lookup(sf_dir: str):
+    """Bloom point-lookup round trip: documents encoded CLUSTERED BY SOURCE
+    (so every block's doc_id zone map spans the whole domain — min/max
+    pruning is useless for a doc_id point probe), then a per-block Bloom
+    index is built over doc_id and the store is decoded with
+    ``doc_id IN (...)``. Each decode task consults the block's Bloom
+    sidecar FIRST and skips definite-miss blocks without decoding even the
+    predicate column. The returned rows must match the oracle's WHERE
+    doc_id IN — one value-hash covering filter construction, probe-side
+    hashing symmetry, and the skip path returning no false negatives."""
+    from ..pipeline import build_bloom_index
+
+    ids = [3, 77, 142, 256, 498]  # present at every sf (doc_id 0..N-1)
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE, f"store_lookup_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="cluster", target_rows=20_000,
+                   resume=False, columns=["doc_id", "lang", "source",
+                                          "n_chars"])
+    r = build_bloom_index(store, "doc_id")
+    assert r["n_blocks_indexed"] > 0
+
+    out = (decode_store(store, predicate=("doc_id", "in", ids))
+           .to_pandas())
+    for c in ["doc_id", "n_chars"]:
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "lang", "source", "n_chars"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL["store_lookup"] = """
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE doc_id IN (3, 77, 142, 256, 498)
+ORDER BY doc_id
+"""

@@ -906,6 +906,67 @@ def derive_column(store_dir: str, name: str, fn,
     return {"n_blocks_derived": len(new), "ext_bytes": ext_bytes}
 
 
+def build_bloom_index(store_dir: str, column: str,
+                      bits_per_key: int = 10) -> dict:
+    """Build per-block Bloom sidecars over ``column`` (see
+    :mod:`howard_ray.bloom` for why: point lookups on a non-cluster key are
+    un-prunable by zone maps). One Ray task batch per group of blocks reads
+    ONLY the indexed column, writes ``blooms/<block_id>.c_<col>.blm``, and
+    the footer swap publishes the index; ``decode_store`` point predicates
+    (``==`` / ``in``) then skip any block whose filter rules the probe set
+    out — before decoding even the predicate column.
+
+    Idempotent backfill like :func:`derive_column`: blocks already carrying
+    the filter are skipped, so re-running after an append indexes only the
+    new epoch's blocks."""
+    from .bloom import bloom_file_name, bloom_path, build_filter
+
+    footer = load_footer(store_dir)
+    blocks = load_blocks(store_dir, footer=footer)
+    live: set = set()
+    for b in blocks:
+        live |= set(b.get("columns") or {})
+    if column not in live:
+        raise ValueError(f"bloom: column {column!r} does not exist")
+    todo = [b for b in blocks if column not in (b.get("blooms") or {})]
+    if not todo:
+        return {"n_blocks_indexed": 0, "bloom_bytes": 0}
+    os.makedirs(os.path.join(store_dir, "blooms"), exist_ok=True)
+    items = [{"block_id": b["block_id"],
+              "rmap": json.dumps(_block_rmap(b))} for b in todo]
+
+    def build(batch: pa.Table) -> pa.Table:
+        recs = []
+        for bid_a, rmap_a in zip(batch["block_id"], batch["rmap"]):
+            bid = bid_a.as_py()
+            col = _read_logical_block(store_dir, bid,
+                                      json.loads(rmap_a.as_py()),
+                                      [column])[column]
+            data = build_filter(col, bits_per_key=bits_per_key)
+            fname = bloom_file_name(bid, column)
+            write_block_file(bloom_path(store_dir, fname), data)
+            recs.append({"block_id": bid, "file": fname, "bytes": len(data)})
+        return _records_table(recs)
+
+    rec_ds = ray.data.from_items(items,
+                                 override_num_blocks=max(1, len(items))) \
+        .map_batches(build, batch_size=8, batch_format="pyarrow")
+    new = {r["block_id"]: r for r in
+           (json.loads(x) for x in rec_ds.to_pandas()["record"].tolist())}
+    total = 0
+    for b in blocks:
+        r = new.get(b["block_id"])
+        if r is None:
+            continue
+        b.setdefault("blooms", {})[column] = r["file"]
+        total += r["bytes"]
+    extra = {k: v for k, v in footer.items()
+             if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
+                          "blocks", "sharded", "shards")}
+    write_footer(store_dir, blocks, extra=extra)
+    return {"n_blocks_indexed": len(new), "bloom_bytes": total}
+
+
 def alter_store(store_dir: str, rename: dict | None = None,
                 drop: list[str] | None = None) -> dict:
     """Metadata-only schema evolution: RENAME and DROP columns without
@@ -948,6 +1009,7 @@ def alter_store(store_dir: str, rename: dict | None = None,
         cols = b.get("columns") or {}
         codecs = b.get("codecs") or {}
         ext = dict(b.get("ext_files") or {})
+        blooms = dict(b.get("blooms") or {})
         ren = dict(b.get("renames") or {})
         drops = list(b.get("drops") or [])
         inv = {v: k for k, v in ren.items()}  # logical -> in-file
@@ -960,6 +1022,7 @@ def alter_store(store_dir: str, rename: dict | None = None,
                 drops.append(p)
             cols.pop(c, None)
             codecs.pop(c, None)
+            blooms.pop(c, None)  # bloom file orphaned until vacuum
         for old, new in rename.items():
             if old not in cols and old not in ext:
                 continue  # column absent from this block's epoch
@@ -976,7 +1039,10 @@ def alter_store(store_dir: str, rename: dict | None = None,
                 cols[new] = cols.pop(old)
             if old in codecs:
                 codecs[new] = codecs.pop(old)
-        for k, v in (("ext_files", ext), ("renames", ren), ("drops", drops)):
+            if old in blooms:
+                blooms[new] = blooms.pop(old)
+        for k, v in (("ext_files", ext), ("renames", ren), ("drops", drops),
+                     ("blooms", blooms)):
             if v:
                 b[k] = v
             else:
@@ -1020,12 +1086,14 @@ def vacuum_store(store_dir: str) -> dict:
         except FileNotFoundError:
             continue
     refs: set = set()
+    bloom_refs: set = set()
     live_ids: set = set()
     for f in footers:
         for b in f["blocks"]:
             refs.add(f"{b['block_id']}.hrb")
             live_ids.add(b["block_id"])
             refs.update((b.get("ext_files") or {}).values())
+            bloom_refs.update((b.get("blooms") or {}).values())
     for rec in load_manifest(store_dir):
         refs.add(f"{rec['block_id']}.hrb")
         live_ids.add(rec["block_id"])
@@ -1047,6 +1115,18 @@ def vacuum_store(store_dir: str) -> dict:
             if fn.endswith(".tmp") or fn[:-len(".tmb")] in live_ids:
                 continue
             p = os.path.join(tdir, fn)
+            try:
+                freed += os.path.getsize(p)
+                os.remove(p)
+                removed += 1
+            except OSError:
+                pass
+    gdir = os.path.join(store_dir, "blooms")
+    if os.path.isdir(gdir):
+        for fn in sorted(os.listdir(gdir)):
+            if fn.endswith(".tmp") or fn in bloom_refs:
+                continue
+            p = os.path.join(gdir, fn)
             try:
                 freed += os.path.getsize(p)
                 os.remove(p)
@@ -1161,9 +1241,15 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
     # tombstoned blocks are flagged at plan time (one driver-side listdir);
     # workers load only the tombstones they decode
     tombs = list_tombstones(store_dir)
+    # point predicates consult the block's Bloom sidecar (when indexed)
+    # before decoding anything — definite-miss blocks cost one tiny read
+    bloom_col = predicate[0] if predicate is not None \
+        and predicate[1] in ("==", "in") else None
     paths = [{"path": block_path(store_dir, b["block_id"]),
               "block_id": b["block_id"],
               "rmap": json.dumps(_block_rmap(b)),
+              "bloom": (b.get("blooms") or {}).get(bloom_col, "")
+              if bloom_col else "",
               "tomb": b["block_id"] if b["block_id"] in tombs else ""}
              for b in blocks]
     if not paths:
@@ -1198,9 +1284,17 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
         from .block import decode_block, read_block_meta
         col, op, val = predicate
         out = []
-        for p, bid_a, rmap_j, tomb in zip(batch["path"], batch["block_id"],
-                                          batch["rmap"], batch["tomb"]):
+        probe_vals = list(val) if op == "in" else [val]
+        for p, bid_a, rmap_j, bloom_f, tomb in zip(
+                batch["path"], batch["block_id"], batch["rmap"],
+                batch["bloom"], batch["tomb"]):
             bid, rmap = bid_a.as_py(), json.loads(rmap_j.as_py())
+            bloom_f = bloom_f.as_py()
+            if bloom_f:
+                from .bloom import bloom_path, probe_file
+                if not probe_file(bloom_path(store_dir, bloom_f),
+                                  probe_vals):
+                    continue  # definite miss: nothing decoded at all
             ext = rmap.get("ext") or {}
             ren = rmap.get("ren") or {}
             if col in ext:  # predicate on a derived column: its sidecar
@@ -1391,11 +1485,13 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
     # derived-column sidecars, already folded into the merged blocks) are
     # unreachable garbage
     for bid in merged_ids:
-        ext = merged[bid].get("ext_files") or {}
+        m = merged[bid]
         for path in (block_path(store_dir, bid),
                      tombstone_path(store_dir, bid),
                      *(os.path.join(store_dir, "blocks", f)
-                       for f in ext.values())):
+                       for f in (m.get("ext_files") or {}).values()),
+                     *(os.path.join(store_dir, "blooms", f)
+                       for f in (m.get("blooms") or {}).values())):
             try:
                 os.remove(path)
             except OSError:
@@ -1529,12 +1625,15 @@ def purge_deletes(store_dir: str, profile: str = "standard") -> dict:
                           "blocks", "sharded", "shards")}
     new_footer = write_footer(store_dir, kept + new_records, extra=extra)
     expire_snapshots(store_dir, doomed_ids)
-    doomed_ext = {b["block_id"]: b.get("ext_files") or {} for b in doomed}
+    doomed_by_id = {b["block_id"]: b for b in doomed}
     for bid in doomed_ids:
+        d = doomed_by_id[bid]
         for path in (block_path(store_dir, bid),
                      tombstone_path(store_dir, bid),
                      *(os.path.join(store_dir, "blocks", f)
-                       for f in doomed_ext[bid].values())):
+                       for f in (d.get("ext_files") or {}).values()),
+                     *(os.path.join(store_dir, "blooms", f)
+                       for f in (d.get("blooms") or {}).values())):
             try:
                 os.remove(path)
             except OSError:
