@@ -158,6 +158,13 @@ def cmd_alter(args) -> int:
     return 0
 
 
+def cmd_scrub(args) -> int:
+    from .pipeline import scrub_store
+    res = scrub_store(args.store, deep=not args.shallow)
+    print(json.dumps(res, indent=1))
+    return 0 if not res["damaged"] else 1
+
+
 def cmd_bloom(args) -> int:
     from .pipeline import build_bloom_index
     print(json.dumps(build_bloom_index(args.store, args.column,
@@ -275,6 +282,14 @@ def main(argv=None) -> int:
                     metavar="OLD=NEW")
     al.add_argument("--drop", action="append", default=[], metavar="COL")
     al.set_defaults(fn=cmd_alter)
+
+    sc = sub.add_parser("scrub", help="distributed integrity audit: every "
+                        "block decoded + crc-verified against the footer "
+                        "(exit 1 when damage is found)")
+    sc.add_argument("store")
+    sc.add_argument("--shallow", action="store_true",
+                    help="existence+size checks only (no decode)")
+    sc.set_defaults(fn=cmd_scrub)
 
     bl = sub.add_parser("bloom", help="build per-block Bloom sidecars over "
                         "a column: decode --where point lookups (==, in) "

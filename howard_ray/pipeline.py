@@ -1136,6 +1136,70 @@ def vacuum_store(store_dir: str) -> dict:
     return {"files_removed": removed, "bytes_freed": freed}
 
 
+def scrub_store(store_dir: str, deep: bool = True) -> dict:
+    """Distributed integrity audit — the maintenance job a 100-TB store
+    runs on a schedule. Per block (one Ray task batch per group): the block
+    file must exist with the footer-recorded size; ``deep=True``
+    additionally DECODES every column of the block, its derived sidecars
+    and its Bloom sidecars (every payload is crc32-verified by the codecs)
+    and checks the decoded row count against the footer. Returns totals
+    plus the ids and reasons of every damaged block — the repair playbook
+    is re-encode from lineage (each record names its input file + row
+    range) or restore the file and re-run."""
+    from .bloom import bloom_path
+
+    footer = load_footer(store_dir)
+    blocks = load_blocks(store_dir, footer=footer)
+    items = [{"block_id": b["block_id"],
+              "rmap": json.dumps(_block_rmap(b)),
+              "blooms": json.dumps(b.get("blooms") or {}),
+              "n_rows": b["n_rows"],
+              "encoded_bytes": b["encoded_bytes"]} for b in blocks]
+    if not items:
+        return {"n_blocks": 0, "n_ok": 0, "damaged": []}
+
+    def check(batch: pa.Table) -> pa.Table:
+        from .codecs.bitpack import warmup
+        warmup()
+        recs = []
+        for bid_a, rmap_j, blooms_j, nr_a, eb_a in zip(
+                batch["block_id"], batch["rmap"], batch["blooms"],
+                batch["n_rows"], batch["encoded_bytes"]):
+            bid, n_rows = bid_a.as_py(), nr_a.as_py()
+            errs = []
+            path = block_path(store_dir, bid)
+            try:
+                if os.path.getsize(path) != eb_a.as_py():
+                    errs.append("size mismatch vs footer")
+            except OSError:
+                errs.append("block file missing")
+            if deep and not errs:
+                try:
+                    t = _read_logical_block(store_dir, bid,
+                                            json.loads(rmap_j.as_py()))
+                    if t.num_rows != n_rows:
+                        errs.append(f"decoded {t.num_rows} rows, "
+                                    f"footer says {n_rows}")
+                except Exception as e:  # crc/format damage surfaces here
+                    errs.append(f"decode failed: {e}")
+                for col, fname in json.loads(blooms_j.as_py()).items():
+                    try:
+                        from .bloom import probe_file
+                        probe_file(bloom_path(store_dir, fname), ["probe"])
+                    except Exception as e:
+                        errs.append(f"bloom[{col}] damaged: {e}")
+            recs.append({"block_id": bid, "errors": errs})
+        return _records_table(recs)
+
+    rec_ds = ray.data.from_items(items,
+                                 override_num_blocks=max(1, len(items))) \
+        .map_batches(check, batch_size=8, batch_format="pyarrow")
+    raw = [json.loads(r) for r in rec_ds.to_pandas()["record"].tolist()]
+    damaged = [r for r in raw if r["errors"]]
+    return {"n_blocks": len(raw), "n_ok": len(raw) - len(damaged),
+            "deep": deep, "damaged": damaged}
+
+
 def append_to_store(store_dir: str, input_path: str | list[str], *,
                     mode: str = "cluster", profile: str = "standard",
                     target_rows: int | None = None,
