@@ -158,6 +158,13 @@ def cmd_alter(args) -> int:
     return 0
 
 
+def cmd_upsert(args) -> int:
+    from .pipeline import upsert_to_store
+    print(json.dumps(upsert_to_store(args.store, args.input, key=args.key,
+                                     target_rows=args.target_rows)))
+    return 0
+
+
 def cmd_scrub(args) -> int:
     from .pipeline import scrub_store
     res = scrub_store(args.store, deep=not args.shallow)
@@ -282,6 +289,15 @@ def main(argv=None) -> int:
                     metavar="OLD=NEW")
     al.add_argument("--drop", action="append", default=[], metavar="COL")
     al.set_defaults(fn=cmd_alter)
+
+    up = sub.add_parser("upsert", help="MERGE by key: the delivery's rows "
+                        "replace same-key store rows (tombstone delete + "
+                        "epoch append; retry-convergent)")
+    up.add_argument("store")
+    up.add_argument("input")
+    up.add_argument("--key", default="doc_id")
+    up.add_argument("--target-rows", type=int, default=None)
+    up.set_defaults(fn=cmd_upsert)
 
     sc = sub.add_parser("scrub", help="distributed integrity audit: every "
                         "block decoded + crc-verified against the footer "

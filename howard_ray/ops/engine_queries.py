@@ -532,3 +532,61 @@ SELECT doc_id, lang, source, n_chars
 FROM documents WHERE doc_id IN (3, 77, 142, 256, 498)
 ORDER BY doc_id
 """
+
+
+def store_upsert(sf_dir: str):
+    """MERGE round trip: the whole documents table is encoded, then a CDC
+    delta (every doc_id % 10 == 0 row, with n_chars bumped by 1,000,000)
+    is UPSERTED — same-key rows tombstone-deleted, the delta appended as a
+    fresh epoch, all composed from the two crash-safe primitives. The
+    decoded per-source aggregate must equal the oracle computing the
+    post-merge value with a CASE expression over the original table — one
+    value-hash covering key collection, the broadcast tombstone scan, the
+    epoch append, and the lazy delete apply at decode."""
+    from ..pipeline import upsert_to_store
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    delta = os.path.join(CACHE, f"upsert_delta_{tag}")
+    store = os.path.join(CACHE, f"store_upsert_{tag}")
+    for p in (delta, store):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def bump(batch):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        b = batch.filter(_pc.equal(
+            _pc.subtract(batch["doc_id"],
+                         _pc.multiply(_pc.divide(batch["doc_id"], 10),
+                                      10)), 0))
+        i = b.column_names.index("n_chars")
+        return b.set_column(i, "n_chars",
+                            _pc.add(b["n_chars"], _pa.scalar(1_000_000)))
+
+    ray.data.read_parquet(src, columns=cols) \
+        .map_batches(bump, batch_format="pyarrow").write_parquet(delta)
+
+    encode_dataset(src, store, mode="cluster", target_rows=20_000,
+                   resume=False, columns=cols)
+    r = upsert_to_store(store, delta, key="doc_id", target_rows=20_000)
+    assert r["n_replaced"] == r["n_keys"] and r["n_inserted"] == 0
+
+    out = (decode_store(store)
+           .groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_chars", alias_name="sum_chars"),
+                      Sum("doc_id", alias_name="sum_ids"))
+           .to_pandas())
+    for c in ["n_docs", "sum_chars", "sum_ids"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL["store_upsert"] = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000000
+                     ELSE n_chars END) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY source ORDER BY source
+"""

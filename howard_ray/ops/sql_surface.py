@@ -44,3 +44,39 @@ def _mk(sql: str):
 
 QUERIES = {name: _mk(sql) for name, sql in _QUERIES.items()}
 SQL.update(_QUERIES)
+
+
+_STORE_SQL = """SELECT lang, COUNT(*) AS n_docs,
+ROUND(SUM(n_chars), 2) AS sum_chars, COUNT(DISTINCT source) AS n_sources
+FROM store WHERE n_chars >= 300 GROUP BY lang ORDER BY lang"""
+
+
+def sql_over_store(sf_dir: str):
+    """Mini-SQL DIRECTLY over an encoded store: documents are encoded into
+    the flagship cluster store, then the same SQL text runs on BOTH engines
+    — sqlmini compiles ``FROM store`` to decode_store (pruned columns +
+    the n_chars predicate pushed into the block scan: zone maps prune,
+    the predicate column decodes first, the rest late-materializes) while
+    the oracle runs it on the original documents table. One value-hash
+    covering the SQL surface composed with the encoded-store scan path."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipeline import encode_dataset
+
+    cache = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(cache, f"store_sql_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="cluster", target_rows=20_000,
+                   resume=False,
+                   columns=["doc_id", "lang", "source", "n_chars"])
+    out = run_sql(store, _STORE_SQL)
+    out["sum_chars"] = out["sum_chars"].astype("float64")
+    return out
+
+
+QUERIES["sql_over_store"] = sql_over_store
+SQL["sql_over_store"] = _STORE_SQL.replace("FROM store", "FROM documents")

@@ -1246,6 +1246,37 @@ def append_to_store(store_dir: str, input_path: str | list[str], *,
     )
 
 
+def upsert_to_store(store_dir: str, input_path: str | list[str], *,
+                    key: str = "doc_id", mode: str = "cluster",
+                    profile: str = "standard",
+                    target_rows: int | None = None) -> dict:
+    """MERGE (upsert) by key — the CDC delta shape: every row of the
+    delivery REPLACES the store's same-key rows (tombstone delete), new
+    keys are inserted (epoch append). Composed entirely from the two
+    existing crash-safe primitives, so the whole operation converges under
+    retry: a re-run re-deletes (idempotent no-op on already-dead rows),
+    re-tombstones the previously appended delta rows and re-appends one
+    fresh copy — the logical content is the same after any number of
+    retries that end in one completed pass.
+
+    Bounded-delta contract: the delivery's key set is collected on the
+    driver and broadcast into the tombstone scan (zone maps prune blocks
+    outside its min/max first). CDC deltas are small next to a 100-TB
+    store; for a delta that ISN'T small, re-encode instead of upserting."""
+    delta_keys = ray.data.read_parquet(input_path, columns=[key]).unique(key)
+    if not delta_keys:
+        return {"n_keys": 0, "n_replaced": 0}
+    d = delete_where(store_dir, (key, "in", delta_keys))
+    f = append_to_store(store_dir, input_path, mode=mode, profile=profile,
+                        target_rows=target_rows)
+    return {"n_keys": len(delta_keys),
+            "n_replaced": d["n_deleted_new"],
+            "n_inserted": len(delta_keys) - d["n_deleted_new"],
+            # physical rows incl. tombstoned-but-unpurged replaced rows
+            "n_rows_physical": f["n_rows"],
+            "snapshot_id": f["snapshot_id"]}
+
+
 _PRED_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
 
 

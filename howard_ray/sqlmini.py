@@ -232,14 +232,39 @@ _HAVING_OPS = {
 }
 
 
+_PUSH_OPS = {"=": "==", "!=": "!=", "<>": "!=",
+             "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+
+
+def _pushable(conds: list[dict]) -> tuple | None:
+    """First WHERE condition expressible as a store decode predicate —
+    it rides into :func:`decode_store` where zone maps prune whole blocks,
+    Bloom sidecars kill point probes, and late materialization decodes the
+    predicate column first. The FULL conjunction is still applied
+    vectorized afterwards, so pushing any one condition is always sound."""
+    for c in conds:
+        if c["op"] in _PUSH_OPS:
+            return (c["col"], _PUSH_OPS[c["op"]], c["val"])
+    return None
+
+
 def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
-    """Parse + compile + execute over the sf tables; returns pandas."""
+    """Parse + compile + execute over the sf tables — or over an ENCODED
+    STORE: ``FROM store`` reads ``sf_dir`` as a store directory via
+    :func:`decode_store` (pruned columns + one pushed-down predicate), so
+    the whole mini-SQL surface (grouping, HAVING, COUNT(DISTINCT), LIKE,
+    ORDER/LIMIT) runs directly on encoded blocks. Returns pandas."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
     from .ops.util import tbl
 
     plan = parse(sql)
-    ds = tbl(sf_dir, plan["table"], _needed_columns(plan))
+    if plan["table"] == "store":
+        from .pipeline import decode_store
+        ds = decode_store(sf_dir, columns=_needed_columns(plan),
+                          predicate=_pushable(plan["conds"]))
+    else:
+        ds = tbl(sf_dir, plan["table"], _needed_columns(plan))
     if plan["conds"]:
         conds = plan["conds"]
         ds = ds.map_batches(lambda b: _predicate(b, conds),
