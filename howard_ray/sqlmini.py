@@ -261,7 +261,20 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
     plan = parse(sql)
     if plan["table"] == "store":
         from .pipeline import decode_store
+        # every range condition contributes to zone pruning (blocks whose
+        # footer min/max misses ANY conjunct never decode), and the first
+        # pushable condition additionally rides into the block scan
+        zones: dict = {}
+        for c in plan["conds"]:
+            if c["op"] in ("=", "<", "<=", ">", ">="):
+                lo, hi = zones.get(c["col"], (None, None))
+                if c["op"] in ("=", ">", ">="):
+                    lo = c["val"] if lo is None else max(lo, c["val"])
+                if c["op"] in ("=", "<", "<="):
+                    hi = c["val"] if hi is None else min(hi, c["val"])
+                zones[c["col"]] = (lo, hi)
         ds = decode_store(sf_dir, columns=_needed_columns(plan),
+                          zone_filter=zones or None,
                           predicate=_pushable(plan["conds"]))
     else:
         ds = tbl(sf_dir, plan["table"], _needed_columns(plan))
