@@ -33,6 +33,16 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "sql_order_by_alias": """SELECT o_orderpriority, COUNT(*) AS n,
 ROUND(SUM(o_totalprice), 2) AS rev FROM orders
 GROUP BY o_orderpriority ORDER BY rev DESC, o_orderpriority LIMIT 3""",
+    "sql_join_dim": """SELECT o_orderpriority, COUNT(*) AS n,
+ROUND(SUM(o_totalprice), 2) AS rev FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_totalprice >= 1000
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "sql_join_chain": """SELECT n_name, COUNT(*) AS n_cust,
+ROUND(SUM(c_acctbal), 2) AS bal FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""",
 }
 
 
@@ -80,3 +90,37 @@ def sql_over_store(sf_dir: str):
 
 QUERIES["sql_over_store"] = sql_over_store
 SQL["sql_over_store"] = _STORE_SQL.replace("FROM store", "FROM documents")
+
+
+_META_SQL = """SELECT COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+ROUND(AVG(n_chars), 4) AS avg_chars FROM store"""
+
+
+def sql_store_metadata(sf_dir: str):
+    """O(metadata) SQL over the encoded store: a pure COUNT/SUM/MIN/MAX/AVG
+    SELECT is answered from the footer zone-map stats with ZERO block
+    decodes (sqlmini._store_metadata_answer) — the lakehouse
+    column-statistics read at SQL level; a 100-TB store serves this from
+    its footer alone. The oracle runs the same text over the raw documents
+    table, so the hash also proves the footer sums are exact."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipeline import encode_dataset
+
+    cache = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(cache, f"store_sqlmeta_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="stream", resume=False,
+                   columns=["doc_id", "source", "n_chars"])
+    out = run_sql(store, _META_SQL)
+    out["sum_chars"] = out["sum_chars"].astype("float64")
+    return out
+
+
+QUERIES["sql_store_metadata"] = sql_store_metadata
+SQL["sql_store_metadata"] = _META_SQL.replace("FROM store", "FROM documents")

@@ -6,7 +6,7 @@ path). A full SQL engine is out of scope here, but the shape of the
 surface matters: this module parses the subset
 
     SELECT item [, item ...]
-    FROM <table>
+    FROM <table> [JOIN <table> ON col = col ...]
     [WHERE col OP literal [AND ...]]
     [GROUP BY col [, col ...]]
     [HAVING alias OP literal [AND ...]]
@@ -33,6 +33,13 @@ computed as SUM/COUNT so the distributed part stays mergeable. Plain
 
 The correctness gate runs THE SAME SQL TEXT through DuckDB as the oracle —
 one string, two engines, value-hash-equal results.
+
+``FROM store`` runs the surface directly over an encoded store
+(:func:`decode_store` scan: pruned columns, zone-map block pruning on every
+range conjunct, one pushed-down predicate) — and a pure
+COUNT(*)/SUM/MIN/MAX/AVG SELECT with no WHERE/GROUP BY short-circuits to
+:func:`_store_metadata_answer`, which answers from the footer zone-map
+stats with zero block decodes.
 """
 
 from __future__ import annotations
@@ -61,7 +68,8 @@ _COND_RE = re.compile(
     re.IGNORECASE)
 
 _SQL_RE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>[A-Za-z_][\w]*)"
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>[A-Za-z_][\w]*"
+    r"(?:\s+JOIN\s+[A-Za-z_][\w]*\s+ON\s+[A-Za-z_][\w]*\s*=\s*[A-Za-z_][\w]*)*)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?:\s+HAVING\s+(?P<having>.+?))?"
@@ -86,6 +94,12 @@ def _split_commas(s: str) -> list[str]:
     if cur:
         out.append("".join(cur).strip())
     return out
+
+
+_JOIN_RE = re.compile(
+    r"\s+JOIN\s+(?P<table>[A-Za-z_][\w]*)\s+ON\s+"
+    r"(?P<a>[A-Za-z_][\w]*)\s*=\s*(?P<b>[A-Za-z_][\w]*)",
+    re.IGNORECASE)
 
 
 def parse(sql: str) -> dict:
@@ -135,7 +149,12 @@ def parse(sql: str) -> dict:
             parts = raw.strip().split()
             order.append((parts[0], len(parts) > 1
                           and parts[1].upper() == "DESC"))
-    return {"items": items, "table": m.group("table"), "conds": conds,
+    frm = m.group("from")
+    table = frm.split()[0]
+    joins = [{"table": jm.group("table"),
+              "a": jm.group("a"), "b": jm.group("b")}
+             for jm in _JOIN_RE.finditer(frm)]
+    return {"items": items, "table": table, "joins": joins, "conds": conds,
             "having": having, "group": group, "order": order,
             "limit": int(m.group("limit")) if m.group("limit") else None}
 
@@ -248,6 +267,158 @@ def _pushable(conds: list[dict]) -> tuple | None:
     return None
 
 
+def _joined_dataset(sf_dir: str, plan: dict):
+    """Compile ``FROM fact JOIN dim ON k = k [JOIN ...]`` to the idiomatic
+    Ray star-schema plan: the fact table streams; every JOINed table is
+    read pruned + pre-filtered (each WHERE condition is one-sided
+    col-vs-literal, so it pushes entirely into its owning table's scan),
+    materialized once, broadcast via ``ray.put``, and hash-joined per batch
+    with the Arrow acero ``Table.join`` kernel — the exchange-free
+    broadcast-join shape (big⋈big joins are the cogroup_join /
+    Dataset.join operators, not this surface). Columns are resolved
+    unqualified; a name owned by two tables in the FROM list is rejected.
+    """
+    import os
+
+    import pyarrow.parquet as pq_mod
+    import ray
+
+    from .ops.util import tbl
+
+    tables = [plan["table"]] + [j["table"] for j in plan["joins"]]
+    schemas = {t: list(pq_mod.read_schema(
+        os.path.join(sf_dir, f"{t}.parquet")).names) for t in tables}
+
+    def owner(col: str) -> str:
+        owners = [t for t in tables if col in schemas[t]]
+        if not owners:
+            raise ValueError(f"unknown column {col!r} in FROM {tables}")
+        if len(owners) > 1:
+            raise ValueError(
+                f"ambiguous column {col!r} (in {owners}); mini-SQL joins "
+                f"resolve columns unqualified")
+        return owners[0]
+
+    needed = set(_needed_columns(plan))
+    for j in plan["joins"]:
+        needed.add(j["a"])
+        needed.add(j["b"])
+    conds_by: dict[str, list[dict]] = {t: [] for t in tables}
+    for c in plan["conds"]:
+        conds_by[owner(c["col"])].append(c)
+    cols_by = {t: sorted(c for c in needed if c in schemas[t])
+               for t in tables}
+
+    def scan(t: str):
+        ds = tbl(sf_dir, t, cols_by[t])
+        cs = conds_by[t]
+        if cs:
+            ds = ds.map_batches(lambda b, _cs=cs: _predicate(b, _cs),
+                                batch_format="pyarrow")
+        return ds
+
+    ds = scan(plan["table"])
+    acc = set(cols_by[plan["table"]])
+    for j in plan["joins"]:
+        if j["a"] in acc:
+            lk, rk = j["a"], j["b"]
+        elif j["b"] in acc:
+            lk, rk = j["b"], j["a"]
+        else:
+            raise ValueError(
+                f"join ON {j['a']} = {j['b']} references no column of the "
+                f"tables joined so far ({sorted(acc)})")
+        if owner(rk) != j["table"]:
+            raise ValueError(
+                f"join key {rk!r} is not a column of {j['table']!r}")
+        dim = scan(j["table"])
+        dim_tbl = pa.concat_tables(
+            ray.get(dim.to_arrow_refs()), promote_options="default")
+        ref = ray.put(dim_tbl)
+
+        def bjoin(batch: pa.Table, _ref=ref, _lk=lk, _rk=rk) -> pa.Table:
+            from .pipeline import _cached_get
+            right = _cached_get(_ref)
+            return batch.join(right, keys=_lk, right_keys=_rk,
+                              join_type="inner")
+
+        ds = ds.map_batches(bjoin, batch_format="pyarrow")
+        acc |= set(cols_by[j["table"]])
+    return ds
+
+
+def _store_metadata_answer(store_dir: str, plan: dict) -> pd.DataFrame | None:
+    """O(metadata) fast path: a pure COUNT(*) / SUM / MIN / MAX / AVG
+    SELECT with no WHERE / GROUP BY over a store is answered from the
+    footer zone-map stats alone — ZERO blocks are read or decoded (the
+    column-statistics read every lakehouse metadata layer provides; a
+    100-TB store answers ``SELECT SUM(n_tok) FROM store`` from its footer).
+
+    Soundness gates — returns None (caller falls back to the block scan)
+    when any fails:
+    - predicates / grouping / HAVING / DISTINCT present (stats can't filter)
+    - COUNT(col): footer has no per-column null counts (COUNT(*) is exact
+      because columns carrying int stats are null-free by construction —
+      nullable columns take the "other" codec and publish no stats)
+    - pending tombstones (physical stats would overcount deleted rows)
+    - any block missing the needed stat (empty block / "other"-kind column)
+    - SUM/AVG of a list column (stats hold the flattened sum, not SQL SUM)
+    """
+    import os as _os
+
+    from .manifest import load_footer
+
+    if plan["conds"] or plan["group"] or plan["having"]:
+        return None
+    items = plan["items"]
+    if not items:
+        return None
+    for it in items:
+        if not it["agg"] or it["distinct"]:
+            return None
+        if it["agg"] == "COUNT" and it["arg"] != "*":
+            return None
+    tomb = _os.path.join(store_dir, "tombstones")
+    try:
+        if _os.path.isdir(tomb) and any(
+                f.endswith(".tmb") for f in _os.listdir(tomb)):
+            return None
+    except OSError:
+        return None
+    blocks = load_footer(store_dir)["blocks"]
+    if not blocks:
+        return None
+    n_rows = sum(b["n_rows"] for b in blocks)
+    out: dict[str, list] = {}
+    for it in items:
+        agg, col = it["agg"], it["arg"]
+        if agg == "COUNT":
+            val: float | int | str = n_rows
+        else:
+            sts = [((b.get("columns") or {}).get(col) or {}).get("stats")
+                   or {} for b in blocks]
+            if agg in ("SUM", "AVG"):
+                if any("sum" not in s or "n_values" in s for s in sts):
+                    return None
+                total = sum(int(s["sum"]) for s in sts)
+                val = total if agg == "SUM" else total / n_rows
+            else:
+                key = "min" if agg == "MIN" else "max"
+                if any(key not in s for s in sts):
+                    return None
+                vals = [s[key] for s in sts]
+                val = min(vals) if agg == "MIN" else max(vals)
+        if it["nd"] is not None:
+            val = round(float(val), it["nd"])
+        out[it["alias"]] = [val]
+    df = pd.DataFrame(out)
+    for it in items:
+        if it["nd"] is None and it["agg"] in ("COUNT", "SUM") \
+                and pd.api.types.is_numeric_dtype(df[it["alias"]]):
+            df[it["alias"]] = df[it["alias"]].astype("int64")
+    return df
+
+
 def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
     """Parse + compile + execute over the sf tables — or over an ENCODED
     STORE: ``FROM store`` reads ``sf_dir`` as a store directory via
@@ -259,7 +430,20 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
     from .ops.util import tbl
 
     plan = parse(sql)
-    if plan["table"] == "store":
+    if plan["joins"]:
+        if plan["table"] == "store":
+            raise ValueError("JOIN is not supported FROM store")
+        # conds are applied per-side INSIDE the join plan (full pushdown)
+        ds = _joined_dataset(sf_dir, plan)
+        plan = dict(plan, conds=[])
+    elif plan["table"] == "store":
+        fast = _store_metadata_answer(sf_dir, plan)
+        if fast is not None:
+            # single-row pure-aggregate result: ORDER BY is a no-op, HAVING
+            # is gated off, only LIMIT can still apply
+            if plan["limit"] is not None:
+                fast = fast.head(plan["limit"])
+            return fast.reset_index(drop=True)
         from .pipeline import decode_store
         # every range condition contributes to zone pruning (blocks whose
         # footer min/max misses ANY conjunct never decode), and the first

@@ -1,0 +1,65 @@
+"""Mini-SQL JOIN surface: star-schema broadcast joins compiled to
+per-batch Arrow acero hash joins, equal to DuckDB on the same SQL text."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from howard_ray.sqlmini import parse, run_sql
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _check(con, sql):
+    out = run_sql(SF, sql).reset_index(drop=True)
+    ref = con.sql(sql).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype(ref.dtypes.to_dict()), ref)
+
+
+def test_join_grouped_two_sided_where(ray_session, con):
+    _check(con, "SELECT o_orderpriority, COUNT(*) AS n, "
+                "ROUND(SUM(o_totalprice), 2) AS rev FROM orders "
+                "JOIN customer ON o_custkey = c_custkey "
+                "WHERE c_mktsegment = 'BUILDING' AND o_totalprice >= 1000 "
+                "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+
+
+def test_join_chain_three_tables(ray_session, con):
+    _check(con, "SELECT n_name, COUNT(*) AS n_cust, "
+                "ROUND(SUM(c_acctbal), 2) AS bal FROM customer "
+                "JOIN nation ON c_nationkey = n_nationkey "
+                "JOIN region ON n_regionkey = r_regionkey "
+                "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name")
+
+
+def test_join_plain_select_order_limit(ray_session, con):
+    _check(con, "SELECT o_orderkey, o_totalprice, c_name FROM orders "
+                "JOIN customer ON o_custkey = c_custkey "
+                "WHERE o_totalprice >= 400000 "
+                "ORDER BY o_totalprice DESC LIMIT 5")
+
+
+def test_join_parse_and_errors(ray_session):
+    p = parse("SELECT a, COUNT(*) AS n FROM t JOIN u ON a = b "
+              "JOIN v ON c = d GROUP BY a")
+    assert p["table"] == "t"
+    assert p["joins"] == [{"table": "u", "a": "a", "b": "b"},
+                          {"table": "v", "a": "c", "b": "d"}]
+    # disconnected join key (references neither side built so far)
+    with pytest.raises(ValueError):
+        run_sql(SF, "SELECT COUNT(*) AS n FROM orders "
+                    "JOIN nation ON r_regionkey = n_regionkey")
+    # JOIN over an encoded store is rejected, not silently wrong
+    with pytest.raises(ValueError):
+        run_sql(SF, "SELECT COUNT(*) AS n FROM store "
+                    "JOIN customer ON o_custkey = c_custkey")

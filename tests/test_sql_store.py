@@ -32,3 +32,63 @@ def test_sql_from_store_matches_duckdb(ray_session, tmp_path):
     exp_n = pc.sum(pc.cast(pc.greater_equal(t["n_tok"], 600),
                            "int64")).as_py() or 0
     assert len(out2) == exp_n
+
+META_SQL = ("SELECT COUNT(*) AS n, SUM(n_tok) AS tok, MIN(n_tok) AS lo, "
+            "MAX(n_tok) AS hi, ROUND(AVG(n_tok), 4) AS avg_tok, "
+            "MAX(source) AS max_src FROM store")
+
+
+def test_sql_store_metadata_fast_path(ray_session, tmp_path):
+    """Pure-aggregate SELECT with no WHERE/GROUP BY is answered from the
+    footer zone maps alone: result equals DuckDB on the raw parquet, and
+    still comes back with the blocks directory physically removed (proof
+    that ZERO blocks are decoded)."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 1200, seed=29)
+    st = str(tmp_path / "st_meta")
+    encode_dataset(src, st, mode="cluster", target_rows=300)
+
+    out = run_sql(st, META_SQL)
+    exp = duckdb.sql(META_SQL.replace("FROM store", f"FROM '{src}'")).df()
+    for c in out.columns:
+        assert out[c].iloc[0] == pytest.approx(exp[c].iloc[0]), c
+
+    shutil.move(os.path.join(st, "blocks"), str(tmp_path / "blocks_bak"))
+    try:
+        out2 = run_sql(st, META_SQL)
+        assert out2.equals(out)
+    finally:
+        shutil.move(str(tmp_path / "blocks_bak"), os.path.join(st, "blocks"))
+
+
+def test_sql_store_metadata_gates(ray_session, tmp_path):
+    """The fast path declines whenever it would be unsound: WHERE clauses
+    scan blocks, and pending tombstones force the scan so deleted rows are
+    never counted back to life."""
+    from howard_ray.pipeline import delete_where
+    from howard_ray.sqlmini import _store_metadata_answer, parse
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 800, seed=31)
+    st = str(tmp_path / "st_gate")
+    encode_dataset(src, st, mode="cluster", target_rows=200)
+
+    assert _store_metadata_answer(
+        st, parse("SELECT COUNT(*) AS n FROM store WHERE n_tok >= 5")) is None
+    assert _store_metadata_answer(
+        st, parse("SELECT source, COUNT(*) AS n FROM store "
+                  "GROUP BY source")) is None
+    assert _store_metadata_answer(
+        st, parse("SELECT COUNT(DISTINCT source) AS n FROM store")) is None
+
+    before = run_sql(st, "SELECT COUNT(*) AS n, SUM(n_tok) AS tok FROM store")
+    delete_where(st, ("source", "==", "web"))
+    after = run_sql(st, "SELECT COUNT(*) AS n, SUM(n_tok) AS tok FROM store")
+    exp = duckdb.sql("SELECT COUNT(*) AS n, SUM(n_tok) AS tok "
+                     f"FROM '{src}' WHERE source != 'web'").df()
+    assert int(after["n"].iloc[0]) == int(exp["n"].iloc[0])
+    assert int(after["tok"].iloc[0]) == int(exp["tok"].iloc[0])
+    assert int(before["n"].iloc[0]) > int(after["n"].iloc[0])
