@@ -124,3 +124,38 @@ def sql_store_metadata(sf_dir: str):
 
 QUERIES["sql_store_metadata"] = sql_store_metadata
 SQL["sql_store_metadata"] = _META_SQL.replace("FROM store", "FROM documents")
+
+
+_PUSH_SQL = """SELECT COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+MIN(n_chars) AS min_chars, ROUND(AVG(n_chars), 4) AS avg_chars
+FROM store WHERE source = 'src7' AND n_chars >= 300"""
+
+
+def sql_store_pushdown_agg(sf_dir: str):
+    """Zone-complete aggregate pushdown through SQL: the WHERE-filtered
+    aggregate classifies every block against the conjuncts via footer
+    min/max — on this source-clustered store the source='src7' conjunct is
+    block-exact, so only blocks the n_chars range straddles are decoded;
+    all-match blocks contribute their footer sums without being read
+    (sqlmini._store_pushdown_aggregate)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipeline import encode_dataset
+
+    cache = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(cache, f"store_sqlpush_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="cluster", resume=False,
+                   columns=["doc_id", "source", "n_chars"])
+    out = run_sql(store, _PUSH_SQL)
+    out["sum_chars"] = out["sum_chars"].astype("float64")
+    return out
+
+
+QUERIES["sql_store_pushdown_agg"] = sql_store_pushdown_agg
+SQL["sql_store_pushdown_agg"] = _PUSH_SQL.replace("FROM store",
+                                                  "FROM documents")

@@ -1300,7 +1300,8 @@ def _predicate_zone(predicate: tuple) -> dict:
 def decode_store(store_dir: str, columns: list[str] | None = None,
                  zone_filter: dict | None = None,
                  predicate: tuple | None = None,
-                 as_of: int | None = None) -> ray.data.Dataset:
+                 as_of: int | None = None,
+                 block_ids: "set[str] | None" = None) -> ray.data.Dataset:
     """Decode an encoded store back to a lazy Dataset (block-parallel).
 
     ``zone_filter`` prunes whole blocks using the footer's per-column
@@ -1333,6 +1334,11 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
     # tombstones deliberately pierce snapshots: erasure deletes must not
     # be readable via time travel)
     blocks = load_blocks(store_dir, zones, as_of=as_of)
+    # explicit plan-time block restriction (the zone-complete aggregate
+    # pushdown decodes ONLY the blocks a WHERE conjunct straddles —
+    # sqlmini._store_pushdown_aggregate answers the rest from the footer)
+    if block_ids is not None:
+        blocks = [b for b in blocks if b["block_id"] in block_ids]
     # tombstoned blocks are flagged at plan time (one driver-side listdir);
     # workers load only the tombstones they decode
     tombs = list_tombstones(store_dir)

@@ -419,6 +419,182 @@ def _store_metadata_answer(store_dir: str, plan: dict) -> pd.DataFrame | None:
     return df
 
 
+def _zone_classify(stats: dict, op: str, val) -> str:
+    """Classify one block against one range conjunct using its footer
+    min/max: 'all' (every row matches — answer from stats), 'none' (no row
+    can match — skip), 'partial' (straddles — must decode). Exact op
+    semantics, unlike the inclusive fold used for plain zone pruning."""
+    if not stats or "min" not in stats or "max" not in stats:
+        return "partial"
+    mn, mx = stats["min"], stats["max"]
+    try:
+        if op == "=":
+            if mx < val or mn > val:
+                return "none"
+            return "all" if mn == val and mx == val else "partial"
+        if op == ">":
+            if mx <= val:
+                return "none"
+            return "all" if mn > val else "partial"
+        if op == ">=":
+            if mx < val:
+                return "none"
+            return "all" if mn >= val else "partial"
+        if op == "<":
+            if mn >= val:
+                return "none"
+            return "all" if mx < val else "partial"
+        if op == "<=":
+            if mn > val:
+                return "none"
+            return "all" if mx <= val else "partial"
+    except TypeError:
+        return "partial"  # incomparable literal/stat types: just decode
+    return "partial"
+
+
+def _store_pushdown_aggregate(store_dir: str,
+                              plan: dict) -> pd.DataFrame | None:
+    """Zone-complete aggregate pushdown over a store: for a pure
+    COUNT(*)/SUM/MIN/MAX/AVG SELECT whose WHERE is a conjunction of range
+    conditions, classify every block against the conjuncts — 'all'
+    blocks contribute their footer stats (no read), 'none' blocks vanish,
+    and ONLY the straddling 'partial' blocks are decoded (with the
+    predicate pushed into the scan). On a store clustered by the filtered
+    column, a selective WHERE aggregates 100 TB with a handful of block
+    decodes — the DuckDB/Iceberg zone-map count applied to the encoded
+    store. Returns None when a soundness gate fails (grouping, DISTINCT,
+    COUNT(col), non-range ops, pending tombstones) — caller falls back."""
+    import os as _os
+
+    from .manifest import load_footer
+
+    if plan["group"] or plan["having"] or not plan["conds"]:
+        return None
+    items = plan["items"]
+    if not items:
+        return None
+    for it in items:
+        if not it["agg"] or it["distinct"]:
+            return None
+        if it["agg"] == "COUNT" and it["arg"] != "*":
+            return None
+    if any(c["op"] not in ("=", "<", "<=", ">", ">=") for c in plan["conds"]):
+        return None
+    tomb = _os.path.join(store_dir, "tombstones")
+    try:
+        if _os.path.isdir(tomb) and any(
+                f.endswith(".tmb") for f in _os.listdir(tomb)):
+            return None
+    except OSError:
+        return None
+    blocks = load_footer(store_dir)["blocks"]
+    if not blocks:
+        return None
+
+    # which per-column stats each aggregate needs from an all-match block
+    need_sum = {it["arg"] for it in items if it["agg"] in ("SUM", "AVG")}
+    need_mm = {it["arg"] for it in items if it["agg"] in ("MIN", "MAX")}
+
+    all_blocks, partial_ids = [], set()
+    for b in blocks:
+        cols = b.get("columns") or {}
+        verdicts = [_zone_classify((cols.get(c["col"]) or {}).get("stats"),
+                                   c["op"], c["val"]) for c in plan["conds"]]
+        if "none" in verdicts:
+            continue
+        ok = all(v == "all" for v in verdicts)
+        if ok:  # stats must also carry what the aggregates need
+            for c in need_sum:
+                st = (cols.get(c) or {}).get("stats") or {}
+                if "sum" not in st or "n_values" in st:
+                    ok = False
+            for c in need_mm:
+                st = (cols.get(c) or {}).get("stats") or {}
+                if "min" not in st:
+                    ok = False
+        if ok:
+            all_blocks.append(b)
+        else:
+            partial_ids.add(b["block_id"])
+
+    # mergeable partials: n rows, per-col sum / min / max
+    n = sum(b["n_rows"] for b in all_blocks)
+    sums = {c: sum(int(((b["columns"][c]) or {})["stats"]["sum"])
+                   for b in all_blocks) if all_blocks else 0
+            for c in need_sum}
+    mins = {c: min((b["columns"][c]["stats"]["min"] for b in all_blocks),
+                   default=None) for c in need_mm}
+    maxs = {c: max((b["columns"][c]["stats"]["max"] for b in all_blocks),
+                   default=None) for c in need_mm}
+
+    if partial_ids:
+        from .pipeline import decode_store
+        conds = plan["conds"]
+        agg_cols = sorted(need_sum | need_mm)
+        need_cols = sorted(set(agg_cols) | {c["col"] for c in conds})
+        ds = decode_store(store_dir, columns=need_cols,
+                          predicate=_pushable(conds),
+                          block_ids=partial_ids)
+
+        def part(b: pa.Table) -> pa.Table:
+            b = _predicate(b, conds)
+            row: dict[str, list] = {"__n": [b.num_rows]}
+            for c in agg_cols:
+                col = b[c]
+                if c in need_sum:
+                    row[f"__s_{c}"] = [pc.sum(col).as_py() if b.num_rows
+                                       else None]
+                if c in need_mm:
+                    mm = (pc.min_max(col) if b.num_rows
+                          else {"min": pa.scalar(None), "max": pa.scalar(None)})
+                    row[f"__mn_{c}"] = [mm["min"].as_py()]
+                    row[f"__mx_{c}"] = [mm["max"].as_py()]
+            return pa.table(row)
+
+        parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        if len(parts):
+            n += int(parts["__n"].sum())
+            for c in need_sum:
+                s = parts[f"__s_{c}"].dropna()
+                if len(s):
+                    sums[c] += int(s.sum()) if s.dtype.kind in "iu" \
+                        else float(s.sum())
+            for c in need_mm:
+                lo = parts[f"__mn_{c}"].dropna()
+                hi = parts[f"__mx_{c}"].dropna()
+                if len(lo):
+                    m = lo.min()
+                    mins[c] = m if mins[c] is None else min(mins[c], m)
+                if len(hi):
+                    m = hi.max()
+                    maxs[c] = m if maxs[c] is None else max(maxs[c], m)
+
+    out: dict[str, list] = {}
+    for it in items:
+        agg, col = it["agg"], it["arg"]
+        if agg == "COUNT":
+            val = n
+        elif agg == "SUM":
+            val = sums[col] if n else None
+        elif agg == "AVG":
+            val = sums[col] / n if n else None
+        elif agg == "MIN":
+            val = mins[col]
+        else:
+            val = maxs[col]
+        if it["nd"] is not None and val is not None:
+            val = round(float(val), it["nd"])
+        out[it["alias"]] = [val]
+    df = pd.DataFrame(out)
+    for it in items:
+        if it["nd"] is None and it["agg"] in ("COUNT", "SUM") \
+                and pd.api.types.is_numeric_dtype(df[it["alias"]]) \
+                and not df[it["alias"]].isna().any():
+            df[it["alias"]] = df[it["alias"]].astype("int64")
+    return df
+
+
 def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
     """Parse + compile + execute over the sf tables — or over an ENCODED
     STORE: ``FROM store`` reads ``sf_dir`` as a store directory via
@@ -437,7 +613,8 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
         ds = _joined_dataset(sf_dir, plan)
         plan = dict(plan, conds=[])
     elif plan["table"] == "store":
-        fast = _store_metadata_answer(sf_dir, plan)
+        fast = (_store_metadata_answer(sf_dir, plan) if not plan["conds"]
+                else _store_pushdown_aggregate(sf_dir, plan))
         if fast is not None:
             # single-row pure-aggregate result: ORDER BY is a no-op, HAVING
             # is gated off, only LIMIT can still apply

@@ -92,3 +92,41 @@ def test_sql_store_metadata_gates(ray_session, tmp_path):
     assert int(after["n"].iloc[0]) == int(exp["n"].iloc[0])
     assert int(after["tok"].iloc[0]) == int(exp["tok"].iloc[0])
     assert int(before["n"].iloc[0]) > int(after["n"].iloc[0])
+
+
+def test_sql_store_pushdown_aggregate(ray_session, tmp_path):
+    """Zone-complete aggregate pushdown: WHERE-filtered COUNT/SUM/MIN/MAX/AVG
+    classify blocks all/none/partial against the footer; all-match blocks
+    never decode. On a source-clustered store, a source= predicate is fully
+    metadata-answerable (proven by removing the blocks dir); a straddling
+    range conjunct decodes only the partial blocks and still matches DuckDB."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 2000, seed=37)
+    st = str(tmp_path / "st_push")
+    encode_dataset(src, st, mode="cluster", target_rows=400)
+
+    q_mixed = ("SELECT COUNT(*) AS n, SUM(n_tok) AS tok, MIN(n_tok) AS lo, "
+               "MAX(n_tok) AS hi, ROUND(AVG(n_tok), 4) AS avg_tok "
+               "FROM store WHERE source = 'web' AND n_tok >= 300")
+    out = run_sql(st, q_mixed)
+    exp = duckdb.sql(q_mixed.replace("FROM store", f"FROM '{src}'")).df()
+    for c in out.columns:
+        assert out[c].iloc[0] == pytest.approx(exp[c].iloc[0]), c
+
+    # empty-match SUM degrades to SQL NULL, COUNT to 0
+    none = run_sql(st, "SELECT COUNT(*) AS n, SUM(n_tok) AS tok "
+                       "FROM store WHERE n_tok > 10000000")
+    assert int(none["n"].iloc[0]) == 0 and none["tok"].isna().all()
+
+    # source-clustered blocks: a source-only predicate needs ZERO decodes
+    q_src = "SELECT COUNT(*) AS n, SUM(n_tok) AS tok FROM store WHERE source = 'wiki'"
+    expect = run_sql(st, q_src)
+    shutil.move(os.path.join(st, "blocks"), str(tmp_path / "bp_bak"))
+    try:
+        again = run_sql(st, q_src)
+        assert again.equals(expect)
+    finally:
+        shutil.move(str(tmp_path / "bp_bak"), os.path.join(st, "blocks"))
