@@ -235,7 +235,8 @@ def cmd_query(args) -> int:
 def cmd_sql(args) -> int:
     from .sqlmini import run_sql
 
-    out = run_sql(args.sf_dir, args.statement)
+    out = run_sql(args.sf_dir, args.statement,
+                  tables_dir=args.tables_dir)
     print(out.head(args.limit).to_string())
     return 0
 
@@ -378,6 +379,9 @@ def main(argv=None) -> int:
     sq.add_argument("statement")
     sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--tables-dir", default=None,
+                    help="parquet dir for JOINed tables when --sf-dir is "
+                         "an encoded store (FROM store JOIN ...)")
     sq.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)

@@ -159,3 +159,38 @@ def sql_store_pushdown_agg(sf_dir: str):
 QUERIES["sql_store_pushdown_agg"] = sql_store_pushdown_agg
 SQL["sql_store_pushdown_agg"] = _PUSH_SQL.replace("FROM store",
                                                   "FROM documents")
+
+
+_STORE_JOIN_SQL = """SELECT c_mktsegment, COUNT(*) AS n,
+ROUND(SUM(o_totalprice), 2) AS rev FROM store
+JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice >= 1000 AND c_acctbal >= 0
+GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+
+def sql_store_join(sf_dir: str):
+    """Encoded store as the streaming FACT side of a star join: orders are
+    encoded into a store, then ``FROM store JOIN customer`` runs the
+    zone-pruned predicate-pushed block scan as the probe stream against
+    the broadcast customer dim (each WHERE condition pushed into its
+    owning side before the join). The oracle runs the same text with the
+    raw orders table substituted for the store."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipeline import encode_dataset
+
+    cache = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(cache, f"store_sqljoin_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="stream", resume=False,
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = run_sql(store, _STORE_JOIN_SQL, tables_dir=sf_dir)
+    return out
+
+
+QUERIES["sql_store_join"] = sql_store_join
+SQL["sql_store_join"] = _STORE_JOIN_SQL.replace("FROM store", "FROM orders")

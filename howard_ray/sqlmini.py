@@ -267,7 +267,22 @@ def _pushable(conds: list[dict]) -> tuple | None:
     return None
 
 
-def _joined_dataset(sf_dir: str, plan: dict):
+def _store_zones(conds: list[dict]) -> dict:
+    """Fold range conjuncts into per-column (lo, hi) intervals for footer
+    zone pruning (inclusive — sound for pruning, not for all-match proofs)."""
+    zones: dict = {}
+    for c in conds:
+        if c["op"] in ("=", "<", "<=", ">", ">="):
+            lo, hi = zones.get(c["col"], (None, None))
+            if c["op"] in ("=", ">", ">="):
+                lo = c["val"] if lo is None else max(lo, c["val"])
+            if c["op"] in ("=", "<", "<="):
+                hi = c["val"] if hi is None else min(hi, c["val"])
+            zones[c["col"]] = (lo, hi)
+    return zones
+
+
+def _joined_dataset(sf_dir: str, plan: dict, tables_dir: str | None = None):
     """Compile ``FROM fact JOIN dim ON k = k [JOIN ...]`` to the idiomatic
     Ray star-schema plan: the fact table streams; every JOINed table is
     read pruned + pre-filtered (each WHERE condition is one-sided
@@ -286,8 +301,20 @@ def _joined_dataset(sf_dir: str, plan: dict):
     from .ops.util import tbl
 
     tables = [plan["table"]] + [j["table"] for j in plan["joins"]]
-    schemas = {t: list(pq_mod.read_schema(
-        os.path.join(sf_dir, f"{t}.parquet")).names) for t in tables}
+    if "store" in tables[1:]:
+        raise ValueError("a store can only be the FROM (fact) side of a join")
+    dims_root = tables_dir or sf_dir
+    schemas = {}
+    for t in tables:
+        if t == "store":
+            from .manifest import load_footer
+            blocks = load_footer(sf_dir)["blocks"]
+            if not blocks:
+                raise ValueError(f"empty store {sf_dir!r}")
+            schemas[t] = list((blocks[0].get("columns") or {}).keys())
+        else:
+            schemas[t] = list(pq_mod.read_schema(
+                os.path.join(dims_root, f"{t}.parquet")).names)
 
     def owner(col: str) -> str:
         owners = [t for t in tables if col in schemas[t]]
@@ -310,8 +337,16 @@ def _joined_dataset(sf_dir: str, plan: dict):
                for t in tables}
 
     def scan(t: str):
-        ds = tbl(sf_dir, t, cols_by[t])
         cs = conds_by[t]
+        if t == "store":
+            # encoded store as the streaming fact side: zone-pruned,
+            # predicate-pushed block scan (same plan as plain FROM store)
+            from .pipeline import decode_store
+            ds = decode_store(sf_dir, columns=cols_by[t],
+                              zone_filter=_store_zones(cs) or None,
+                              predicate=_pushable(cs))
+        else:
+            ds = tbl(dims_root, t, cols_by[t])
         if cs:
             ds = ds.map_batches(lambda b, _cs=cs: _predicate(b, _cs),
                                 batch_format="pyarrow")
@@ -595,7 +630,8 @@ def _store_pushdown_aggregate(store_dir: str,
     return df
 
 
-def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
+def run_sql(sf_dir: str, sql: str,
+            tables_dir: str | None = None) -> pd.DataFrame:
     """Parse + compile + execute over the sf tables — or over an ENCODED
     STORE: ``FROM store`` reads ``sf_dir`` as a store directory via
     :func:`decode_store` (pruned columns + one pushed-down predicate), so
@@ -607,10 +643,11 @@ def run_sql(sf_dir: str, sql: str) -> pd.DataFrame:
 
     plan = parse(sql)
     if plan["joins"]:
-        if plan["table"] == "store":
-            raise ValueError("JOIN is not supported FROM store")
+        if plan["table"] == "store" and tables_dir is None:
+            raise ValueError(
+                "FROM store JOIN needs tables_dir= for the joined tables")
         # conds are applied per-side INSIDE the join plan (full pushdown)
-        ds = _joined_dataset(sf_dir, plan)
+        ds = _joined_dataset(sf_dir, plan, tables_dir)
         plan = dict(plan, conds=[])
     elif plan["table"] == "store":
         fast = (_store_metadata_answer(sf_dir, plan) if not plan["conds"]

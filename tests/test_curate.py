@@ -194,8 +194,9 @@ def test_sqlmini_differential_grid(ray_session):
     from howard_ray.sqlmini import run_sql
 
     con = duckdb.connect()
-    con.execute("CREATE VIEW orders AS SELECT * FROM read_parquet("
-                "'/root/testdata/sf0.001/orders.parquet')")
+    for t in ("orders", "customer", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                    f"'/root/testdata/sf0.001/{t}.parquet')")
     cases = []
     for where in ["", " WHERE o_totalprice >= 200000",
                   " WHERE o_orderpriority = '1-URGENT'"]:
@@ -212,6 +213,26 @@ def test_sqlmini_differential_grid(ray_session):
         "SELECT o_orderkey, o_custkey FROM orders "
         "WHERE o_totalprice > 430000 ORDER BY o_custkey DESC, o_orderkey "
         "LIMIT 7",
+    ]
+    # JOIN grid: every WHERE split (left-side / right-side / both / none)
+    # through the broadcast-join path, grouped and plain
+    for where in ["", " WHERE o_totalprice >= 250000",
+                  " WHERE c_mktsegment = 'BUILDING'",
+                  " WHERE c_mktsegment = 'MACHINERY' "
+                  "AND o_totalprice >= 100000"]:
+        cases.append(
+            "SELECT c_mktsegment, COUNT(*) AS n, "
+            "ROUND(SUM(o_totalprice), 2) AS rev FROM orders "
+            "JOIN customer ON o_custkey = c_custkey" + where +
+            " GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    cases += [
+        "SELECT r_name, COUNT(*) AS n FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name ORDER BY n DESC, r_name",
+        "SELECT c_name, n_name FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE c_acctbal >= 9990 ORDER BY c_name LIMIT 5",
     ]
     for sql in cases:
         a = run_sql("/root/testdata/sf0.001", sql).reset_index(drop=True)

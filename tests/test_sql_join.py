@@ -59,7 +59,30 @@ def test_join_parse_and_errors(ray_session):
     with pytest.raises(ValueError):
         run_sql(SF, "SELECT COUNT(*) AS n FROM orders "
                     "JOIN nation ON r_regionkey = n_regionkey")
-    # JOIN over an encoded store is rejected, not silently wrong
+    # FROM store JOIN without tables_dir is rejected, not silently wrong
     with pytest.raises(ValueError):
         run_sql(SF, "SELECT COUNT(*) AS n FROM store "
                     "JOIN customer ON o_custkey = c_custkey")
+
+
+def test_join_from_store(ray_session, tmp_path):
+    """Encoded store as the fact side: FROM store JOIN dim matches DuckDB
+    on raw orders⋈customer; requires tables_dir for the dims."""
+    from howard_ray.pipeline import encode_dataset
+
+    st = str(tmp_path / "st_orders")
+    encode_dataset(f"{SF}/orders.parquet", st, mode="stream",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    sql = ("SELECT c_mktsegment, COUNT(*) AS n, "
+           "ROUND(SUM(o_totalprice), 2) AS rev FROM store "
+           "JOIN customer ON o_custkey = c_custkey "
+           "WHERE o_totalprice >= 1000 AND c_acctbal >= 0 "
+           "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    out = run_sql(st, sql, tables_dir=SF).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    ref = con.sql(sql.replace("FROM store", "FROM orders")).df()
+    pd.testing.assert_frame_equal(out.astype(ref.dtypes.to_dict()), ref)
+    with pytest.raises(ValueError):
+        run_sql(st, sql)  # no tables_dir: dims unresolvable
