@@ -194,3 +194,37 @@ def sql_store_join(sf_dir: str):
 
 QUERIES["sql_store_join"] = sql_store_join
 SQL["sql_store_join"] = _STORE_JOIN_SQL.replace("FROM store", "FROM orders")
+
+
+_GROUP_META_SQL = """SELECT source, COUNT(*) AS n_docs,
+SUM(n_chars) AS sum_chars, ROUND(AVG(n_chars), 4) AS avg_chars
+FROM store GROUP BY source ORDER BY source"""
+
+
+def sql_store_group_metadata(sf_dir: str):
+    """Grouped O(metadata) SQL: the cluster store's (source, salt) blocks
+    are single-valued in ``source`` (footer min == max), so GROUP BY
+    source folds per-group COUNT/SUM/AVG from the footer stats without
+    reading any block (sqlmini._store_grouped_metadata_answer); only
+    blocks straddling group values would decode."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipeline import encode_dataset
+
+    cache = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(cache, f"store_sqlgmeta_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="cluster", resume=False,
+                   columns=["doc_id", "source", "n_chars"])
+    out = run_sql(store, _GROUP_META_SQL)
+    out["sum_chars"] = out["sum_chars"].astype("float64")
+    return out
+
+
+QUERIES["sql_store_group_metadata"] = sql_store_group_metadata
+SQL["sql_store_group_metadata"] = _GROUP_META_SQL.replace("FROM store",
+                                                          "FROM documents")

@@ -630,6 +630,142 @@ def _store_pushdown_aggregate(store_dir: str,
     return df
 
 
+def _store_grouped_metadata_answer(store_dir: str,
+                                   plan: dict) -> pd.DataFrame | None:
+    """Grouped O(metadata) aggregates: ``GROUP BY col`` over a store whose
+    blocks are single-valued in the group column (footer min == max — true
+    by construction for the cluster mode's (source, salt) blocks) folds
+    per-group COUNT(*)/SUM/MIN/MAX/AVG from the footer stats; only blocks
+    that straddle group values decode. The grouped companion of
+    :func:`_store_metadata_answer` — a clustered 100-TB store answers
+    ``SELECT source, COUNT(*), SUM(n_tok) GROUP BY source`` from its
+    footer. Gates mirror the global fast path (no WHERE — the pushdown
+    path handles filters, and composing both is not worth the state
+    space); single group column only."""
+    import os as _os
+
+    from .manifest import load_footer
+
+    if plan["conds"] or plan["having"] or len(plan["group"]) != 1:
+        return None
+    gcol = plan["group"][0]
+    items = plan["items"]
+    aggs = [it for it in items if it["agg"]]
+    if not aggs:
+        return None
+    for it in items:
+        if it["distinct"]:
+            return None
+        if it["agg"] == "COUNT" and it["arg"] != "*":
+            return None
+        if not it["agg"] and it["col"] != gcol:
+            return None
+    tomb = _os.path.join(store_dir, "tombstones")
+    try:
+        if _os.path.isdir(tomb) and any(
+                f.endswith(".tmb") for f in _os.listdir(tomb)):
+            return None
+    except OSError:
+        return None
+    blocks = load_footer(store_dir)["blocks"]
+    if not blocks:
+        return None
+
+    need_sum = {it["arg"] for it in aggs if it["agg"] in ("SUM", "AVG")}
+    need_mm = {it["arg"] for it in aggs if it["agg"] in ("MIN", "MAX")}
+
+    groups: dict = {}
+    mixed = []
+    for b in blocks:
+        cols = b.get("columns") or {}
+        gst = (cols.get(gcol) or {}).get("stats") or {}
+        ok = "min" in gst and gst["min"] == gst["max"]
+        if ok:
+            for c in need_sum:
+                st = (cols.get(c) or {}).get("stats") or {}
+                if "sum" not in st or "n_values" in st:
+                    ok = False
+            for c in need_mm:
+                st = (cols.get(c) or {}).get("stats") or {}
+                if "min" not in st:
+                    ok = False
+        if not ok:
+            mixed.append(b["block_id"])
+            continue
+        g = groups.setdefault(gst["min"], {
+            "n": 0, "sum": dict.fromkeys(need_sum, 0),
+            "min": dict.fromkeys(need_mm), "max": dict.fromkeys(need_mm)})
+        g["n"] += b["n_rows"]
+        for c in need_sum:
+            g["sum"][c] += int(cols[c]["stats"]["sum"])
+        for c in need_mm:
+            st = cols[c]["stats"]
+            g["min"][c] = st["min"] if g["min"][c] is None \
+                else min(g["min"][c], st["min"])
+            g["max"][c] = st["max"] if g["max"][c] is None \
+                else max(g["max"][c], st["max"])
+
+    if mixed:
+        # straddling blocks: decode only them and fold real rows in
+        from .pipeline import decode_store
+        agg_cols = sorted(need_sum | need_mm)
+        ds = decode_store(store_dir, columns=sorted({gcol, *agg_cols}),
+                          block_ids=set(mixed))
+
+        def part(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            rows = []
+            for gval, sub in df.groupby(gcol):
+                r = {"__g": gval, "__n": len(sub)}
+                for c in need_sum:
+                    r[f"__s_{c}"] = sub[c].sum()
+                for c in need_mm:
+                    r[f"__mn_{c}"] = sub[c].min()
+                    r[f"__mx_{c}"] = sub[c].max()
+                rows.append(r)
+            return pa.Table.from_pandas(pd.DataFrame(rows),
+                                        preserve_index=False) \
+                if rows else pa.table({})
+
+        parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        for _, r in parts.iterrows():
+            g = groups.setdefault(r["__g"], {
+                "n": 0, "sum": dict.fromkeys(need_sum, 0),
+                "min": dict.fromkeys(need_mm), "max": dict.fromkeys(need_mm)})
+            g["n"] += int(r["__n"])
+            for c in need_sum:
+                g["sum"][c] += r[f"__s_{c}"]
+            for c in need_mm:
+                for k, fn in (("min", min), ("max", max)):
+                    v = r[f"__m{'n' if k == 'min' else 'x'}_{c}"]
+                    g[k][c] = v if g[k][c] is None else fn(g[k][c], v)
+
+    rows_out = []
+    for gval in sorted(groups):
+        g = groups[gval]
+        row = {}
+        for it in items:
+            if not it["agg"]:
+                row[it["alias"]] = gval
+                continue
+            agg, col = it["agg"], it["arg"]
+            val = (g["n"] if agg == "COUNT"
+                   else g["sum"][col] if agg == "SUM"
+                   else g["sum"][col] / g["n"] if agg == "AVG"
+                   else g["min"][col] if agg == "MIN" else g["max"][col])
+            if it["nd"] is not None and val is not None:
+                val = round(float(val), it["nd"])
+            row[it["alias"]] = val
+        rows_out.append(row)
+    df = pd.DataFrame(rows_out, columns=[it["alias"] for it in items])
+    for it in items:
+        if it["agg"] in ("COUNT", "SUM") and it["nd"] is None \
+                and pd.api.types.is_numeric_dtype(df[it["alias"]]) \
+                and not df[it["alias"]].isna().any():
+            df[it["alias"]] = df[it["alias"]].astype("int64")
+    return df
+
+
 def run_sql(sf_dir: str, sql: str,
             tables_dir: str | None = None) -> pd.DataFrame:
     """Parse + compile + execute over the sf tables — or over an ENCODED
@@ -650,11 +786,22 @@ def run_sql(sf_dir: str, sql: str,
         ds = _joined_dataset(sf_dir, plan, tables_dir)
         plan = dict(plan, conds=[])
     elif plan["table"] == "store":
-        fast = (_store_metadata_answer(sf_dir, plan) if not plan["conds"]
-                else _store_pushdown_aggregate(sf_dir, plan))
+        if plan["group"]:
+            fast = _store_grouped_metadata_answer(sf_dir, plan)
+        elif plan["conds"]:
+            fast = _store_pushdown_aggregate(sf_dir, plan)
+        else:
+            fast = _store_metadata_answer(sf_dir, plan)
         if fast is not None:
-            # single-row pure-aggregate result: ORDER BY is a no-op, HAVING
-            # is gated off, only LIMIT can still apply
+            # pure-aggregate result (global or footer-grouped): HAVING is
+            # gated off; ORDER BY/LIMIT apply on the small frame
+            if plan["order"]:
+                col2alias = {it["col"]: it["alias"]
+                             for it in plan["items"] if it["col"]}
+                fast = fast.sort_values(
+                    [c if c in fast.columns else col2alias.get(c, c)
+                     for c, _ in plan["order"]],
+                    ascending=[not d for _, d in plan["order"]])
             if plan["limit"] is not None:
                 fast = fast.head(plan["limit"])
             return fast.reset_index(drop=True)

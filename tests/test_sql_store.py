@@ -130,3 +130,40 @@ def test_sql_store_pushdown_aggregate(ray_session, tmp_path):
         assert again.equals(expect)
     finally:
         shutil.move(str(tmp_path / "bp_bak"), os.path.join(st, "blocks"))
+
+
+def test_sql_store_grouped_metadata(ray_session, tmp_path):
+    """Grouped O(metadata) aggregates: on a source-clustered store every
+    block is single-valued in the group column, so GROUP BY source answers
+    entirely from footer stats (blocks dir removed); a stream store mixes
+    sources per block and falls back to decoding exactly those, still
+    matching DuckDB."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 2000, seed=41)
+    q = ("SELECT source, COUNT(*) AS n, SUM(n_tok) AS tok, "
+         "MIN(n_tok) AS lo, MAX(n_tok) AS hi, "
+         "ROUND(AVG(n_tok), 4) AS avg_tok FROM store "
+         "GROUP BY source ORDER BY source")
+    exp = duckdb.sql(q.replace("FROM store", f"FROM '{src}'")).df() \
+        .reset_index(drop=True)
+
+    st = str(tmp_path / "st_clustered")
+    encode_dataset(src, st, mode="cluster", target_rows=400)
+    out = run_sql(st, q).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(out.astype(exp.dtypes.to_dict()), exp)
+
+    shutil.move(os.path.join(st, "blocks"), str(tmp_path / "g_bak"))
+    try:
+        again = run_sql(st, q)
+        assert again.equals(out)
+    finally:
+        shutil.move(str(tmp_path / "g_bak"), os.path.join(st, "blocks"))
+
+    st2 = str(tmp_path / "st_stream")
+    encode_dataset(src, st2, mode="stream", target_rows=500)
+    out2 = run_sql(st2, q).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out2.astype(exp.dtypes.to_dict()), exp)
