@@ -155,6 +155,7 @@ def all_queries():
         "token_entropy_by_source": token_ids.token_entropy_by_source,
         "bpe_merges": token_ids.bpe_merges,
         "bpe_apply": token_ids.bpe_apply,
+        "pack_sequences": token_ids.pack_sequences,
         # distributed k-means over embeddings (broadcast centroids +
         # combiner partials; full-algorithm SQL twin)
         "kmeans_assign": cluster.kmeans_assign,

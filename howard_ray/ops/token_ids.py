@@ -269,3 +269,80 @@ def bpe_apply(sf_dir: str, rounds: int = BPE_ROUNDS):
     out["tok_after"] = out["tok_after"].astype("int64")
     out["ratio"] = (out["tok_after"] / out["tok_before"]).round(4)
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---- sequence packing (concat-and-chunk training-example assembly) ----
+
+PACK_L = 4096  # training-example context length (tokens)
+
+
+def pack_sequences(sf_dir: str):
+    """GPT-style sequence packing report: per source, documents are
+    concatenated in doc_id order and chunked into fixed ``PACK_L``-token
+    training examples (documents straddling a boundary are split — the
+    standard concat-and-chunk packing). Emits per source: the example
+    count, the fill ratio (only the final example carries padding), and
+    how many documents get split across an example boundary.
+
+    Scale shape: the running_total discipline — sources bucketed by hash
+    (bounded key space), one vectorized doc_id-ordered cumulative sum per
+    source inside ``map_groups``; the token arrays themselves never load
+    (n_tok only) and never shuffle. The oracle computes the same prefix
+    sums with a window function over the same materialized fixture."""
+    path = ensure_tokens_fixture()
+    ds = ray.data.read_parquet(path, columns=["doc_id", "source", "n_tok"])
+
+    def add_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g["b"] = pd.util.hash_array(
+            g["source"].to_numpy(dtype=object), categorize=False) \
+            % np.uint64(32)
+        g["b"] = g["b"].astype("int64")
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for s, sub in g.groupby("source"):
+            sub = sub.sort_values("doc_id")
+            cend = sub["n_tok"].to_numpy(dtype=np.int64).cumsum()
+            cstart = cend - sub["n_tok"].to_numpy(dtype=np.int64)
+            total = int(cend[-1]) if len(cend) else 0
+            n_ex = -(-total // PACK_L) if total else 0
+            rows.append({
+                "source": s,
+                "n_examples": n_ex,
+                "fill_ratio": round(total / (n_ex * PACK_L), 4)
+                if n_ex else 0.0,
+                "n_split_docs": int((cstart // PACK_L
+                                     != (cend - 1) // PACK_L).sum()),
+            })
+        return pd.DataFrame(rows)
+
+    out = (ds.map_batches(add_bucket, batch_format="pandas")
+             .groupby("b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    for c in ("n_examples", "n_split_docs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _pack_twin_sql() -> str:
+    path = os.path.join(tempfile.gettempdir(), "howard_ray_cache",
+                        f"tokens_q_{_Q_ROWS}.parquet")
+    return f"""
+WITH w AS (
+  SELECT source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cend
+  FROM read_parquet('{path}')),
+d AS (SELECT source, n_tok, cend - n_tok AS cstart, cend FROM w)
+SELECT source,
+  CAST(CEIL(SUM(n_tok) / {PACK_L}.0) AS BIGINT) AS n_examples,
+  ROUND(SUM(n_tok) / (CEIL(SUM(n_tok) / {PACK_L}.0) * {PACK_L}.0), 4)
+    AS fill_ratio,
+  CAST(SUM(CASE WHEN cstart // {PACK_L} != (cend - 1) // {PACK_L}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+SQL["pack_sequences"] = _pack_twin_sql()

@@ -249,3 +249,29 @@ def test_sqlmini_differential_grid(ray_session):
                 a[c] = a[c].astype("int64")
         pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                       obj=f"mismatch for: {sql}")
+
+
+def test_pack_sequences_matches_scalar(ray_session):
+    """Packing stats equal an independent scalar recompute over the same
+    fixture (doc_id-ordered cumsum per source, PACK_L chunking)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from howard_ray.ops.token_ids import (PACK_L, ensure_tokens_fixture,
+                                          pack_sequences)
+
+    out = pack_sequences("/root/testdata/sf0.001")
+    df = pq.read_table(ensure_tokens_fixture(),
+                       columns=["doc_id", "source", "n_tok"]).to_pandas()
+    for _, row in out.iterrows():
+        sub = df[df["source"] == row["source"]].sort_values("doc_id")
+        cend = sub["n_tok"].to_numpy(dtype=np.int64).cumsum()
+        cstart = cend - sub["n_tok"].to_numpy(dtype=np.int64)
+        total = int(cend[-1])
+        n_ex = -(-total // PACK_L)
+        assert row["n_examples"] == n_ex
+        assert row["fill_ratio"] == round(total / (n_ex * PACK_L), 4)
+        assert row["n_split_docs"] == int(
+            (cstart // PACK_L != (cend - 1) // PACK_L).sum())
+    # deterministic across runs
+    assert pack_sequences("/root/testdata/sf0.001").equals(out)
