@@ -33,6 +33,11 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "sql_order_by_alias": """SELECT o_orderpriority, COUNT(*) AS n,
 ROUND(SUM(o_totalprice), 2) AS rev FROM orders
 GROUP BY o_orderpriority ORDER BY rev DESC, o_orderpriority LIMIT 3""",
+    "sql_in_filter": """SELECT o_orderpriority, COUNT(*) AS n,
+ROUND(SUM(o_totalprice), 2) AS rev FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+AND o_totalprice >= 1000
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "sql_join_dim": """SELECT o_orderpriority, COUNT(*) AS n,
 ROUND(SUM(o_totalprice), 2) AS rev FROM orders
 JOIN customer ON o_custkey = c_custkey

@@ -63,9 +63,12 @@ _ITEM_RE = re.compile(
 
 _COND_RE = re.compile(
     r"^(?P<col>[A-Za-z_][\w]*)\s*"
-    r"(?P<op>>=|<=|!=|<>|=|<|>|LIKE)\s*"
-    r"(?P<lit>'(?:[^']*)'|-?\d+(?:\.\d+)?)$",
+    r"(?:(?P<op>>=|<=|!=|<>|=|<|>|LIKE)\s*"
+    r"(?P<lit>'(?:[^']*)'|-?\d+(?:\.\d+)?)"
+    r"|(?P<in>IN)\s*\(\s*(?P<list>[^)]+)\s*\))$",
     re.IGNORECASE)
+
+_LIT_RE = re.compile(r"^('(?:[^']*)'|-?\d+(?:\.\d+)?)$")
 
 _SQL_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>[A-Za-z_][\w]*"
@@ -131,11 +134,25 @@ def parse(sql: str) -> dict:
             cm = _COND_RE.match(raw.strip())
             if not cm:
                 raise ValueError(f"unsupported {what} condition: {raw!r}")
-            lit = cm.group("lit")
-            val = lit[1:-1] if lit.startswith("'") else (
-                float(lit) if "." in lit else int(lit))
-            out.append({"col": cm.group("col"),
-                        "op": cm.group("op").upper(), "val": val})
+
+            def _lit(lit: str):
+                return lit[1:-1] if lit.startswith("'") else (
+                    float(lit) if "." in lit else int(lit))
+
+            if cm.group("in"):
+                vals = []
+                for piece in cm.group("list").split(","):
+                    piece = piece.strip()
+                    if not _LIT_RE.match(piece):
+                        raise ValueError(
+                            f"unsupported IN literal: {piece!r}")
+                    vals.append(_lit(piece))
+                out.append({"col": cm.group("col"), "op": "IN",
+                            "val": tuple(vals)})
+            else:
+                out.append({"col": cm.group("col"),
+                            "op": cm.group("op").upper(),
+                            "val": _lit(cm.group("lit"))})
         return out
 
     conds = _conds_of(m.group("where"), "WHERE") if m.group("where") else []
@@ -184,7 +201,9 @@ def _predicate(batch: pa.Table, conds: list[dict]) -> pa.Table:
     for c in conds:
         col = batch[c["col"]]
         op, val = c["op"], c["val"]
-        if op == "LIKE":
+        if op == "IN":
+            m = pc.is_in(col, value_set=pa.array(list(val)))
+        elif op == "LIKE":
             pat = str(val)
             inner = pat.strip("%")
             if "%" not in inner and "_" not in pat:
@@ -247,7 +266,7 @@ _HAVING_OPS = {
     "=": lambda s, v: s == v, "!=": lambda s, v: s != v,
     "<>": lambda s, v: s != v, "<": lambda s, v: s < v,
     "<=": lambda s, v: s <= v, ">": lambda s, v: s > v,
-    ">=": lambda s, v: s >= v,
+    ">=": lambda s, v: s >= v, "IN": lambda s, v: s.isin(list(v)),
 }
 
 
@@ -262,6 +281,11 @@ def _pushable(conds: list[dict]) -> tuple | None:
     predicate column first. The FULL conjunction is still applied
     vectorized afterwards, so pushing any one condition is always sound."""
     for c in conds:
+        # IN first: it is the one op that can consult a Bloom sidecar
+        # (definite-miss blocks skipped before any decode)
+        if c["op"] == "IN":
+            return (c["col"], "in", tuple(c["val"]))
+    for c in conds:
         if c["op"] in _PUSH_OPS:
             return (c["col"], _PUSH_OPS[c["op"]], c["val"])
     return None
@@ -272,7 +296,12 @@ def _store_zones(conds: list[dict]) -> dict:
     zone pruning (inclusive — sound for pruning, not for all-match proofs)."""
     zones: dict = {}
     for c in conds:
-        if c["op"] in ("=", "<", "<=", ">", ">="):
+        if c["op"] == "IN":
+            lo0, hi0 = min(c["val"]), max(c["val"])
+            lo, hi = zones.get(c["col"], (None, None))
+            zones[c["col"]] = (lo0 if lo is None else max(lo, lo0),
+                               hi0 if hi is None else min(hi, hi0))
+        elif c["op"] in ("=", "<", "<=", ">", ">="):
             lo, hi = zones.get(c["col"], (None, None))
             if c["op"] in ("=", ">", ">="):
                 lo = c["val"] if lo is None else max(lo, c["val"])
@@ -463,6 +492,10 @@ def _zone_classify(stats: dict, op: str, val) -> str:
         return "partial"
     mn, mx = stats["min"], stats["max"]
     try:
+        if op == "IN":
+            if all(v < mn or v > mx for v in val):
+                return "none"
+            return "all" if mn == mx and mn in val else "partial"
         if op == "=":
             if mx < val or mn > val:
                 return "none"
@@ -514,7 +547,8 @@ def _store_pushdown_aggregate(store_dir: str,
             return None
         if it["agg"] == "COUNT" and it["arg"] != "*":
             return None
-    if any(c["op"] not in ("=", "<", "<=", ">", ">=") for c in plan["conds"]):
+    if any(c["op"] not in ("=", "<", "<=", ">", ">=", "IN")
+           for c in plan["conds"]):
         return None
     tomb = _os.path.join(store_dir, "tombstones")
     try:
@@ -806,18 +840,11 @@ def run_sql(sf_dir: str, sql: str,
                 fast = fast.head(plan["limit"])
             return fast.reset_index(drop=True)
         from .pipeline import decode_store
-        # every range condition contributes to zone pruning (blocks whose
-        # footer min/max misses ANY conjunct never decode), and the first
-        # pushable condition additionally rides into the block scan
-        zones: dict = {}
-        for c in plan["conds"]:
-            if c["op"] in ("=", "<", "<=", ">", ">="):
-                lo, hi = zones.get(c["col"], (None, None))
-                if c["op"] in ("=", ">", ">="):
-                    lo = c["val"] if lo is None else max(lo, c["val"])
-                if c["op"] in ("=", "<", "<="):
-                    hi = c["val"] if hi is None else min(hi, c["val"])
-                zones[c["col"]] = (lo, hi)
+        # every range/IN condition contributes to zone pruning (blocks
+        # whose footer min/max misses ANY conjunct never decode), and the
+        # first pushable condition additionally rides into the block scan
+        # (IN preferred: it consults Bloom sidecars)
+        zones = _store_zones(plan["conds"])
         ds = decode_store(sf_dir, columns=_needed_columns(plan),
                           zone_filter=zones or None,
                           predicate=_pushable(plan["conds"]))

@@ -213,6 +213,10 @@ def test_sqlmini_differential_grid(ray_session):
         "SELECT o_orderkey, o_custkey FROM orders "
         "WHERE o_totalprice > 430000 ORDER BY o_custkey DESC, o_orderkey "
         "LIMIT 7",
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+        "WHERE o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED') "
+        "AND o_totalprice >= 50000 GROUP BY o_orderpriority "
+        "ORDER BY o_orderpriority",
     ]
     # JOIN grid: every WHERE split (left-side / right-side / both / none)
     # through the broadcast-join path, grouped and plain

@@ -167,3 +167,26 @@ def test_sql_store_grouped_metadata(ray_session, tmp_path):
     encode_dataset(src, st2, mode="stream", target_rows=500)
     out2 = run_sql(st2, q).reset_index(drop=True)
     pd.testing.assert_frame_equal(out2.astype(exp.dtypes.to_dict()), exp)
+
+
+def test_sql_store_in_predicate_bloom(ray_session, tmp_path):
+    """IN (...) through SQL over a store: pushed as the decode 'in'
+    predicate, so Bloom sidecars skip definite-miss blocks before any
+    decode; result matches DuckDB on the raw parquet."""
+    import pyarrow.parquet as pq
+
+    from howard_ray.pipeline import build_bloom_index
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 1500, seed=43)
+    st = str(tmp_path / "st_in")
+    encode_dataset(src, st, mode="cluster", target_rows=300)
+    build_bloom_index(st, "doc_id")
+
+    ids = pq.read_table(src, columns=["doc_id"])["doc_id"].to_pylist()[:3]
+    q = ("SELECT COUNT(*) AS n, SUM(n_tok) AS tok FROM store "
+         "WHERE doc_id IN (" + ", ".join(f"'{i}'" for i in ids) + ", 'zz')")
+    out = run_sql(st, q)
+    exp = duckdb.sql(q.replace("FROM store", f"FROM '{src}'")).df()
+    assert int(out["n"].iloc[0]) == int(exp["n"].iloc[0]) == 3
+    assert int(out["tok"].iloc[0]) == int(exp["tok"].iloc[0])
