@@ -233,8 +233,12 @@ def cmd_query(args) -> int:
 
 
 def cmd_sql(args) -> int:
-    from .sqlmini import run_sql
+    from .sqlmini import explain_sql, run_sql
 
+    if args.explain:
+        print(json.dumps(explain_sql(args.sf_dir, args.statement,
+                                     tables_dir=args.tables_dir), indent=1))
+        return 0
     out = run_sql(args.sf_dir, args.statement,
                   tables_dir=args.tables_dir)
     print(out.head(args.limit).to_string())
@@ -379,6 +383,9 @@ def main(argv=None) -> int:
     sq.add_argument("statement")
     sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--explain", action="store_true",
+                    help="print the compiled plan (execution path, pruned "
+                         "columns, per-block footer census) without running")
     sq.add_argument("--tables-dir", default=None,
                     help="parquet dir for JOINed tables when --sf-dir is "
                          "an encoded store (FROM store JOIN ...)")

@@ -44,6 +44,7 @@ stats with zero block decodes.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pandas as pd
@@ -798,6 +799,90 @@ def _store_grouped_metadata_answer(store_dir: str,
                 and not df[it["alias"]].isna().any():
             df[it["alias"]] = df[it["alias"]].astype("int64")
     return df
+
+
+def explain_sql(sf_dir: str, sql: str,
+                tables_dir: str | None = None) -> dict:
+    """Plan observability WITHOUT executing: which execution path
+    :func:`run_sql` will take, what the pruned read touches, and — for a
+    store — how the footer classifies every block against the WHERE
+    conjuncts (pruned / metadata-answered / decoded). The block census
+    reuses the same :func:`_zone_classify` the executor uses, so the
+    numbers are the plan, not an estimate."""
+    plan = parse(sql)
+    out: dict = {"table": plan["table"],
+                 "joins": [dict(j) for j in plan["joins"]],
+                 "columns": _needed_columns(plan),
+                 "group_by": list(plan["group"]),
+                 "aggregates": [f"{it['agg']}({it['arg']})"
+                                for it in plan["items"] if it["agg"]],
+                 "conditions": [f"{c['col']} {c['op']} {c['val']!r}"
+                                for c in plan["conds"]]}
+    if plan["joins"]:
+        out["path"] = "broadcast-join"
+        out["fact"] = plan["table"]
+        out["broadcast_dims"] = [j["table"] for j in plan["joins"]]
+        return out
+    if plan["table"] != "store":
+        out["path"] = "table-scan"
+        return out
+
+    from .manifest import load_footer
+
+    pure_agg = (plan["items"]
+                and all(it["agg"] and not it["distinct"]
+                        and (it["agg"] != "COUNT" or it["arg"] == "*")
+                        for it in plan["items"]
+                        if it["agg"] or not plan["group"])
+                and all(c["op"] in ("=", "<", "<=", ">", ">=", "IN")
+                        for c in plan["conds"])
+                and not plan["having"])
+    tomb_dir = os.path.join(sf_dir, "tombstones")
+    has_tombs = os.path.isdir(tomb_dir) and any(
+        f.endswith(".tmb") for f in os.listdir(tomb_dir))
+    blocks = load_footer(sf_dir)["blocks"]
+    census = {"total": len(blocks), "pruned": 0, "metadata": 0, "decoded": 0}
+    for b in blocks:
+        cols = b.get("columns") or {}
+        verdicts = [_zone_classify((cols.get(c["col"]) or {}).get("stats"),
+                                   c["op"], c["val"])
+                    for c in plan["conds"]]
+        if "none" in verdicts:
+            census["pruned"] += 1
+        elif not (pure_agg and not has_tombs):
+            census["decoded"] += 1
+        elif plan["group"]:
+            gst = (cols.get(plan["group"][0]) or {}).get("stats") or {}
+            single = "min" in gst and gst["min"] == gst.get("max")
+            if len(plan["group"]) == 1 and not plan["conds"] and single:
+                census["metadata"] += 1
+            else:
+                census["decoded"] += 1
+        elif all(v == "all" for v in verdicts):
+            census["metadata"] += 1
+        else:
+            census["decoded"] += 1
+    out["blocks"] = census
+    out["zone_filter"] = {c: list(v)
+                          for c, v in _store_zones(plan["conds"]).items()}
+    p = _pushable(plan["conds"])
+    out["pushed_predicate"] = list(p) if p else None
+    out["tombstones_pending"] = bool(has_tombs)
+
+    # which executor path fires (mirror run_sql's dispatch; the *_answer
+    # gates can still fall back to the scan at run time — e.g. missing
+    # stats — which the census's 'decoded' column already reflects)
+    if plan["group"]:
+        fast = pure_agg and len(plan["group"]) == 1 and not plan["conds"] \
+            and not has_tombs
+        out["path"] = "grouped-metadata" if fast else "store-scan"
+    elif plan["conds"]:
+        out["path"] = ("pushdown-aggregate"
+                       if pure_agg and not has_tombs else "store-scan")
+    else:
+        out["path"] = ("metadata" if pure_agg and not has_tombs
+                       else "store-scan")
+    return out
 
 
 def run_sql(sf_dir: str, sql: str,

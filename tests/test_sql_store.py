@@ -190,3 +190,42 @@ def test_sql_store_in_predicate_bloom(ray_session, tmp_path):
     exp = duckdb.sql(q.replace("FROM store", f"FROM '{src}'")).df()
     assert int(out["n"].iloc[0]) == int(exp["n"].iloc[0]) == 3
     assert int(out["tok"].iloc[0]) == int(exp["tok"].iloc[0])
+
+
+def test_explain_sql_matches_execution_paths(ray_session, tmp_path):
+    """EXPLAIN reports the executor's real dispatch: grouped-metadata on a
+    clustered store (all blocks metadata-answered), pushdown-aggregate
+    census consistent, store-scan for non-aggregate SELECTs, broadcast-join
+    and table-scan for parquet tables."""
+    from howard_ray.sqlmini import explain_sql
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 1000, seed=47)
+    st = str(tmp_path / "st_ex")
+    encode_dataset(src, st, mode="cluster", target_rows=300)
+
+    e = explain_sql(st, "SELECT source, COUNT(*) AS n FROM store "
+                        "GROUP BY source")
+    assert e["path"] == "grouped-metadata"
+    assert e["blocks"]["metadata"] == e["blocks"]["total"]
+
+    e2 = explain_sql(st, "SELECT COUNT(*) AS n FROM store "
+                         "WHERE source = 'web' AND n_tok >= 300")
+    assert e2["path"] == "pushdown-aggregate"
+    b = e2["blocks"]
+    assert b["pruned"] + b["metadata"] + b["decoded"] == b["total"]
+    assert b["pruned"] > 0  # other sources' blocks never decode
+    assert e2["pushed_predicate"] == ["source", "==", "web"]
+
+    e3 = explain_sql(st, "SELECT doc_id, n_tok FROM store "
+                         "WHERE n_tok >= 100")
+    assert e3["path"] == "store-scan"
+
+    sf = "/root/testdata/sf0.001"
+    e4 = explain_sql(sf, "SELECT c_mktsegment, COUNT(*) AS n FROM orders "
+                         "JOIN customer ON o_custkey = c_custkey "
+                         "GROUP BY c_mktsegment")
+    assert e4["path"] == "broadcast-join"
+    assert e4["broadcast_dims"] == ["customer"]
+    assert explain_sql(sf, "SELECT COUNT(*) AS n FROM orders")["path"] \
+        == "table-scan"
