@@ -185,6 +185,21 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_changes(args) -> int:
+    from .pipeline import read_changes
+
+    ds = read_changes(args.store, args.since, columns=args.columns)
+    ds.write_parquet(args.output)
+    import pyarrow.parquet as pq
+    n = 0
+    if os.path.isdir(args.output):  # no new blocks -> nothing written
+        n = sum(pq.ParquetFile(os.path.join(args.output, f)).metadata.num_rows
+                for f in os.listdir(args.output) if f.endswith(".parquet"))
+    print(json.dumps({"rows": n, "since_snapshot": args.since,
+                      "output": args.output}))
+    return 0
+
+
 def cmd_snapshots(args) -> int:
     from .manifest import list_snapshots
     print(json.dumps(list_snapshots(args.store), indent=1))
@@ -279,6 +294,14 @@ def main(argv=None) -> int:
                    help="decode an archived snapshot id (time travel; "
                         "see the snapshots subcommand)")
     d.set_defaults(fn=cmd_decode)
+
+    ch = sub.add_parser("changes", help="incremental change feed: decode "
+                        "only blocks added after a retained snapshot")
+    ch.add_argument("store")
+    ch.add_argument("output")
+    ch.add_argument("--since", type=int, required=True)
+    ch.add_argument("--columns", nargs="+", default=None)
+    ch.set_defaults(fn=cmd_changes)
 
     sn = sub.add_parser("snapshots", help="list retained footer snapshots "
                         "(every footer swap archives one; decode --as-of "

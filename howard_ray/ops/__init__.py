@@ -115,6 +115,7 @@ def all_queries():
         "store_alter": engine_queries.store_alter,
         "store_lookup": engine_queries.store_lookup,
         "store_upsert": engine_queries.store_upsert,
+        "store_changes": engine_queries.store_changes,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.media_frame_sample,

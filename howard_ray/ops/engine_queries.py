@@ -590,3 +590,58 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(doc_id) AS BIGINT) AS sum_ids
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def store_changes(sf_dir: str):
+    """Incremental change-feed round trip: delivery 1 (even doc_ids) is
+    encoded — its footer snapshot is the consumer's baseline — then
+    delivery 2 (odd doc_ids) is appended as a new epoch.
+    :func:`read_changes` from the baseline snapshot must decode EXACTLY
+    delivery 2 (live blocks minus snapshot blocks, block-parallel), so the
+    per-source aggregate of the feed equals the oracle's aggregate over
+    the odd half of documents — a consumer reprocesses only the delta."""
+    from ..manifest import load_footer
+    from ..pipeline import append_to_store, read_changes
+
+    cols = ["doc_id", "source", "n_chars"]
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d1 = os.path.join(CACHE, f"cdc1_{tag}")
+    d2 = os.path.join(CACHE, f"cdc2_{tag}")
+    store = os.path.join(CACHE, f"store_cdc_{tag}")
+    for p in (d1, d2, store):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def parity(rem: int):
+        def f(batch):
+            import pyarrow.compute as _pc
+            return batch.filter(_pc.equal(
+                _pc.bit_wise_and(batch["doc_id"], 1), rem))
+        return f
+
+    ds = ray.data.read_parquet(src, columns=cols)
+    ds.map_batches(parity(0), batch_format="pyarrow").write_parquet(d1)
+    ds.map_batches(parity(1), batch_format="pyarrow").write_parquet(d2)
+
+    encode_dataset(d1, store, mode="cluster", target_rows=20_000,
+                   resume=False)
+    baseline = load_footer(store)["snapshot_id"]
+    append_to_store(store, d2, mode="cluster", target_rows=20_000)
+
+    out = (read_changes(store, baseline)
+           .groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_chars", alias_name="sum_chars"),
+                      Sum("doc_id", alias_name="sum_ids"))
+           .to_pandas())
+    for c in ["n_docs", "sum_chars", "sum_ids"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL["store_changes"] = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT)  AS sum_ids
+FROM documents WHERE doc_id % 2 = 1 GROUP BY source ORDER BY source
+"""

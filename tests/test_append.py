@@ -120,3 +120,44 @@ def test_compact_after_append_preserves_epoch_counter(
     src = src.take(pc.sort_indices(src["doc_id"]))
     dec = _decoded(store).select(src.column_names).cast(src.schema)
     assert dec.equals(src)
+
+
+def test_read_changes_incremental_feed(ray_session, tmp_path):
+    """Change feed decodes exactly the appended delta; a compaction between
+    snapshots breaks the feed loudly (rewritten blocks must never replay);
+    feed from the latest snapshot is empty."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from howard_ray.fixtures import write_corpus
+    from howard_ray.manifest import load_footer
+    from howard_ray.pipeline import (append_to_store, compact_store,
+                                     encode_dataset, read_changes)
+
+    d1 = str(tmp_path / "d1.parquet")
+    d2 = str(tmp_path / "d2.parquet")
+    write_corpus(d1, 800, seed=51)
+    write_corpus(d2, 500, seed=52, variant="shifted")
+    st = str(tmp_path / "st_cdc")
+    encode_dataset(d1, st, mode="stream", target_rows=300)
+    base = load_footer(st)["snapshot_id"]
+    append_to_store(st, d2, mode="stream", target_rows=300)
+
+    feed = read_changes(st, base).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    exp = pq.read_table(d2).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert len(feed) == len(exp)
+    assert feed["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert feed["n_tok"].sum() == exp["n_tok"].sum()
+
+    latest = load_footer(st)["snapshot_id"]
+    assert read_changes(st, latest).count() == 0
+
+    compact_store(st, target_rows=2000)
+    # a rewrite between the snapshots breaks the feed LOUDLY: either the
+    # baseline snapshot was eagerly expired by the rewrite
+    # (FileNotFoundError) or, if still retained, the block-diff guard
+    # rejects replaying rewritten rows (ValueError)
+    with pytest.raises((ValueError, FileNotFoundError)):
+        read_changes(st, base)
