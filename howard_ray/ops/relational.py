@@ -269,51 +269,79 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
     is a bitmask, and a non-power-of-two mask would silently leave a
     fraction of buckets permanently empty), salt-able for hot keys.
 
-    Cost note: both sides are padded to the union schema with nulls before
-    the exchange so Dataset.union sees one schema — acceptable when the
-    payloads are narrow (pre-aggregate/prune first, as join_hash does), but
-    for wide payloads prefer the native ``Dataset.join`` (join_native),
-    which shuffles each side's own schema."""
+    Exchange layout: each input batch is pre-grouped by bucket and every
+    (bucket, side) slice ships as ONE row carrying a zstd-compressed Arrow
+    IPC mini-block — the shuffle moves <= num_buckets fat rows per batch
+    per side in each side's OWN schema (no union-schema null padding, no
+    per-row key columns through the exchange), the same mini-block
+    exchange the encode pipeline's cluster-exchange mode uses. The
+    groupby then co-locates each bucket's mini-blocks; the reducer
+    deserializes, concatenates per side, and hands both frames to
+    ``merge_fn``."""
     num_buckets = max(1, 1 << (num_buckets - 1).bit_length())  # next pow2
 
-    def _fields(ds) -> dict[str, pa.DataType]:
-        sch = ds.schema()
-        base = sch.base_schema
-        if isinstance(base, pa.Schema):
-            return {f.name: f.type for f in base}
-        # pandas-block datasets expose numpy dtypes
-        out = {}
-        for name, typ in zip(sch.names, sch.types):
-            out[name] = typ if isinstance(typ, pa.DataType) \
-                else pa.from_numpy_dtype(np.dtype(typ))
-        return out
+    import struct
 
-    lf, rf = _fields(left), _fields(right)
-    left_cols = list(lf)
-    right_cols = list(rf)
-    all_fields = dict(lf)
-    all_fields.update(rf)
+    def _pack(t: pa.Table) -> bytes:
+        import io
+
+        from ..codecs.zstd import zstd_compress
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        raw = sink.getvalue()
+        return struct.pack("<Q", len(raw)) + zstd_compress(raw)
+
+    def _unpack(blob: bytes) -> pa.Table:
+        import pyarrow.ipc as ipc
+
+        from ..codecs.zstd import zstd_decompress
+        (raw_len,) = struct.unpack("<Q", blob[:8])
+        raw = zstd_decompress(blob[8:], raw_len)
+        return ipc.open_stream(pa.BufferReader(raw)).read_all()
 
     def tag(side: int, key_col: str):
         def f(batch: pa.Table) -> pa.Table:
             key = pc.cast(batch[key_col], pa.int64())
-            bucket = pc.cast(pc.bit_wise_and(
-                key, pa.scalar(num_buckets - 1, pa.int64())), pa.int32())
-            # pad to the union schema so Dataset.union sees one schema
-            cols = {name: (batch[name] if name in batch.column_names
-                           else pa.nulls(batch.num_rows, type=typ))
-                    for name, typ in all_fields.items()}
-            cols["__bucket"] = bucket
-            cols["__side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8))
-            return pa.table(cols)
+            bucket = pc.bit_wise_and(
+                key, pa.scalar(num_buckets - 1, pa.int64()))
+            b_np = np.asarray(bucket)
+            rows = {"__bucket": [], "__side": [], "__blob": []}
+            for bkt in np.unique(b_np):
+                sub = batch.filter(pc.equal(bucket, pa.scalar(int(bkt))))
+                rows["__bucket"].append(int(bkt))
+                rows["__side"].append(side)
+                rows["__blob"].append(_pack(sub))
+            return pa.table({"__bucket": pa.array(rows["__bucket"], pa.int32()),
+                             "__side": pa.array(rows["__side"], pa.int8()),
+                             "__blob": pa.array(rows["__blob"], pa.binary())})
         return f
 
     both = left.map_batches(tag(0, left_key), batch_format="pyarrow").union(
         right.map_batches(tag(1, right_key), batch_format="pyarrow"))
 
+    def _fields(ds) -> pa.Schema:
+        sch = ds.schema()
+        base = sch.base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.schema([(n, t if isinstance(t, pa.DataType)
+                           else pa.from_numpy_dtype(np.dtype(t)))
+                          for n, t in zip(sch.names, sch.types)])
+
+    # a bucket may hold rows from only one side; the other side must still
+    # reach merge_fn as an EMPTY typed frame (so pandas merges resolve key
+    # columns), hence the captured per-side schemas
+    lschema, rschema = _fields(left), _fields(right)
+
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group.loc[group["__side"] == 0, left_cols]
-        r = group.loc[group["__side"] == 1, right_cols]
+        sides: dict[int, list[pa.Table]] = {0: [], 1: []}
+        for s, blob in zip(group["__side"], group["__blob"]):
+            sides[int(s)].append(_unpack(blob))
+        l = (pa.concat_tables(sides[0]) if sides[0]
+             else lschema.empty_table()).to_pandas()
+        r = (pa.concat_tables(sides[1]) if sides[1]
+             else rschema.empty_table()).to_pandas()
         return merge_fn(l, r)
 
     return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
