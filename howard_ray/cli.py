@@ -130,8 +130,11 @@ def _parse_where(expr: str | None) -> tuple | None:
 def cmd_decode(args) -> int:
     from .pipeline import decode_store
 
+    wh = args.where if isinstance(args.where, list) else \
+        ([args.where] if args.where else [])
+    preds = [_parse_where(w) for w in wh]
     ds = decode_store(args.store, columns=args.columns,
-                      predicate=_parse_where(args.where),
+                      predicate=preds or None,
                       as_of=args.as_of)
     ds.write_parquet(args.output)
     # row count from the WRITTEN parquet footers (metadata-only): ds.count()
@@ -287,9 +290,11 @@ def main(argv=None) -> int:
     d.add_argument("store")
     d.add_argument("output")
     d.add_argument("--columns", nargs="*", default=None)
-    d.add_argument("--where", default=None,
+    d.add_argument("--where", default=None, action="append",
                    help="pushdown row filter col:op:value (op: == != < <= > >= in; "
-                        "in takes comma-separated values)")
+                        "in takes comma-separated values). Repeatable: "
+                        "multiple filters AND together and decode "
+                        "progressively inside the scan")
     d.add_argument("--as-of", type=int, default=None, dest="as_of",
                    help="decode an archived snapshot id (time travel; "
                         "see the snapshots subcommand)")

@@ -1320,12 +1320,19 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
     ONLY when the mask matches at least one row (late materialization) —
     a no-match block costs one column decode, not a full-table decode.
     """
+    # predicate may be ONE (col, op, val) tuple or a LIST of them — a
+    # conjunction evaluated inside the scan with progressive decoding:
+    # each predicate column decodes in turn, masks AND together, and the
+    # remaining predicate/payload columns are skipped the moment the mask
+    # empties (multi-column late materialization)
+    preds: list[tuple] = ([predicate] if isinstance(predicate, tuple)
+                          else list(predicate or []))
+    predicate = preds if preds else None
     zones = dict(zone_filter or {})
-    if predicate is not None:
-        col, op, _ = predicate
-        if op not in _PRED_OPS:
-            raise ValueError(f"unsupported predicate op {op!r}")
-        for c, rng in _predicate_zone(predicate).items():
+    for p in preds:
+        if p[1] not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op {p[1]!r}")
+        for c, rng in _predicate_zone(p).items():
             zones.setdefault(c, rng)
     # sharded footers prune whole shard files by their aggregate zone maps
     # before any block record is read (manifest.load_blocks); as_of reads
@@ -1344,13 +1351,14 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
     tombs = list_tombstones(store_dir)
     # point predicates consult the block's Bloom sidecar (when indexed)
     # before decoding anything — definite-miss blocks cost one tiny read
-    bloom_col = predicate[0] if predicate is not None \
-        and predicate[1] in ("==", "in") else None
+    bloom_cols = [p[0] for p in preds if p[1] in ("==", "in")]
     paths = [{"path": block_path(store_dir, b["block_id"]),
               "block_id": b["block_id"],
               "rmap": json.dumps(_block_rmap(b)),
-              "bloom": (b.get("blooms") or {}).get(bloom_col, "")
-              if bloom_col else "",
+              "bloom": json.dumps({c: f for c, f in
+                                   (b.get("blooms") or {}).items()
+                                   if c in bloom_cols})
+              if bloom_cols else "",
               "tomb": b["block_id"] if b["block_id"] in tombs else ""}
              for b in blocks]
     if not paths:
@@ -1383,38 +1391,69 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
         import pyarrow.compute as pc
 
         from .block import decode_block, read_block_meta
-        col, op, val = predicate
         out = []
-        probe_vals = list(val) if op == "in" else [val]
-        for p, bid_a, rmap_j, bloom_f, tomb in zip(
+        for p, bid_a, rmap_j, bloom_j, tomb in zip(
                 batch["path"], batch["block_id"], batch["rmap"],
                 batch["bloom"], batch["tomb"]):
             bid, rmap = bid_a.as_py(), json.loads(rmap_j.as_py())
-            bloom_f = bloom_f.as_py()
-            if bloom_f:
+            blooms = json.loads(bloom_j.as_py()) if bloom_j.as_py() else {}
+            if blooms:
                 from .bloom import bloom_path, probe_file
-                if not probe_file(bloom_path(store_dir, bloom_f),
-                                  probe_vals):
+                miss = False
+                for col, op, val in preds:
+                    if col in blooms and op in ("==", "in"):
+                        probe_vals = list(val) if op == "in" else [val]
+                        if not probe_file(
+                                bloom_path(store_dir, blooms[col]),
+                                probe_vals):
+                            miss = True
+                            break
+                if miss:
                     continue  # definite miss: nothing decoded at all
             ext = rmap.get("ext") or {}
             ren = rmap.get("ren") or {}
-            if col in ext:  # predicate on a derived column: its sidecar
-                filt_col = read_block_file(
-                    os.path.join(store_dir, "blocks", ext[col])).column(0)
-                data = None
-            else:
-                with open(p.as_py(), "rb") as f:
-                    data = f.read()
-                # predicate names the LOGICAL column; decode its in-file name
-                inv = {v: k for k, v in ren.items()}
-                filt_col = decode_block(data, [inv.get(col, col)]).column(0)
-            if op == "in":
-                mask = pc.is_in(filt_col, value_set=pa.array(list(val)))
-            else:
-                mask = {"==": pc.equal, "!=": pc.not_equal,
-                        "<": pc.less, "<=": pc.less_equal,
-                        ">": pc.greater, ">=": pc.greater_equal}[op](filt_col, val)
-            keep = _keep_mask(tomb.as_py(), len(filt_col))
+            inv = {v: k for k, v in ren.items()}
+            data = None
+
+            def _col(col: str):
+                nonlocal data
+                if col in ext:  # derived column: its own sidecar file
+                    return read_block_file(
+                        os.path.join(store_dir, "blocks",
+                                     ext[col])).column(0)
+                if data is None:
+                    with open(p.as_py(), "rb") as f:
+                        data = f.read()
+                # predicates name LOGICAL columns; decode the in-file name
+                return decode_block(data, [inv.get(col, col)]).column(0)
+
+            # progressive conjunction: decode one predicate column at a
+            # time; the moment the combined mask empties, later predicate
+            # columns AND the payload are never decoded
+            mask = None
+            decoded_cols: dict[str, pa.ChunkedArray] = {}
+            n_rows = None
+            empty = False
+            for col, op, val in preds:
+                filt_col = decoded_cols.get(col)
+                if filt_col is None:
+                    filt_col = _col(col)
+                    decoded_cols[col] = filt_col
+                    n_rows = len(filt_col)
+                if op == "in":
+                    m = pc.is_in(filt_col, value_set=pa.array(list(val)))
+                else:
+                    m = {"==": pc.equal, "!=": pc.not_equal,
+                         "<": pc.less, "<=": pc.less_equal,
+                         ">": pc.greater,
+                         ">=": pc.greater_equal}[op](filt_col, val)
+                mask = m if mask is None else pc.and_(mask, m)
+                if (pc.sum(mask.cast(pa.int8())).as_py() or 0) == 0:
+                    empty = True
+                    break
+            if empty:
+                continue
+            keep = _keep_mask(tomb.as_py(), n_rows)
             if keep is not None:
                 mask = pc.and_(mask, pa.array(keep))
             n_match = pc.sum(mask.cast(pa.int8())).as_py() or 0
@@ -1432,14 +1471,16 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
                 names = [ren.get(c, c)
                          for c in read_block_meta(data)["columns"]
                          if c not in drops] + list(ext)
-            rest = [c for c in names if c != col]
-            t = _read_logical_block(store_dir, bid, rmap, rest) if rest \
-                else pa.table({})
-            if col in names:
-                t = t.append_column(col, filt_col) if rest \
-                    else pa.table({col: filt_col})
-                t = t.select(names)  # caller's column order
-            out.append(t.filter(mask) if n_match < len(filt_col) else t)
+            rest = [c for c in names if c not in decoded_cols]
+            if rest:
+                t = _read_logical_block(store_dir, bid, rmap, rest)
+                for col in names:
+                    if col in decoded_cols:
+                        t = t.append_column(col, decoded_cols[col])
+            else:  # every requested column was already predicate-decoded
+                t = pa.table({c: decoded_cols[c] for c in names})
+            t = t.select(names)  # caller's column order
+            out.append(t.filter(mask) if n_match < n_rows else t)
         return out
 
     def decode_flat(batch: pa.Table) -> pa.Table:

@@ -36,7 +36,8 @@ one string, two engines, value-hash-equal results.
 
 ``FROM store`` runs the surface directly over an encoded store
 (:func:`decode_store` scan: pruned columns, zone-map block pruning on every
-range conjunct, one pushed-down predicate) — and a pure
+range conjunct, the FULL pushable conjunction evaluated inside the scan
+with progressive predicate-column decoding) — and a pure
 COUNT(*)/SUM/MIN/MAX/AVG SELECT with no WHERE/GROUP BY short-circuits to
 :func:`_store_metadata_answer`, which answers from the footer zone-map
 stats with zero block decodes.
@@ -292,6 +293,19 @@ def _pushable(conds: list[dict]) -> tuple | None:
     return None
 
 
+def _pushable_all(conds: list[dict]) -> list[tuple]:
+    """EVERY pushable condition, IN first (Bloom-probing), as the
+    conjunction :func:`decode_store` evaluates with progressive decoding —
+    predicate columns decode one at a time and the payload never decodes
+    once the combined mask empties. Non-pushable ops (LIKE) stay in the
+    vectorized residual filter."""
+    ins = [(c["col"], "in", tuple(c["val"])) for c in conds
+           if c["op"] == "IN"]
+    rest = [(c["col"], _PUSH_OPS[c["op"]], c["val"]) for c in conds
+            if c["op"] in _PUSH_OPS]
+    return ins + rest
+
+
 def _store_zones(conds: list[dict]) -> dict:
     """Fold range conjuncts into per-column (lo, hi) intervals for footer
     zone pruning (inclusive — sound for pruning, not for all-match proofs)."""
@@ -374,7 +388,7 @@ def _joined_dataset(sf_dir: str, plan: dict, tables_dir: str | None = None):
             from .pipeline import decode_store
             ds = decode_store(sf_dir, columns=cols_by[t],
                               zone_filter=_store_zones(cs) or None,
-                              predicate=_pushable(cs))
+                              predicate=_pushable_all(cs) or None)
         else:
             ds = tbl(dims_root, t, cols_by[t])
         if cs:
@@ -604,7 +618,7 @@ def _store_pushdown_aggregate(store_dir: str,
         agg_cols = sorted(need_sum | need_mm)
         need_cols = sorted(set(agg_cols) | {c["col"] for c in conds})
         ds = decode_store(store_dir, columns=need_cols,
-                          predicate=_pushable(conds),
+                          predicate=_pushable_all(conds) or None,
                           block_ids=partial_ids)
 
         def part(b: pa.Table) -> pa.Table:
@@ -932,7 +946,7 @@ def run_sql(sf_dir: str, sql: str,
         zones = _store_zones(plan["conds"])
         ds = decode_store(sf_dir, columns=_needed_columns(plan),
                           zone_filter=zones or None,
-                          predicate=_pushable(plan["conds"]))
+                          predicate=_pushable_all(plan["conds"]) or None)
     else:
         ds = tbl(sf_dir, plan["table"], _needed_columns(plan))
     if plan["conds"]:

@@ -244,3 +244,41 @@ def test_sharded_footer_roundtrip(ray_session, tmp_path, monkeypatch):
         assert _glob.glob(os.path.join(st, "footer_shards", "*")) == []
     dec3 = decode_store(st).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(orig, dec3[orig.columns.tolist()])
+
+
+def test_decode_predicate_conjunction(ray_session, tmp_path):
+    """A LIST of predicates ANDs inside the scan with progressive
+    decoding: result equals DuckDB on the raw parquet; an impossible
+    first conjunct empties every block without error; a derived-column
+    conjunct composes with a base-column one."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    from howard_ray.fixtures import write_corpus
+    from howard_ray.pipeline import (decode_store, derive_column,
+                                     encode_dataset)
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 1500, seed=61)
+    st = str(tmp_path / "st_conj")
+    encode_dataset(src, st, mode="cluster", target_rows=300)
+
+    got = decode_store(st, columns=["doc_id", "n_tok"],
+                       predicate=[("source", "==", "web"),
+                                  ("n_tok", ">=", 300)]).to_pandas()
+    exp = duckdb.sql(f"SELECT COUNT(*) n, SUM(n_tok) s FROM '{src}' "
+                     "WHERE source='web' AND n_tok >= 300").df()
+    assert len(got) == int(exp["n"].iloc[0])
+    assert got["n_tok"].sum() == int(exp["s"].iloc[0])
+
+    assert decode_store(st, predicate=[("n_tok", ">", 10**9),
+                                       ("source", "==", "web")]).count() == 0
+
+    derive_column(st, "kb", lambda t: pc.divide(t["n_tok"], 100),
+                  input_columns=["n_tok"])
+    got2 = decode_store(st, columns=["doc_id", "kb"],
+                        predicate=[("kb", ">=", 3),
+                                   ("source", "==", "web")]).to_pandas()
+    exp2 = duckdb.sql(f"SELECT COUNT(*) n FROM '{src}' "
+                      "WHERE n_tok // 100 >= 3 AND source='web'").df()
+    assert len(got2) == int(exp2["n"].iloc[0])
