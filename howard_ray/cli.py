@@ -209,6 +209,14 @@ def cmd_snapshots(args) -> int:
     return 0
 
 
+def cmd_recluster(args) -> int:
+    from .pipeline import recluster_store
+
+    print(json.dumps(recluster_store(args.store, args.by,
+                                     target_rows=args.target_rows)))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from .pipeline import compact_store
 
@@ -299,6 +307,13 @@ def main(argv=None) -> int:
                    help="decode an archived snapshot id (time travel; "
                         "see the snapshots subcommand)")
     d.set_defaults(fn=cmd_decode)
+
+    rc = sub.add_parser("recluster", help="OPTIMIZE: physically re-sort "
+                        "the store by a column so its zone maps prune")
+    rc.add_argument("store")
+    rc.add_argument("by")
+    rc.add_argument("--target-rows", type=int, default=None)
+    rc.set_defaults(fn=cmd_recluster)
 
     ch = sub.add_parser("changes", help="incremental change feed: decode "
                         "only blocks added after a retained snapshot")

@@ -645,3 +645,35 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(doc_id) AS BIGINT)  AS sum_ids
 FROM documents WHERE doc_id % 2 = 1 GROUP BY source ORDER BY source
 """
+
+
+def store_recluster(sf_dir: str):
+    """OPTIMIZE round trip: documents are encoded source-clustered, then
+    physically RE-SORTED by n_chars (:func:`recluster_store` — one
+    range-partitioned sort, streaming re-encode, atomic swap). The n_chars
+    zone maps become tight disjoint ranges, so the filtered aggregate
+    below decodes only the straddling block(s); its value-hash equality
+    with the oracle proves the rewrite lost and duplicated nothing."""
+    from ..pipeline import recluster_store
+
+    cols = ["doc_id", "source", "n_chars"]
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE, f"store_rcl_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="cluster", target_rows=20_000,
+                   resume=False, columns=cols)
+    recluster_store(store, "n_chars", target_rows=20_000)
+
+    from ..sqlmini import run_sql
+    out = run_sql(store, "SELECT COUNT(*) AS n_docs, "
+                         "SUM(n_chars) AS sum_chars, SUM(doc_id) AS sum_ids "
+                         "FROM store WHERE n_chars >= 400")
+    return out
+
+
+SQL["store_recluster"] = """
+SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents WHERE n_chars >= 400
+"""

@@ -1675,6 +1675,82 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
             "merged": len(merged_ids), "created": len(new_records)}
 
 
+def recluster_store(store_dir: str, by: str, *,
+                    target_rows: int | None = None,
+                    profile: str = "standard") -> dict:
+    """OPTIMIZE-style physical re-sort (the Z-ORDER/CLUSTER BY idea, one
+    dimension): rewrite the whole store ordered by ``by`` so that column's
+    per-block zone maps become tight disjoint ranges — after reclustering,
+    a range or point predicate on ``by`` prunes to O(matching blocks)
+    instead of scanning, and the grouped/pushdown metadata fast paths in
+    the SQL layer start firing for it.
+
+    One distributed sort (range-partitioned, THE one legitimate all-to-all
+    here), then a streaming re-encode of the sorted run. All metadata
+    evolution folds physically: logical rows (renames applied, derived
+    sidecars materialized, tombstones dropped) become plain base columns.
+    Crash-safe like compaction: new blocks are written first, the footer
+    swap is atomic, and only then do the old files (plus their tombstones,
+    sidecars, Bloom filters — stale for the new layout) become garbage."""
+    footer = load_footer(store_dir)
+    old = footer["blocks"]
+    if not old:
+        return {"n_blocks_before": 0, "n_blocks_after": 0}
+    if target_rows is None:
+        target_rows = max(b["n_rows"] for b in old)
+
+    ds = decode_store(store_dir).sort(by)
+
+    def encode_sorted(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from .codecs import zstd as zstd_mod
+        from .codecs.bitpack import warmup
+        warmup()
+        zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
+        first = batch[by][0].as_py()
+        digest = hashlib.blake2b(
+            f"{first}|{batch[by][batch.num_rows - 1].as_py()}|"
+            f"{batch.num_rows}".encode(), digest_size=16).hexdigest()
+        recs = _encode_tables_to_blocks(
+            [batch], store_dir, f"rcl-{digest}",
+            sort_key=str(first), target_rows=target_rows, completed={},
+            input_info=f"recluster:{by}", profile=profile)
+        return _records_table(recs)
+
+    rec_ds = ds.map_batches(encode_sorted, batch_size=target_rows,
+                            batch_format="pyarrow")
+    new_records = [json.loads(r) for r in
+                   rec_ds.to_pandas()["record"].tolist()]
+
+    # derived sidecars and renames are now materialized base columns; the
+    # evolution metadata must not survive into the reclustered footer
+    extra = {k: v for k, v in footer.items()
+             if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
+                          "blocks", "sharded", "shards", "derived_cols")}
+    extra["clustered_by"] = by
+    new_footer = write_footer(store_dir, new_records, extra=extra)
+    old_ids = {b["block_id"] for b in old}
+    expire_snapshots(store_dir, old_ids)
+    for b in old:
+        bid = b["block_id"]
+        for path in (block_path(store_dir, bid),
+                     tombstone_path(store_dir, bid),
+                     *(os.path.join(store_dir, "blocks", f)
+                       for f in (b.get("ext_files") or {}).values()),
+                     *(os.path.join(store_dir, "blooms", f)
+                       for f in (b.get("blooms") or {}).values())):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+    return {"n_blocks_before": len(old),
+            "n_blocks_after": new_footer["n_blocks"],
+            "n_rows": new_footer["n_rows"],
+            "encoded_bytes_after": new_footer["encoded_bytes"],
+            "clustered_by": by}
+
+
 def delete_where(store_dir: str, predicate: tuple) -> dict:
     """Row-level delete: mark every row matching ``predicate``
     (``(col, op, value)``, same ops as :func:`decode_store`) as deleted via

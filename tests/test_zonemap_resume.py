@@ -282,3 +282,48 @@ def test_decode_predicate_conjunction(ray_session, tmp_path):
     exp2 = duckdb.sql(f"SELECT COUNT(*) n FROM '{src}' "
                       "WHERE n_tok // 100 >= 3 AND source='web'").df()
     assert len(got2) == int(exp2["n"].iloc[0])
+
+
+def test_recluster_store(ray_session, tmp_path):
+    """Recluster: content-identical after the rewrite, zone maps on the
+    new cluster key become selective (explain census: most blocks pruned
+    for a range predicate), derived sidecars fold physically, snapshots
+    across the rewrite expire."""
+    import duckdb
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from howard_ray.fixtures import write_corpus
+    from howard_ray.pipeline import (decode_store, derive_column,
+                                     encode_dataset, recluster_store)
+    from howard_ray.sqlmini import explain_sql
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 2000, seed=67)
+    st = str(tmp_path / "st_rcl")
+    encode_dataset(src, st, mode="cluster", target_rows=400)
+    derive_column(st, "kb", lambda t: pc.divide(t["n_tok"], 100),
+                  input_columns=["n_tok"])
+
+    r = recluster_store(st, "n_tok", target_rows=400)
+    assert r["n_rows"] == 2000
+
+    dec = decode_store(st).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    orig = pq.read_table(src).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert dec["doc_id"].tolist() == orig["doc_id"].tolist()
+    assert dec["n_tok"].sum() == orig["n_tok"].sum()
+    # derived column folded physically and survives
+    assert (dec["kb"].to_numpy() ==
+            orig["n_tok"].to_numpy() // 100).all()
+
+    e = explain_sql(st, "SELECT COUNT(*) AS n FROM store "
+                        "WHERE n_tok >= 2000")
+    b = e["blocks"]
+    assert b["pruned"] >= b["total"] - 2  # tight disjoint zone maps
+    exp = duckdb.sql(f"SELECT COUNT(*) FROM '{src}' "
+                     "WHERE n_tok >= 2000").fetchone()[0]
+    from howard_ray.sqlmini import run_sql
+    assert int(run_sql(st, "SELECT COUNT(*) AS n FROM store "
+                           "WHERE n_tok >= 2000")["n"].iloc[0]) == exp
