@@ -212,8 +212,10 @@ def cmd_snapshots(args) -> int:
 def cmd_recluster(args) -> int:
     from .pipeline import recluster_store
 
-    print(json.dumps(recluster_store(args.store, args.by,
-                                     target_rows=args.target_rows)))
+    by = args.by[0] if len(args.by) == 1 else args.by
+    print(json.dumps(recluster_store(args.store, by,
+                                     target_rows=args.target_rows,
+                                     zorder=args.zorder)))
     return 0
 
 
@@ -311,8 +313,12 @@ def main(argv=None) -> int:
     rc = sub.add_parser("recluster", help="OPTIMIZE: physically re-sort "
                         "the store by a column so its zone maps prune")
     rc.add_argument("store")
-    rc.add_argument("by")
+    rc.add_argument("by", nargs="+")
     rc.add_argument("--target-rows", type=int, default=None)
+    rc.add_argument("--zorder", action="store_true",
+                    help="bit-interleave the (>=2 int) columns into one "
+                         "Morton key: every listed column's zone maps "
+                         "become selective from the one sort")
     rc.set_defaults(fn=cmd_recluster)
 
     ch = sub.add_parser("changes", help="incremental change feed: decode "

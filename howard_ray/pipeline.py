@@ -1675,8 +1675,31 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
             "merged": len(merged_ids), "created": len(new_records)}
 
 
-def recluster_store(store_dir: str, by: str, *,
+def _zorder_key(batch: pa.Table, cols: list[str],
+                ranges: dict[str, tuple]) -> np.ndarray:
+    """Morton (Z-order) key: each column is scaled to a 16-bit bucket using
+    its GLOBAL [min, max] from the footer stats, then the buckets'
+    bits interleave — locality in the key means locality in EVERY input
+    column, so one physical sort gives all of them selective zone maps."""
+    bits = 16
+    parts = []
+    for c in cols:
+        v = np.asarray(batch[c], dtype=np.float64)
+        mn, mx = ranges[c]
+        span = (mx - mn) or 1
+        parts.append(((v - mn) * ((1 << bits) - 1) / span)
+                     .astype(np.uint64))
+    key = np.zeros(batch.num_rows, dtype=np.uint64)
+    for bit in range(bits):
+        for j, p in enumerate(parts):
+            key |= ((p >> np.uint64(bit)) & np.uint64(1)) \
+                << np.uint64(bit * len(parts) + j)
+    return key
+
+
+def recluster_store(store_dir: str, by: "str | list[str]", *,
                     target_rows: int | None = None,
+                    zorder: bool = False,
                     profile: str = "standard") -> dict:
     """OPTIMIZE-style physical re-sort (the Z-ORDER/CLUSTER BY idea, one
     dimension): rewrite the whole store ordered by ``by`` so that column's
@@ -1698,8 +1721,30 @@ def recluster_store(store_dir: str, by: str, *,
         return {"n_blocks_before": 0, "n_blocks_after": 0}
     if target_rows is None:
         target_rows = max(b["n_rows"] for b in old)
+    cols = [by] if isinstance(by, str) else list(by)
 
-    ds = decode_store(store_dir).sort(by)
+    ds = decode_store(store_dir)
+    if zorder:
+        if len(cols) < 2:
+            raise ValueError("zorder needs >= 2 columns")
+        # global per-column ranges come free from the footer zone maps
+        ranges = {}
+        for c in cols:
+            sts = [((b.get("columns") or {}).get(c) or {}).get("stats") or {}
+                   for b in old]
+            if any("min" not in s for s in sts):
+                raise ValueError(f"zorder column {c!r} has no zone stats")
+            ranges[c] = (min(s["min"] for s in sts),
+                         max(s["max"] for s in sts))
+
+        def add_z(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__z", pa.array(_zorder_key(batch, cols, ranges)))
+
+        ds = ds.map_batches(add_z, batch_format="pyarrow").sort("__z")
+    else:
+        ds = ds.sort(cols if len(cols) > 1 else cols[0])
+    key0 = cols[0]
 
     def encode_sorted(batch: pa.Table) -> pa.Table:
         import hashlib
@@ -1708,14 +1753,18 @@ def recluster_store(store_dir: str, by: str, *,
         from .codecs.bitpack import warmup
         warmup()
         zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
-        first = batch[by][0].as_py()
+        skey = "__z" if "__z" in batch.column_names else key0
         digest = hashlib.blake2b(
-            f"{first}|{batch[by][batch.num_rows - 1].as_py()}|"
+            f"{batch[skey][0].as_py()}|"
+            f"{batch[skey][batch.num_rows - 1].as_py()}|"
             f"{batch.num_rows}".encode(), digest_size=16).hexdigest()
+        if skey == "__z":
+            batch = batch.drop_columns(["__z"])
+        first = batch[key0][0].as_py()
         recs = _encode_tables_to_blocks(
             [batch], store_dir, f"rcl-{digest}",
             sort_key=str(first), target_rows=target_rows, completed={},
-            input_info=f"recluster:{by}", profile=profile)
+            input_info=f"recluster:{','.join(cols)}", profile=profile)
         return _records_table(recs)
 
     rec_ds = ds.map_batches(encode_sorted, batch_size=target_rows,
@@ -1728,7 +1777,7 @@ def recluster_store(store_dir: str, by: str, *,
     extra = {k: v for k, v in footer.items()
              if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
                           "blocks", "sharded", "shards", "derived_cols")}
-    extra["clustered_by"] = by
+    extra["clustered_by"] = cols if not zorder else {"zorder": cols}
     new_footer = write_footer(store_dir, new_records, extra=extra)
     old_ids = {b["block_id"] for b in old}
     expire_snapshots(store_dir, old_ids)
@@ -1748,7 +1797,7 @@ def recluster_store(store_dir: str, by: str, *,
             "n_blocks_after": new_footer["n_blocks"],
             "n_rows": new_footer["n_rows"],
             "encoded_bytes_after": new_footer["encoded_bytes"],
-            "clustered_by": by}
+            "clustered_by": cols if not zorder else {"zorder": cols}}
 
 
 def delete_where(store_dir: str, predicate: tuple) -> dict:

@@ -327,3 +327,64 @@ def test_recluster_store(ray_session, tmp_path):
     from howard_ray.sqlmini import run_sql
     assert int(run_sql(st, "SELECT COUNT(*) AS n FROM store "
                            "WHERE n_tok >= 2000")["n"].iloc[0]) == exp
+
+
+def test_recluster_zorder(ray_session, tmp_path):
+    """Z-order recluster: one Morton-key sort over TWO independent int
+    columns leaves BOTH columns' zone maps selective — a range predicate
+    on either dimension prunes most blocks — while the decoded content
+    stays identical to the source."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from howard_ray.fixtures import write_corpus
+    from howard_ray.pipeline import (decode_store, derive_column,
+                                     encode_dataset, recluster_store)
+    from howard_ray.sqlmini import explain_sql, run_sql
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 4000, seed=91)
+    st = str(tmp_path / "st_z")
+    encode_dataset(src, st, mode="cluster", target_rows=500)
+
+    def hcol(t):
+        import zlib
+
+        import numpy as np
+        import pyarrow as _pa
+        h = np.array([zlib.crc32(x.encode()) % 10007
+                      for x in t["doc_id"].to_pylist()], dtype=np.int32)
+        return _pa.array(h)
+
+    # second, independent dimension (uncorrelated with n_tok)
+    derive_column(st, "h", hcol, input_columns=["doc_id"])
+
+    r = recluster_store(st, ["n_tok", "h"], target_rows=500, zorder=True)
+    assert r["n_rows"] == 4000
+    assert r["clustered_by"] == {"zorder": ["n_tok", "h"]}
+
+    # content identical (z-key never persisted)
+    dec = decode_store(st).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    orig = pq.read_table(src).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert "__z" not in dec.columns
+    assert dec["doc_id"].tolist() == orig["doc_id"].tolist()
+    assert dec["n_tok"].sum() == orig["n_tok"].sum()
+
+    # BOTH dimensions prune: each range predicate touches a corner of the
+    # z-curve, so >= half the blocks must be skipped on zone maps alone
+    for col, cut in (("n_tok", 3500), ("h", 9500)):
+        e = explain_sql(st, f"SELECT COUNT(*) AS n FROM store "
+                            f"WHERE {col} >= {cut}")
+        b = e["blocks"]
+        assert b["pruned"] >= b["total"] // 2, (col, b)
+
+    exp = duckdb.sql(f"SELECT COUNT(*) FROM '{src}' "
+                     "WHERE n_tok >= 3500").fetchone()[0]
+    assert int(run_sql(st, "SELECT COUNT(*) AS n FROM store "
+                           "WHERE n_tok >= 3500")["n"].iloc[0]) == exp
+
+    # single-column list degrades to the plain sort path
+    r2 = recluster_store(st, ["n_tok"], target_rows=500)
+    assert r2["clustered_by"] == ["n_tok"]
