@@ -233,3 +233,38 @@ def sql_store_group_metadata(sf_dir: str):
 QUERIES["sql_store_group_metadata"] = sql_store_group_metadata
 SQL["sql_store_group_metadata"] = _GROUP_META_SQL.replace("FROM store",
                                                           "FROM documents")
+
+
+_TOPK_SQL = """SELECT doc_id, n_chars, source FROM store
+WHERE source = 'src3' ORDER BY n_chars DESC, doc_id LIMIT 25"""
+
+
+def sql_store_topk(sf_dir: str):
+    """ORDER BY + LIMIT over a store CLUSTERED on the order key
+    (sqlmini._store_order_limit_scan): after ``recluster_store(st,
+    'n_chars')`` the blocks are near-disjoint n_chars ranges, so the
+    top-k scan decodes blocks greedily in footer-stat key order and stops
+    as soon as ``LIMIT`` rows provably precede every undecoded block — a
+    LIMIT-25 over a clustered 100-TB store touches O(1) blocks instead of
+    sorting the table. The oracle runs the same text over the raw
+    documents table; equality also proves the greedy stop bound is sound
+    (ties included: the bound is strict)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipeline import encode_dataset, recluster_store
+
+    cache = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(cache, f"store_sqltopk_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="cluster", resume=False,
+                   columns=["doc_id", "source", "n_chars"])
+    recluster_store(store, "n_chars")
+    return run_sql(store, _TOPK_SQL)
+
+
+QUERIES["sql_store_topk"] = sql_store_topk
+SQL["sql_store_topk"] = _TOPK_SQL.replace("FROM store", "FROM documents")

@@ -815,6 +815,112 @@ def _store_grouped_metadata_answer(store_dir: str,
     return df
 
 
+# observability for tests/EXPLAIN: the last ORDER BY+LIMIT scan's census
+LAST_TOPK_INFO: dict = {}
+
+
+def _topk_candidates(sf_dir: str, plan: dict):
+    """Shared qualification for the ORDER BY+LIMIT short-circuit: a plain
+    (no aggregate/group/having) SELECT with ORDER BY whose FIRST key is a
+    physical column carrying min/max zone stats on EVERY block that
+    survives WHERE-conjunct pruning. Returns (key, desc, candidates) with
+    candidates ordered by the key's block min (ASC) / max (DESC), or None."""
+    if plan["limit"] is None or not plan["order"] or plan["group"] \
+            or plan["having"] or any(it["agg"] for it in plan["items"]):
+        return None
+    if any(not it["col"] for it in plan["items"]):
+        return None
+    alias2col = {it["alias"]: it["col"] for it in plan["items"] if it["col"]}
+    selected = {it["col"] for it in plan["items"]}
+    if any(alias2col.get(c, c) not in selected for c, _ in plan["order"]):
+        return None  # ordering by a non-selected column: generic scan
+    key0, desc = plan["order"][0]
+    key = alias2col.get(key0, key0)
+
+    from .manifest import load_footer
+    blocks = load_footer(sf_dir)["blocks"]
+    cand = []
+    for b in blocks:
+        cols = b.get("columns") or {}
+        if any(_zone_classify((cols.get(c["col"]) or {}).get("stats"),
+                              c["op"], c["val"]) == "none"
+               for c in plan["conds"]):
+            continue  # zone-pruned: no row can match the WHERE
+        s = (cols.get(key) or {}).get("stats") or {}
+        if "min" not in s or "max" not in s:
+            return None  # key not stats-covered: generic scan
+        cand.append((b["block_id"], s["min"], s["max"], b["n_rows"]))
+    if not cand:
+        return key, desc, []
+    cand.sort(key=(lambda c: c[2]) if desc else (lambda c: c[1]),
+              reverse=desc)
+    return key, desc, cand
+
+
+def _store_order_limit_scan(sf_dir: str, plan: dict):
+    """Top-k over the encoded store without a global sort: when the store
+    is clustered on the ORDER BY key (recluster/Z-order — blocks are
+    near-disjoint key ranges), decode blocks GREEDILY in footer-stat key
+    order and stop as soon as ``limit`` collected rows provably precede
+    every undecoded block (strictly < the next block's min for ASC / > its
+    max for DESC — ties can never be displaced by later blocks). A
+    ``LIMIT k`` over a clustered 100-TB store then decodes O(k/rows-per-
+    block) blocks instead of sorting the table; on an unclustered store
+    the same loop degrades gracefully to a full scan, never to a wrong
+    answer. Returns the ALIASED result rows (superset of the final top-k;
+    the caller's fast-path tail applies the authoritative sort + LIMIT),
+    or None when the query shape doesn't qualify."""
+    q = _topk_candidates(sf_dir, plan)
+    if q is None:
+        return None
+    key, desc, cand = q
+    need = _needed_columns(plan)
+    out_cols = [it["alias"] for it in plan["items"]]
+    if not cand:
+        return pd.DataFrame({it["alias"]: [] for it in plan["items"]})
+
+    from .pipeline import decode_store
+    pred = _pushable_all(plan["conds"]) or None
+    limit = plan["limit"]
+    frames: list[pd.DataFrame] = []
+    n_decoded, i, chunk = 0, 0, max(1, -(-limit // max(c[3] for c in cand)))
+    while i < len(cand):
+        ids = {c[0] for c in cand[i:i + chunk]}
+        i += chunk
+        chunk *= 2  # back off geometrically if early blocks don't satisfy
+        df = decode_store(sf_dir, columns=need, predicate=pred,
+                          block_ids=ids).to_pandas()
+        n_decoded += len(ids)
+        # a fully-filtered chunk comes back EMPTY with its schema lost
+        # through to_pandas — nothing to collect or count
+        if not df.empty:
+            if plan["conds"]:
+                df = _predicate(
+                    pa.Table.from_pandas(df, preserve_index=False),
+                    plan["conds"]).to_pandas()
+            frames.append(df)
+        if i >= len(cand):
+            break
+        bound = cand[i][2] if desc else cand[i][1]
+        safe = sum(int((f[key] > bound).sum() if desc
+                       else (f[key] < bound).sum()) for f in frames)
+        if safe >= limit:
+            break
+    LAST_TOPK_INFO.clear()
+    LAST_TOPK_INFO.update({"key": key, "desc": desc,
+                           "blocks_total": len(cand),
+                           "blocks_decoded": n_decoded})
+    if not frames:
+        return pd.DataFrame({it["alias"]: [] for it in plan["items"]})
+    out = pd.concat(frames, ignore_index=True)
+    out = out.rename(columns={it["col"]: it["alias"]
+                              for it in plan["items"]})[out_cols]
+    for it in plan["items"]:
+        if it["nd"] is not None:
+            out[it["alias"]] = out[it["alias"]].astype(float).round(it["nd"])
+    return out
+
+
 def explain_sql(sf_dir: str, sql: str,
                 tables_dir: str | None = None) -> dict:
     """Plan observability WITHOUT executing: which execution path
@@ -890,12 +996,36 @@ def explain_sql(sf_dir: str, sql: str,
         fast = pure_agg and len(plan["group"]) == 1 and not plan["conds"] \
             and not has_tombs
         out["path"] = "grouped-metadata" if fast else "store-scan"
-    elif plan["conds"]:
-        out["path"] = ("pushdown-aggregate"
+    elif any(it["agg"] for it in plan["items"]):
+        out["path"] = (("pushdown-aggregate" if plan["conds"] else "metadata")
                        if pure_agg and not has_tombs else "store-scan")
     else:
-        out["path"] = ("metadata" if pure_agg and not has_tombs
-                       else "store-scan")
+        q = _topk_candidates(sf_dir, plan)
+        if q is not None:
+            key, desc, cand = q
+            # metadata-only lower bound on decoded blocks: assume every
+            # row passes the WHERE; the executor may decode more, never
+            # fewer (same greedy loop _store_order_limit_scan runs)
+            need, i, chunk, n_dec = plan["limit"], 0, 1, 0
+            if cand:
+                chunk = max(1, -(-plan["limit"] // max(c[3] for c in cand)))
+            while i < len(cand):
+                n_dec += len(cand[i:i + chunk])
+                i += chunk
+                chunk *= 2
+                if i >= len(cand):
+                    break
+                bound = cand[i][2] if desc else cand[i][1]
+                safe = sum(c[3] for c in cand[:i]
+                           if (c[1] > bound if desc else c[2] < bound))
+                if safe >= need:
+                    break
+            out["path"] = "order-limit-scan"
+            out["order_limit"] = {"key": key, "desc": desc,
+                                  "blocks_decoded_min": n_dec,
+                                  "blocks_candidate": len(cand)}
+        else:
+            out["path"] = "store-scan"
     return out
 
 
@@ -921,10 +1051,11 @@ def run_sql(sf_dir: str, sql: str,
     elif plan["table"] == "store":
         if plan["group"]:
             fast = _store_grouped_metadata_answer(sf_dir, plan)
-        elif plan["conds"]:
-            fast = _store_pushdown_aggregate(sf_dir, plan)
+        elif any(it["agg"] for it in plan["items"]):
+            fast = (_store_pushdown_aggregate(sf_dir, plan)
+                    if plan["conds"] else _store_metadata_answer(sf_dir, plan))
         else:
-            fast = _store_metadata_answer(sf_dir, plan)
+            fast = _store_order_limit_scan(sf_dir, plan)
         if fast is not None:
             # pure-aggregate result (global or footer-grouped): HAVING is
             # gated off; ORDER BY/LIMIT apply on the small frame
@@ -1059,8 +1190,12 @@ def run_sql(sf_dir: str, sql: str,
                      for it in plan["items"] if it["col"]}
         keys = [c if c in out.columns else col2alias.get(c, c)
                 for c, _ in plan["order"]]
-        out = out.sort_values(keys,
-                              ascending=[not d for _, d in plan["order"]])
+        if all(k in out.columns for k in keys):
+            out = out.sort_values(keys,
+                                  ascending=[not d for _, d in plan["order"]])
+        # else: ORDER BY references non-selected columns — the plain path
+        # already applied the full order DISTRIBUTED (ds.sort) before the
+        # projection dropped them; re-sorting a key subset would be wrong
     if plan["limit"] is not None:
         out = out.head(plan["limit"])
     return out.reset_index(drop=True)

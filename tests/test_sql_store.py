@@ -229,3 +229,45 @@ def test_explain_sql_matches_execution_paths(ray_session, tmp_path):
     assert e4["broadcast_dims"] == ["customer"]
     assert explain_sql(sf, "SELECT COUNT(*) AS n FROM orders")["path"] \
         == "table-scan"
+
+
+def test_sql_store_order_limit_scan(ray_session, tmp_path):
+    """ORDER BY key LIMIT k over a store clustered on the key decodes only
+    the edge block(s) — and stays correct (full scan) when unclustered or
+    when the ORDER BY references a non-selected column."""
+    from howard_ray import sqlmini
+    from howard_ray.pipeline import recluster_store
+    from howard_ray.sqlmini import explain_sql
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 8000, seed=29)
+    st = str(tmp_path / "st_tk")
+    encode_dataset(src, st, mode="cluster", target_rows=500)
+    recluster_store(st, "n_tok", target_rows=500)
+
+    for q in ("SELECT doc_id, n_tok FROM store "
+              "ORDER BY n_tok, doc_id LIMIT 15",
+              "SELECT doc_id, n_tok FROM store "
+              "ORDER BY n_tok DESC, doc_id LIMIT 9",
+              "SELECT doc_id, n_tok, source FROM store WHERE source = 'web' "
+              "ORDER BY n_tok DESC, doc_id LIMIT 6"):
+        got = run_sql(st, q)
+        exp = duckdb.sql(q.replace("FROM store", f"FROM '{src}'")).df()
+        assert got.reset_index(drop=True).equals(exp.reset_index(drop=True)), q
+        info = sqlmini.LAST_TOPK_INFO
+        # clustered on n_tok: the greedy loop stops after the edge blocks
+        assert info["blocks_decoded"] <= max(3, info["blocks_total"] // 4), \
+            (q, info)
+
+    e = explain_sql(st, "SELECT doc_id, n_tok FROM store "
+                        "ORDER BY n_tok LIMIT 15")
+    assert e["path"] == "order-limit-scan"
+    assert e["order_limit"]["blocks_decoded_min"] <= 3
+
+    # ORDER BY a non-selected column falls back to the generic scan —
+    # and is still right
+    q = "SELECT doc_id FROM store ORDER BY n_tok, doc_id LIMIT 5"
+    got = run_sql(st, q)
+    exp = duckdb.sql(q.replace("FROM store", f"FROM '{src}'")).df()
+    assert got.equals(exp)
+    assert explain_sql(st, q)["path"] == "store-scan"
