@@ -203,6 +203,20 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from .view import create_view, read_view, refresh_view
+
+    if args.action == "create":
+        aggs = {k: tuple(v) for k, v in json.loads(args.aggs).items()}
+        print(json.dumps(create_view(args.store, args.view_dir,
+                                     args.group_by, aggs)))
+    elif args.action == "refresh":
+        print(json.dumps(refresh_view(args.view_dir)))
+    else:  # read
+        print(read_view(args.view_dir).to_string(index=False))
+    return 0
+
+
 def cmd_snapshots(args) -> int:
     from .manifest import list_snapshots
     print(json.dumps(list_snapshots(args.store), indent=1))
@@ -328,6 +342,19 @@ def main(argv=None) -> int:
     ch.add_argument("--since", type=int, required=True)
     ch.add_argument("--columns", nargs="+", default=None)
     ch.set_defaults(fn=cmd_changes)
+
+    vw = sub.add_parser("view", help="materialized aggregate view: create "
+                        "from a full scan, refresh incrementally from the "
+                        "change feed (rebaseline on deletes/rewrites), read")
+    vw.add_argument("action", choices=["create", "refresh", "read"])
+    vw.add_argument("view_dir")
+    vw.add_argument("--store", default=None,
+                    help="(create) the encoded store to aggregate")
+    vw.add_argument("--group-by", nargs="+", default=["source"])
+    vw.add_argument("--aggs", default='{"n": ["count"]}',
+                    help='(create) JSON {name: [op, col]}, op in '
+                         'count/sum/min/max/avg')
+    vw.set_defaults(fn=cmd_view)
 
     sn = sub.add_parser("snapshots", help="list retained footer snapshots "
                         "(every footer swap archives one; decode --as-of "

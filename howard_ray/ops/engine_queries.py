@@ -677,3 +677,63 @@ SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        CAST(sum(doc_id) AS BIGINT) AS sum_ids
 FROM documents WHERE n_chars >= 400
 """
+
+
+def store_view(sf_dir: str):
+    """Incrementally-maintained materialized view (howard_ray.view): the
+    even-doc_id delivery is encoded and a per-source COUNT/SUM/MIN/MAX/AVG
+    view is materialized; the odd delivery is appended and
+    :func:`refresh_view` folds ONLY the new epoch's blocks (the change
+    feed) into the stored mergeable state — no rescan of the base. The
+    value-hash equality with a full GROUP BY over the whole documents
+    table proves the incremental merge law (count/sum add, min/max
+    combine, avg = mergeable (sum, count) pair) is exact."""
+    from ..pipeline import append_to_store
+    from ..view import create_view, read_view, refresh_view
+
+    cols = ["doc_id", "source", "n_chars"]
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d1 = os.path.join(CACHE, f"view_d1_{tag}")
+    d2 = os.path.join(CACHE, f"view_d2_{tag}")
+    store = os.path.join(CACHE, f"store_view_{tag}")
+    view = os.path.join(CACHE, f"view_{tag}")
+    for p in (d1, d2, store, view):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def parity(rem: int):
+        def f(batch):
+            import pyarrow.compute as _pc
+            return batch.filter(_pc.equal(
+                _pc.bit_wise_and(batch["doc_id"], 1), rem))
+        return f
+
+    ds = ray.data.read_parquet(src, columns=cols)
+    ds.map_batches(parity(0), batch_format="pyarrow").write_parquet(d1)
+    ds.map_batches(parity(1), batch_format="pyarrow").write_parquet(d2)
+
+    encode_dataset(d1, store, mode="cluster", target_rows=20_000,
+                   resume=False)
+    create_view(store, view, ["source"],
+                {"n_docs": ("count",), "sum_chars": ("sum", "n_chars"),
+                 "min_chars": ("min", "n_chars"),
+                 "max_chars": ("max", "n_chars"),
+                 "avg_chars": ("avg", "n_chars")})
+    append_to_store(store, d2, mode="cluster", target_rows=20_000)
+    r = refresh_view(view)
+    assert r["mode"] == "incremental", r
+    out = read_view(view)
+    for c in ("n_docs", "sum_chars", "min_chars", "max_chars"):
+        out[c] = out[c].astype("int64")
+    out["avg_chars"] = out["avg_chars"].astype("float64").round(4)
+    return out
+
+
+SQL["store_view"] = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       ROUND(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY source ORDER BY source
+"""
