@@ -282,7 +282,7 @@ def cmd_sql(args) -> int:
                                      tables_dir=args.tables_dir), indent=1))
         return 0
     out = run_sql(args.sf_dir, args.statement,
-                  tables_dir=args.tables_dir)
+                  tables_dir=args.tables_dir, as_of=args.as_of)
     print(out.head(args.limit).to_string())
     return 0
 
@@ -465,6 +465,9 @@ def main(argv=None) -> int:
     sq.add_argument("--tables-dir", default=None,
                     help="parquet dir for JOINed tables when --sf-dir is "
                          "an encoded store (FROM store JOIN ...)")
+    sq.add_argument("--as-of", type=int, default=None, dest="as_of",
+                    help="time travel: answer the query against a retained "
+                         "snapshot footer (plain FROM store only)")
     sq.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)

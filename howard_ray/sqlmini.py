@@ -426,7 +426,8 @@ def _joined_dataset(sf_dir: str, plan: dict, tables_dir: str | None = None):
     return ds
 
 
-def _store_metadata_answer(store_dir: str, plan: dict) -> pd.DataFrame | None:
+def _store_metadata_answer(store_dir: str, plan: dict,
+                           as_of: int | None = None) -> pd.DataFrame | None:
     """O(metadata) fast path: a pure COUNT(*) / SUM / MIN / MAX / AVG
     SELECT with no WHERE / GROUP BY over a store is answered from the
     footer zone-map stats alone — ZERO blocks are read or decoded (the
@@ -464,7 +465,7 @@ def _store_metadata_answer(store_dir: str, plan: dict) -> pd.DataFrame | None:
             return None
     except OSError:
         return None
-    blocks = load_footer(store_dir)["blocks"]
+    blocks = load_footer(store_dir, as_of=as_of)["blocks"]
     if not blocks:
         return None
     n_rows = sum(b["n_rows"] for b in blocks)
@@ -536,8 +537,8 @@ def _zone_classify(stats: dict, op: str, val) -> str:
     return "partial"
 
 
-def _store_pushdown_aggregate(store_dir: str,
-                              plan: dict) -> pd.DataFrame | None:
+def _store_pushdown_aggregate(store_dir: str, plan: dict,
+                              as_of: int | None = None) -> pd.DataFrame | None:
     """Zone-complete aggregate pushdown over a store: for a pure
     COUNT(*)/SUM/MIN/MAX/AVG SELECT whose WHERE is a conjunction of range
     conditions, classify every block against the conjuncts — 'all'
@@ -572,7 +573,7 @@ def _store_pushdown_aggregate(store_dir: str,
             return None
     except OSError:
         return None
-    blocks = load_footer(store_dir)["blocks"]
+    blocks = load_footer(store_dir, as_of=as_of)["blocks"]
     if not blocks:
         return None
 
@@ -619,7 +620,7 @@ def _store_pushdown_aggregate(store_dir: str,
         need_cols = sorted(set(agg_cols) | {c["col"] for c in conds})
         ds = decode_store(store_dir, columns=need_cols,
                           predicate=_pushable_all(conds) or None,
-                          block_ids=partial_ids)
+                          block_ids=partial_ids, as_of=as_of)
 
         def part(b: pa.Table) -> pa.Table:
             b = _predicate(b, conds)
@@ -679,8 +680,8 @@ def _store_pushdown_aggregate(store_dir: str,
     return df
 
 
-def _store_grouped_metadata_answer(store_dir: str,
-                                   plan: dict) -> pd.DataFrame | None:
+def _store_grouped_metadata_answer(store_dir: str, plan: dict,
+                                   as_of: int | None = None) -> pd.DataFrame | None:
     """Grouped O(metadata) aggregates: ``GROUP BY col`` over a store whose
     blocks are single-valued in the group column (footer min == max — true
     by construction for the cluster mode's (source, salt) blocks) folds
@@ -716,7 +717,7 @@ def _store_grouped_metadata_answer(store_dir: str,
             return None
     except OSError:
         return None
-    blocks = load_footer(store_dir)["blocks"]
+    blocks = load_footer(store_dir, as_of=as_of)["blocks"]
     if not blocks:
         return None
 
@@ -759,7 +760,7 @@ def _store_grouped_metadata_answer(store_dir: str,
         from .pipeline import decode_store
         agg_cols = sorted(need_sum | need_mm)
         ds = decode_store(store_dir, columns=sorted({gcol, *agg_cols}),
-                          block_ids=set(mixed))
+                          block_ids=set(mixed), as_of=as_of)
 
         def part(b: pa.Table) -> pa.Table:
             df = b.to_pandas()
@@ -819,7 +820,8 @@ def _store_grouped_metadata_answer(store_dir: str,
 LAST_TOPK_INFO: dict = {}
 
 
-def _topk_candidates(sf_dir: str, plan: dict):
+def _topk_candidates(sf_dir: str, plan: dict,
+                     as_of: int | None = None):
     """Shared qualification for the ORDER BY+LIMIT short-circuit: a plain
     (no aggregate/group/having) SELECT with ORDER BY whose FIRST key is a
     physical column carrying min/max zone stats on EVERY block that
@@ -838,7 +840,7 @@ def _topk_candidates(sf_dir: str, plan: dict):
     key = alias2col.get(key0, key0)
 
     from .manifest import load_footer
-    blocks = load_footer(sf_dir)["blocks"]
+    blocks = load_footer(sf_dir, as_of=as_of)["blocks"]
     cand = []
     for b in blocks:
         cols = b.get("columns") or {}
@@ -857,7 +859,8 @@ def _topk_candidates(sf_dir: str, plan: dict):
     return key, desc, cand
 
 
-def _store_order_limit_scan(sf_dir: str, plan: dict):
+def _store_order_limit_scan(sf_dir: str, plan: dict,
+                            as_of: int | None = None):
     """Top-k over the encoded store without a global sort: when the store
     is clustered on the ORDER BY key (recluster/Z-order — blocks are
     near-disjoint key ranges), decode blocks GREEDILY in footer-stat key
@@ -870,7 +873,7 @@ def _store_order_limit_scan(sf_dir: str, plan: dict):
     answer. Returns the ALIASED result rows (superset of the final top-k;
     the caller's fast-path tail applies the authoritative sort + LIMIT),
     or None when the query shape doesn't qualify."""
-    q = _topk_candidates(sf_dir, plan)
+    q = _topk_candidates(sf_dir, plan, as_of=as_of)
     if q is None:
         return None
     key, desc, cand = q
@@ -889,7 +892,7 @@ def _store_order_limit_scan(sf_dir: str, plan: dict):
         i += chunk
         chunk *= 2  # back off geometrically if early blocks don't satisfy
         df = decode_store(sf_dir, columns=need, predicate=pred,
-                          block_ids=ids).to_pandas()
+                          block_ids=ids, as_of=as_of).to_pandas()
         n_decoded += len(ids)
         # a fully-filtered chunk comes back EMPTY with its schema lost
         # through to_pandas — nothing to collect or count
@@ -1030,17 +1033,27 @@ def explain_sql(sf_dir: str, sql: str,
 
 
 def run_sql(sf_dir: str, sql: str,
-            tables_dir: str | None = None) -> pd.DataFrame:
+            tables_dir: str | None = None,
+            as_of: int | None = None) -> pd.DataFrame:
     """Parse + compile + execute over the sf tables — or over an ENCODED
     STORE: ``FROM store`` reads ``sf_dir`` as a store directory via
     :func:`decode_store` (pruned columns + one pushed-down predicate), so
     the whole mini-SQL surface (grouping, HAVING, COUNT(DISTINCT), LIKE,
-    ORDER/LIMIT) runs directly on encoded blocks. Returns pandas."""
+    ORDER/LIMIT) runs directly on encoded blocks. Returns pandas.
+
+    ``as_of``: time-travel — every footer read (metadata fast paths, zone
+    pruning, the top-k scan) and every block decode resolves against the
+    retained snapshot footer instead of the live one, so the whole SQL
+    surface answers as of that snapshot. Tombstones still pierce history
+    (erasure semantics), exactly as ``decode_store(as_of=)``. Only plain
+    ``FROM store`` supports it (no JOIN)."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
     from .ops.util import tbl
 
     plan = parse(sql)
+    if as_of is not None and (plan["table"] != "store" or plan["joins"]):
+        raise ValueError("as_of requires a plain FROM store query")
     if plan["joins"]:
         if plan["table"] == "store" and tables_dir is None:
             raise ValueError(
@@ -1050,12 +1063,13 @@ def run_sql(sf_dir: str, sql: str,
         plan = dict(plan, conds=[])
     elif plan["table"] == "store":
         if plan["group"]:
-            fast = _store_grouped_metadata_answer(sf_dir, plan)
+            fast = _store_grouped_metadata_answer(sf_dir, plan, as_of=as_of)
         elif any(it["agg"] for it in plan["items"]):
-            fast = (_store_pushdown_aggregate(sf_dir, plan)
-                    if plan["conds"] else _store_metadata_answer(sf_dir, plan))
+            fast = (_store_pushdown_aggregate(sf_dir, plan, as_of=as_of)
+                    if plan["conds"] else
+                    _store_metadata_answer(sf_dir, plan, as_of=as_of))
         else:
-            fast = _store_order_limit_scan(sf_dir, plan)
+            fast = _store_order_limit_scan(sf_dir, plan, as_of=as_of)
         if fast is not None:
             # pure-aggregate result (global or footer-grouped): HAVING is
             # gated off; ORDER BY/LIMIT apply on the small frame
@@ -1077,7 +1091,8 @@ def run_sql(sf_dir: str, sql: str,
         zones = _store_zones(plan["conds"])
         ds = decode_store(sf_dir, columns=_needed_columns(plan),
                           zone_filter=zones or None,
-                          predicate=_pushable_all(plan["conds"]) or None)
+                          predicate=_pushable_all(plan["conds"]) or None,
+                          as_of=as_of)
     else:
         ds = tbl(sf_dir, plan["table"], _needed_columns(plan))
     if plan["conds"]:

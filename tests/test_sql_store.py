@@ -271,3 +271,52 @@ def test_sql_store_order_limit_scan(ray_session, tmp_path):
     exp = duckdb.sql(q.replace("FROM store", f"FROM '{src}'")).df()
     assert got.equals(exp)
     assert explain_sql(st, q)["path"] == "store-scan"
+
+
+def test_sql_as_of_time_travel(ray_session, tmp_path):
+    """run_sql(as_of=): the whole SQL surface — metadata fast path,
+    pushdown aggregate, order-limit scan, generic scan — answers against
+    a retained snapshot footer instead of the live one."""
+    from howard_ray.manifest import load_footer
+    from howard_ray.pipeline import append_to_store
+
+    src1 = str(tmp_path / "d1.parquet")
+    src2 = str(tmp_path / "d2.parquet")
+    write_corpus(src1, 1200, seed=41)
+    write_corpus(src2, 800, seed=42)
+    st = str(tmp_path / "st")
+    encode_dataset(src1, st, mode="cluster", target_rows=400)
+    snap = load_footer(st)["snapshot_id"]
+    append_to_store(st, src2, mode="cluster", target_rows=400)
+
+    # metadata fast path: COUNT as of the pre-append snapshot
+    q = "SELECT COUNT(*) AS n, SUM(n_tok) AS tok FROM store"
+    old = run_sql(st, q, as_of=snap)
+    live = run_sql(st, q)
+    exp1 = duckdb.sql(f"SELECT COUNT(*) n, SUM(n_tok) tok "
+                      f"FROM '{src1}'").df()
+    exp2 = duckdb.sql(f"SELECT COUNT(*) n, SUM(n_tok) tok FROM (SELECT * "
+                      f"FROM '{src1}' UNION ALL SELECT * FROM '{src2}')").df()
+    assert int(old["n"].iloc[0]) == int(exp1["n"].iloc[0])
+    assert int(old["tok"].iloc[0]) == int(exp1["tok"].iloc[0])
+    assert int(live["n"].iloc[0]) == int(exp2["n"].iloc[0])
+
+    # pushdown aggregate + generic scan as-of
+    q2 = ("SELECT COUNT(*) AS n FROM store WHERE n_tok >= 500")
+    old2 = run_sql(st, q2, as_of=snap)
+    exp = duckdb.sql(f"SELECT COUNT(*) n FROM '{src1}' "
+                     "WHERE n_tok >= 500").df()
+    assert int(old2["n"].iloc[0]) == int(exp["n"].iloc[0])
+
+    # order-limit scan as-of (superset loop over the snapshot footer)
+    q3 = ("SELECT doc_id, n_tok FROM store "
+          "ORDER BY n_tok DESC, doc_id LIMIT 5")
+    old3 = run_sql(st, q3, as_of=snap)
+    exp3 = duckdb.sql(f"SELECT doc_id, n_tok FROM '{src1}' "
+                      "ORDER BY n_tok DESC, doc_id LIMIT 5").df()
+    assert old3.equals(exp3)
+
+    # guard: as_of over a parquet table is refused
+    with pytest.raises(ValueError):
+        run_sql(str(tmp_path), "SELECT COUNT(*) AS n FROM documents",
+                as_of=snap)
