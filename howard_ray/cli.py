@@ -224,9 +224,15 @@ def cmd_snapshots(args) -> int:
 
 
 def cmd_recluster(args) -> int:
-    from .pipeline import recluster_store
+    from .pipeline import recluster_incremental, recluster_store
 
     by = args.by[0] if len(args.by) == 1 else args.by
+    if args.incremental:
+        if not isinstance(by, str):
+            raise SystemExit("--incremental reclusters by ONE column")
+        print(json.dumps(recluster_incremental(
+            args.store, by, target_rows=args.target_rows)))
+        return 0
     print(json.dumps(recluster_store(args.store, by,
                                      target_rows=args.target_rows,
                                      zorder=args.zorder)))
@@ -329,6 +335,9 @@ def main(argv=None) -> int:
     rc.add_argument("store")
     rc.add_argument("by", nargs="+")
     rc.add_argument("--target-rows", type=int, default=None)
+    rc.add_argument("--incremental", action="store_true",
+                    help="partial OPTIMIZE: rewrite only blocks whose key "
+                         "ranges overlap (cost ~ disorder, not store size)")
     rc.add_argument("--zorder", action="store_true",
                     help="bit-interleave the (>=2 int) columns into one "
                          "Morton key: every listed column's zone maps "

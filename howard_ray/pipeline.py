@@ -1800,6 +1800,142 @@ def recluster_store(store_dir: str, by: "str | list[str]", *,
             "clustered_by": cols if not zorder else {"zorder": cols}}
 
 
+def recluster_incremental(store_dir: str, by: str, *,
+                          target_rows: int | None = None,
+                          profile: str = "standard") -> dict:
+    """Partial OPTIMIZE: restore the clustering invariant (pairwise-
+    disjoint per-block key ranges) by rewriting ONLY the blocks whose key
+    ranges overlap — cost proportional to the DISORDER, not the store.
+
+    After appends dirty a clustered store, the delta's blocks overlap a
+    handful of base blocks; a sweep over the footer's min/max (pure
+    metadata, no reads) merges overlapping ranges into components,
+    singleton components keep their block record untouched (per-block
+    rmaps / sidecars / tombstones intact), and multi-block components
+    decode → sort → re-encode in ONE streaming pass. Component intervals
+    are disjoint by construction, so the globally-sorted rewrite stream
+    never interleaves components; each encode batch additionally SPLITS at
+    component upper bounds so no new block straddles a gap that holds a
+    kept block. The result is a fully disjoint layout — same invariant as
+    a full :func:`recluster_store` — for a fraction of the writes (the
+    Iceberg partial-OPTIMIZE idea on this store).
+
+    Rewritten blocks' tombstones and sidecars fold physically; kept
+    blocks' stay valid on disk. Crash-safe like compaction: new files
+    first, atomic footer swap, old files GC'd after."""
+    footer = load_footer(store_dir)
+    old = footer["blocks"]
+    if not old:
+        return {"n_blocks_before": 0, "n_blocks_rewritten": 0}
+    stats = [((b.get("columns") or {}).get(by) or {}).get("stats") or {}
+             for b in old]
+    if any("min" not in s or "max" not in s for s in stats):
+        raise ValueError(f"column {by!r} lacks zone stats on some blocks; "
+                         "run a full recluster_store instead")
+    if target_rows is None:
+        target_rows = max(b["n_rows"] for b in old)
+
+    # metadata-only sweep: merge STRICTLY overlapping [min,max] into
+    # components. Touching ranges (next.min == prior.max) are left alone:
+    # duplicate keys at sort-partition boundaries make them unavoidable,
+    # they cost a point query at most one extra block, and treating them
+    # as disorder would make every pass rewrite tie-adjacent blocks again.
+    order = sorted(range(len(old)), key=lambda i: (stats[i]["min"],
+                                                   stats[i]["max"]))
+    comps: list[list[int]] = []
+    cur_hi = None
+    for i in order:
+        if comps and stats[i]["min"] < cur_hi:
+            comps[-1].append(i)
+            cur_hi = max(cur_hi, stats[i]["max"])
+        else:
+            comps.append([i])
+            cur_hi = stats[i]["max"]
+    rewrite = [i for comp in comps for i in comp if len(comp) > 1]
+    if not rewrite:
+        extra = {k: v for k, v in footer.items()
+                 if k not in ("version", "n_blocks", "n_rows",
+                              "encoded_bytes", "blocks", "sharded",
+                              "shards")}
+        extra["clustered_by"] = [by]
+        write_footer(store_dir, old, extra=extra)
+        return {"n_blocks_before": len(old), "n_blocks_rewritten": 0,
+                "n_blocks_after": len(old), "n_rows": footer["n_rows"],
+                "clustered_by": [by]}
+    rewrite_ids = {old[i]["block_id"] for i in rewrite}
+    kept = [b for b in old if b["block_id"] not in rewrite_ids]
+    # component upper bounds: encode batches split here so no new block
+    # spans a gap that may hold a kept block
+    uppers = sorted(max(stats[i]["max"] for i in comp)
+                    for comp in comps if len(comp) > 1)
+
+    ds = decode_store(store_dir, block_ids=rewrite_ids).sort(by)
+
+    def encode_sorted(batch: pa.Table) -> pa.Table:
+        import bisect
+        import hashlib
+
+        import numpy as np
+
+        from .codecs import zstd as zstd_mod
+        from .codecs.bitpack import warmup
+        warmup()
+        zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
+        keys = batch[by].to_pylist()
+        # cut at every component upper bound that falls inside this batch
+        cuts, lo = [0], bisect.bisect_left(uppers, keys[0])
+        for ub in uppers[lo:]:
+            if ub >= keys[-1]:
+                break
+            cuts.append(int(np.searchsorted(np.asarray(keys), ub,
+                                            side="right")))
+        cuts.append(batch.num_rows)
+        recs = []
+        for a, b_ in zip(cuts, cuts[1:]):
+            if a == b_:
+                continue
+            piece = batch.slice(a, b_ - a)
+            digest = hashlib.blake2b(
+                f"{keys[a]}|{keys[b_ - 1]}|{piece.num_rows}".encode(),
+                digest_size=16).hexdigest()
+            recs += _encode_tables_to_blocks(
+                [piece], store_dir, f"rci-{digest}",
+                sort_key=str(keys[a]), target_rows=target_rows,
+                completed={}, input_info=f"recluster_incremental:{by}",
+                profile=profile)
+        return _records_table(recs)
+
+    rec_ds = ds.map_batches(encode_sorted, batch_size=target_rows,
+                            batch_format="pyarrow")
+    new_records = [json.loads(r) for r in
+                   rec_ds.to_pandas()["record"].tolist()]
+
+    extra = {k: v for k, v in footer.items()
+             if k not in ("version", "n_blocks", "n_rows", "encoded_bytes",
+                          "blocks", "sharded", "shards")}
+    extra["clustered_by"] = [by]
+    new_footer = write_footer(store_dir, kept + new_records, extra=extra)
+    expire_snapshots(store_dir, rewrite_ids)
+    for b in old:
+        if b["block_id"] not in rewrite_ids:
+            continue
+        for path in (block_path(store_dir, b["block_id"]),
+                     tombstone_path(store_dir, b["block_id"]),
+                     *(os.path.join(store_dir, "blocks", f)
+                       for f in (b.get("ext_files") or {}).values()),
+                     *(os.path.join(store_dir, "blooms", f)
+                       for f in (b.get("blooms") or {}).values())):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+    return {"n_blocks_before": len(old),
+            "n_blocks_rewritten": len(rewrite_ids),
+            "n_blocks_after": new_footer["n_blocks"],
+            "n_rows": new_footer["n_rows"],
+            "clustered_by": [by]}
+
+
 def delete_where(store_dir: str, predicate: tuple) -> dict:
     """Row-level delete: mark every row matching ``predicate``
     (``(col, op, value)``, same ops as :func:`decode_store`) as deleted via

@@ -388,3 +388,57 @@ def test_recluster_zorder(ray_session, tmp_path):
     # single-column list degrades to the plain sort path
     r2 = recluster_store(st, ["n_tok"], target_rows=500)
     assert r2["clustered_by"] == ["n_tok"]
+
+
+def test_recluster_incremental(ray_session, tmp_path):
+    """Partial OPTIMIZE: after a narrow append dirties a clustered store,
+    the metadata sweep rewrites ONLY the strictly-overlapping blocks
+    (cost ~ disorder); content stays exact; a second pass is a no-op; the
+    strict-overlap invariant holds afterwards."""
+    import duckdb
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from howard_ray.fixtures import write_corpus
+    from howard_ray.manifest import load_footer
+    from howard_ray.pipeline import (append_to_store, decode_store,
+                                     encode_dataset, recluster_incremental,
+                                     recluster_store)
+
+    d1 = str(tmp_path / "d1.parquet")
+    raw = str(tmp_path / "raw.parquet")
+    d2 = str(tmp_path / "d2.parquet")
+    write_corpus(d1, 8000, seed=21)
+    write_corpus(raw, 2000, seed=22)
+    t2 = pq.read_table(raw)
+    t2 = t2.filter(pc.greater_equal(t2["n_tok"], 1500))  # narrow key band
+    pq.write_table(t2, d2)
+    assert t2.num_rows > 20
+
+    st = str(tmp_path / "st")
+    encode_dataset(d1, st, mode="cluster", target_rows=400)
+    recluster_store(st, "n_tok", target_rows=400)
+    append_to_store(st, d2, mode="stream", target_rows=400)
+
+    r = recluster_incremental(st, "n_tok", target_rows=400)
+    # only the tail component rewrites, the ordered bulk is untouched
+    assert 0 < r["n_blocks_rewritten"] <= r["n_blocks_before"] // 2, r
+    assert r["clustered_by"] == ["n_tok"]
+
+    got = decode_store(st).to_pandas()
+    exp = duckdb.sql(
+        f"SELECT COUNT(*) AS n, SUM(n_tok) AS s FROM (SELECT * FROM "
+        f"'{d1}' UNION ALL SELECT * FROM '{d2}')").df()
+    assert len(got) == int(exp["n"].iloc[0])
+    assert int(got["n_tok"].sum()) == int(exp["s"].iloc[0])
+
+    # idempotent: the invariant is restored, so a second pass rewrites 0
+    assert recluster_incremental(st, "n_tok",
+                                 target_rows=400)["n_blocks_rewritten"] == 0
+
+    # no strict overlap between any two blocks' key ranges
+    f = load_footer(st)
+    iv = sorted((b["columns"]["n_tok"]["stats"]["min"],
+                 b["columns"]["n_tok"]["stats"]["max"])
+                for b in f["blocks"])
+    assert all(iv[i][1] <= iv[i + 1][0] for i in range(len(iv) - 1))
