@@ -256,3 +256,29 @@ def write_block_file(path: str, file_bytes: bytes) -> None:
 def read_block_file(path: str, columns: list[str] | None = None) -> pa.Table:
     with open(path, "rb") as f:
         return decode_block(f.read(), columns)
+
+
+def read_block_meta_path(path: str) -> dict:
+    """Block meta from the file HEADER only (no payload read) — the cheap
+    driver-side probe for schema/type discovery."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head[:4] != MAGIC:
+            raise ValueError("bad block magic")
+        meta_len = int.from_bytes(head[4:8], "little")
+        return json.loads(f.read(meta_len))
+
+
+def entry_arrow_type(entry: dict) -> "pa.DataType | None":
+    """The Arrow type a column entry decodes to — None for the opaque
+    'other' kind (whose type is only known by decoding)."""
+    kind = entry["kind"]
+    if kind == "int":
+        return pa.from_numpy_dtype(np.dtype(entry["meta"]["dtype"]))
+    if kind == "float":
+        return pa.from_numpy_dtype(np.dtype(entry["meta"]["dtype"]))
+    if kind == "str":
+        return pa.string()
+    if kind in ("list_int", "list_float"):
+        return pa.list_(pa.type_for_alias(entry["value_type"]))
+    return None

@@ -117,6 +117,7 @@ def all_queries():
         "store_upsert": engine_queries.store_upsert,
         "store_changes": engine_queries.store_changes,
         "store_view": engine_queries.store_view,
+        "store_schema_evolution": engine_queries.store_schema_evolution,
         "store_recluster": engine_queries.store_recluster,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,

@@ -737,3 +737,59 @@ SELECT source, count(*) AS n_docs,
        ROUND(avg(n_chars), 4) AS avg_chars
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def store_schema_evolution(sf_dir: str):
+    """Schema evolution on append: delivery 1 (even doc_ids) is encoded
+    WITHOUT the lang column; delivery 2 (odd doc_ids) appends WITH it.
+    Blocks predating the column decode it as typed nulls (donor-header
+    type probe), so the union store groups by source with COUNT(lang)
+    counting exactly the post-epoch rows — value-hash-equal to the
+    oracle's CASE-gated count over the whole documents table."""
+    from ray.data.aggregate import Count, Sum
+
+    cols = ["doc_id", "source", "n_chars", "lang"]
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d1 = os.path.join(CACHE, f"sev_d1_{tag}")
+    d2 = os.path.join(CACHE, f"sev_d2_{tag}")
+    store = os.path.join(CACHE, f"store_sev_{tag}")
+    for p in (d1, d2, store):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def parity(rem: int, keep_lang: bool):
+        def f(batch):
+            import pyarrow.compute as _pc
+            b = batch.filter(_pc.equal(
+                _pc.bit_wise_and(batch["doc_id"], 1), rem))
+            return b if keep_lang else b.drop_columns(["lang"])
+        return f
+
+    ds = ray.data.read_parquet(src, columns=cols)
+    ds.map_batches(parity(0, False), batch_format="pyarrow").write_parquet(d1)
+    ds.map_batches(parity(1, True), batch_format="pyarrow").write_parquet(d2)
+
+    from ..pipeline import append_to_store
+    encode_dataset(d1, store, mode="cluster", target_rows=20_000,
+                   resume=False)
+    append_to_store(store, d2, mode="cluster", target_rows=20_000)
+
+    out = (decode_store(store)
+           .groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Count(on="lang", ignore_nulls=True,
+                            alias_name="n_lang"),
+                      Sum("n_chars", alias_name="sum_chars"))
+           .to_pandas())
+    for c in ("n_docs", "n_lang", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL["store_schema_evolution"] = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lang,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source ORDER BY source
+"""

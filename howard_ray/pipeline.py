@@ -778,13 +778,54 @@ def _block_rmap(b: dict) -> dict:
     return m
 
 
+def _column_type_hints(store_dir: str, blocks: list[dict],
+                       cols: list[str]) -> dict:
+    """Arrow type per (schema-evolved) column, discovered from ONE donor
+    block's file header each — the driver-side probe that lets blocks
+    predating a column decode it as TYPED nulls (uniform union schema
+    across epochs). Opaque 'other'-kind columns fall back to decoding the
+    single donor column."""
+    from .block import entry_arrow_type, read_block_meta_path
+
+    fills: dict = {}
+    for c in cols:
+        donor = next((b for b in blocks if c in (b.get("columns") or {})),
+                     None)
+        if donor is None:
+            raise KeyError(f"column {c!r} exists in no block of the store")
+        rmap = _block_rmap(donor)
+        ext = rmap.get("ext") or {}
+        inv = {v: k for k, v in (rmap.get("ren") or {}).items()}
+        if c in ext:
+            path, infile = os.path.join(store_dir, "blocks", ext[c]), None
+        else:
+            path, infile = block_path(store_dir, donor["block_id"]), \
+                inv.get(c, c)
+        meta = read_block_meta_path(path)
+        entry = (meta["columns"][infile] if infile is not None
+                 else next(iter(meta["columns"].values())))
+        t = entry_arrow_type(entry)
+        if t is None:  # opaque column: one donor-column decode tells all
+            name = infile if infile is not None \
+                else next(iter(meta["columns"]))
+            t = read_block_file(path, [name]).column(0).type
+        fills[c] = t
+    return fills
+
+
 def _read_logical_block(store_dir: str, block_id: str, rmap: dict,
-                        columns: list[str] | None = None) -> pa.Table:
+                        columns: list[str] | None = None,
+                        fills: dict | None = None) -> pa.Table:
     """Read a block's LOGICAL table: base columns from the immutable block
     file (in-file names translated through the rename map, dropped names
     excluded), derived columns from their per-block sidecar column files.
     ``columns`` is in LOGICAL names; column pruning never opens or decodes
-    what it doesn't need (a metadata-dropped column is never decoded)."""
+    what it doesn't need (a metadata-dropped column is never decoded).
+
+    ``fills`` (schema evolution on append): logical name → Arrow type for
+    columns that newer epochs carry but this block may predate — a missing
+    column decodes as typed nulls instead of raising, so mixed-epoch
+    stores present one uniform union schema."""
     from .block import decode_block, read_block_meta
 
     ext = rmap.get("ext") or {}
@@ -805,15 +846,34 @@ def _read_logical_block(store_dir: str, block_id: str, rmap: dict,
     inv = {v: k for k, v in ren.items()}  # logical -> in-file
     want_ext = [c for c in columns if c in ext]
     base_logical = [c for c in columns if c not in ext]
-    t = None
+    t, missing = None, []
     if base_logical:
-        t = read_block_file(block_path(store_dir, block_id),
-                            [inv.get(c, c) for c in base_logical])
-        t = t.rename_columns(base_logical)
+        with open(block_path(store_dir, block_id), "rb") as f:
+            data = f.read()
+        if fills:
+            meta_cols = read_block_meta(data)["columns"]
+            present = [c for c in base_logical if inv.get(c, c) in meta_cols]
+            missing = [c for c in base_logical if c not in present]
+            bad = [c for c in missing if c not in fills]
+            if bad:
+                raise KeyError(bad[0])
+        else:
+            present = base_logical
+        if present:
+            t = decode_block(data, [inv.get(c, c) for c in present])
+            t = t.rename_columns(present)
     for c in want_ext:
         col = read_block_file(
             os.path.join(store_dir, "blocks", ext[c])).column(0)
         t = pa.table({c: col}) if t is None else t.append_column(c, col)
+    if missing:
+        if t is None:  # nothing requested exists in this block
+            n = read_block_meta(data)["n_rows"]
+        else:
+            n = t.num_rows
+        for c in missing:
+            col = pa.nulls(n, fills[c])
+            t = pa.table({c: col}) if t is None else t.append_column(c, col)
     return t.select(columns)
 
 
@@ -1346,6 +1406,31 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
     # sqlmini._store_pushdown_aggregate answers the rest from the footer)
     if block_ids is not None:
         blocks = [b for b in blocks if b["block_id"] in block_ids]
+    # ---- schema evolution on append (mixed-epoch column sets) ----
+    # union schema in first-seen footer order; a block predating a
+    # PREDICATE's column can match no row (NULL never satisfies ==/!=/
+    # range/IN — the same SQL semantics the DuckDB oracle applies to the
+    # union table), so it prunes at the driver for free
+    union_cols: list[str] = []
+    _seen: set = set()
+    for b in blocks:
+        for c in (b.get("columns") or {}):
+            if c not in _seen:
+                _seen.add(c)
+                union_cols.append(c)
+    if preds:
+        blocks = [b for b in blocks
+                  if all(p[0] in (b.get("columns") or {}) for p in preds)]
+    want = columns if columns is not None else union_cols
+    divergent = [c for c in want
+                 if any(c not in (b.get("columns") or {}) for b in blocks)]
+    # missing columns decode as TYPED nulls — the type comes from one
+    # header probe of a donor block, so every task emits the same schema
+    fills = (_column_type_hints(store_dir, blocks, divergent)
+             if divergent else None)
+    eff_columns = (columns if (columns is not None or not divergent)
+                   else union_cols)
+
     # tombstoned blocks are flagged at plan time (one driver-side listdir);
     # workers load only the tombstones they decode
     tombs = list_tombstones(store_dir)
@@ -1380,7 +1465,8 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
         for bid, rmap_j, tomb in zip(batch["block_id"], batch["rmap"],
                                      batch["tomb"]):
             t = _read_logical_block(store_dir, bid.as_py(),
-                                    json.loads(rmap_j.as_py()), columns)
+                                    json.loads(rmap_j.as_py()), eff_columns,
+                                    fills=fills)
             keep = _keep_mask(tomb.as_py(), t.num_rows)
             if keep is not None:
                 t = t.filter(pa.array(keep))
@@ -1459,8 +1545,8 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
             n_match = pc.sum(mask.cast(pa.int8())).as_py() or 0
             if n_match == 0:
                 continue  # late-materialization win: rest never decoded
-            if columns is not None:
-                names = columns
+            if eff_columns is not None:
+                names = eff_columns
             else:
                 if data is None:
                     with open(p.as_py(), "rb") as f:
@@ -1473,7 +1559,8 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
                          if c not in drops] + list(ext)
             rest = [c for c in names if c not in decoded_cols]
             if rest:
-                t = _read_logical_block(store_dir, bid, rmap, rest)
+                t = _read_logical_block(store_dir, bid, rmap, rest,
+                                        fills=fills)
                 for col in names:
                     if col in decoded_cols:
                         t = t.append_column(col, decoded_cols[col])
