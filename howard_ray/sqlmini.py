@@ -1175,15 +1175,24 @@ def run_sql(sf_dir: str, sql: str,
     else:
         if plan["having"]:
             raise ValueError("HAVING requires an aggregate SELECT")
-        # plain SELECT: keep order/limit DISTRIBUTED — a large filtered
-        # table must never be pulled to the driver just to sort and slice.
-        # ORDER BY may use an output alias; the Dataset still carries the
-        # underlying column names
+        # plain SELECT: with a LIMIT, order+limit stay DISTRIBUTED — a
+        # large filtered table must never be pulled to the driver just to
+        # sort and slice. WITHOUT a limit the whole result reaches the
+        # driver anyway and the authoritative frame sort below re-orders
+        # it, so the all-to-all ds.sort would be pure waste — skipped when
+        # every ORDER BY key survives into the result frame. ORDER BY may
+        # use an output alias; the Dataset carries the underlying names
         if plan["order"]:
             alias2col = {it["alias"]: it["col"]
                          for it in plan["items"] if it["col"]}
-            ds = ds.sort([alias2col.get(c, c) for c, _ in plan["order"]],
-                         descending=[d for _, d in plan["order"]])
+            selected = {it["col"] for it in plan["items"] if it["col"]} \
+                | {it["alias"] for it in plan["items"]}
+            driver_sorts = plan["limit"] is None and all(
+                c in selected for c, _ in plan["order"])
+            if not driver_sorts:
+                ds = ds.sort([alias2col.get(c, c)
+                              for c, _ in plan["order"]],
+                             descending=[d for _, d in plan["order"]])
         if plan["limit"] is not None:
             ds = ds.limit(plan["limit"])
         out = ds.to_pandas()
