@@ -24,6 +24,8 @@ ROUND(SUM(o_totalprice), 2) AS total, ROUND(AVG(o_totalprice), 4) AS avg_price
 FROM orders WHERE o_orderpriority = '1-URGENT'""",
     "sql_projection": """SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_totalprice >= 450000 ORDER BY o_orderkey""",
+    "sql_select_star": """SELECT * FROM nation WHERE n_regionkey <= 2
+ORDER BY n_nationkey""",
     "sql_having": """SELECT l_returnflag, COUNT(*) AS n,
 ROUND(SUM(l_extendedprice), 2) AS rev FROM lineitem
 GROUP BY l_returnflag HAVING n >= 10000 ORDER BY l_returnflag""",

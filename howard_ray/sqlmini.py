@@ -5,7 +5,7 @@ table (``howard query``, howard/tools/query.py:22-74; the CLI --query
 path). A full SQL engine is out of scope here, but the shape of the
 surface matters: this module parses the subset
 
-    SELECT item [, item ...]
+    SELECT item [, item ...] | *
     FROM <table> [JOIN <table> ON col = col ...]
     [WHERE col OP literal [AND ...]]
     [GROUP BY col [, col ...]]
@@ -112,7 +112,8 @@ def parse(sql: str) -> dict:
     if not m:
         raise ValueError(f"unsupported SQL: {sql!r}")
     items = []
-    for raw in _split_commas(m.group("select")):
+    star = m.group("select").strip() == "*"
+    for raw in ([] if star else _split_commas(m.group("select"))):
         im = _ITEM_RE.match(raw.strip())
         if not im:
             raise ValueError(f"unsupported SELECT item: {raw!r}")
@@ -173,9 +174,39 @@ def parse(sql: str) -> dict:
     joins = [{"table": jm.group("table"),
               "a": jm.group("a"), "b": jm.group("b")}
              for jm in _JOIN_RE.finditer(frm)]
-    return {"items": items, "table": table, "joins": joins, "conds": conds,
+    return {"items": items, "star": star, "table": table, "joins": joins,
+            "conds": conds,
             "having": having, "group": group, "order": order,
             "limit": int(m.group("limit")) if m.group("limit") else None}
+
+
+def _expand_star(sf_dir: str, plan: dict,
+                 as_of: int | None = None) -> dict:
+    """``SELECT *`` → one plain item per physical column, in the table's
+    own order (for a store: the footer's first-seen union order — same
+    order DuckDB reports for the equivalent parquet), so star queries
+    hash-compare cleanly against the oracle."""
+    if not plan.get("star"):
+        return plan
+    if plan["joins"]:
+        raise ValueError("SELECT * with JOIN is not supported")
+    if plan["table"] == "store":
+        from .manifest import load_footer
+        cols, seen = [], set()
+        for b in load_footer(sf_dir, as_of=as_of)["blocks"]:
+            for c in (b.get("columns") or {}):
+                if c not in seen:
+                    seen.add(c)
+                    cols.append(c)
+    else:
+        import pyarrow.parquet as pq_mod
+        cols = [f.name for f in pq_mod.read_schema(
+            os.path.join(sf_dir, plan["table"] + ".parquet"))]
+    plan = dict(plan)
+    plan["items"] = [{"agg": None, "arg": None, "col": c,
+                      "distinct": False, "nd": None, "alias": c}
+                     for c in cols]
+    return plan
 
 
 def _needed_columns(plan: dict) -> list[str]:
@@ -932,7 +963,7 @@ def explain_sql(sf_dir: str, sql: str,
     conjuncts (pruned / metadata-answered / decoded). The block census
     reuses the same :func:`_zone_classify` the executor uses, so the
     numbers are the plan, not an estimate."""
-    plan = parse(sql)
+    plan = _expand_star(sf_dir, parse(sql))
     out: dict = {"table": plan["table"],
                  "joins": [dict(j) for j in plan["joins"]],
                  "columns": _needed_columns(plan),
@@ -1054,6 +1085,7 @@ def run_sql(sf_dir: str, sql: str,
     plan = parse(sql)
     if as_of is not None and (plan["table"] != "store" or plan["joins"]):
         raise ValueError("as_of requires a plain FROM store query")
+    plan = _expand_star(sf_dir, plan, as_of=as_of)
     if plan["joins"]:
         if plan["table"] == "store" and tables_dir is None:
             raise ValueError(

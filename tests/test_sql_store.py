@@ -320,3 +320,35 @@ def test_sql_as_of_time_travel(ray_session, tmp_path):
     with pytest.raises(ValueError):
         run_sql(str(tmp_path), "SELECT COUNT(*) AS n FROM documents",
                 as_of=snap)
+
+
+def test_sql_select_star(ray_session, tmp_path):
+    """SELECT * expands to the table's (or store footer's) column order."""
+    from howard_ray.sqlmini import explain_sql
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 600, seed=77)
+    st = str(tmp_path / "st")
+    encode_dataset(src, st, mode="stream", target_rows=300,
+                   columns=["doc_id", "n_tok", "source"])
+
+    q = "SELECT * FROM store WHERE n_tok >= 500 ORDER BY doc_id"
+    got = run_sql(st, q)
+    exp = duckdb.sql(
+        f"SELECT doc_id, n_tok, source FROM '{src}' "
+        "WHERE n_tok >= 500 ORDER BY doc_id").df()
+    assert got.equals(exp), (got.columns, exp.columns)
+    assert explain_sql(st, q)["columns"] == ["doc_id", "n_tok", "source"]
+
+    # star + LIMIT over a clustered store rides the top-k scan
+    from howard_ray.pipeline import recluster_store
+    recluster_store(st, "n_tok", target_rows=300)
+    q2 = "SELECT * FROM store ORDER BY n_tok DESC, doc_id LIMIT 4"
+    got2 = run_sql(st, q2)
+    exp2 = duckdb.sql(f"SELECT doc_id, n_tok, source FROM '{src}' "
+                      "ORDER BY n_tok DESC, doc_id LIMIT 4").df()
+    assert got2.equals(exp2)
+
+    with pytest.raises(ValueError):
+        run_sql(str(tmp_path), "SELECT * FROM orders "
+                               "JOIN customer ON o_custkey = c_custkey")
