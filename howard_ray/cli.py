@@ -208,8 +208,10 @@ def cmd_view(args) -> int:
 
     if args.action == "create":
         aggs = {k: tuple(v) for k, v in json.loads(args.aggs).items()}
+        wh = [_parse_where(w) for w in (args.where or [])]
         print(json.dumps(create_view(args.store, args.view_dir,
-                                     args.group_by, aggs)))
+                                     args.group_by, aggs,
+                                     where=wh or None)))
     elif args.action == "refresh":
         print(json.dumps(refresh_view(args.view_dir)))
     else:  # read
@@ -363,6 +365,10 @@ def main(argv=None) -> int:
     vw.add_argument("--aggs", default='{"n": ["count"]}',
                     help='(create) JSON {name: [op, col]}, op in '
                          'count/sum/min/max/avg')
+    vw.add_argument("--where", action="append", default=None,
+                    help="(create) filtered view: repeatable "
+                         "'col:op:value' conjunct, pushed into every "
+                         "delta read")
     vw.set_defaults(fn=cmd_view)
 
     sn = sub.add_parser("snapshots", help="list retained footer snapshots "

@@ -1582,7 +1582,9 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
 
 
 def read_changes(store_dir: str, since_snapshot: int,
-                 columns: list[str] | None = None) -> ray.data.Dataset:
+                 columns: list[str] | None = None,
+                 predicate: "tuple | list | None" = None
+                 ) -> ray.data.Dataset:
     """Incremental change feed (the Iceberg incremental-consumer read): a
     lazy Dataset of exactly the rows ADDED to the store after retained
     snapshot ``since_snapshot`` — the live footer's blocks minus the
@@ -1608,7 +1610,8 @@ def read_changes(store_dir: str, since_snapshot: int,
             f"{len(removed)} block(s) were rewritten since (compact/purge/"
             f"alter); re-baseline the consumer from a full scan")
     new_ids = live_ids - old_ids
-    return decode_store(store_dir, columns=columns, block_ids=new_ids)
+    return decode_store(store_dir, columns=columns, block_ids=new_ids,
+                        predicate=predicate)
 
 
 def compact_store(store_dir: str, *, target_rows: int | None = None,

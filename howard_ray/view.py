@@ -60,11 +60,14 @@ def _plan(aggs: dict) -> list[tuple[str, str | None, str]]:
     return plan
 
 
-def _needed_columns(group_by: list[str], aggs: dict) -> list[str]:
+def _needed_columns(group_by: list[str], aggs: dict,
+                    where: list | None = None) -> list[str]:
     cols = set(group_by)
     for spec in aggs.values():
         if len(spec) > 1 and spec[1]:
             cols.add(spec[1])
+    for cond in where or []:
+        cols.add(cond[0])
     return sorted(cols)
 
 
@@ -99,8 +102,10 @@ def _aggregate_dataset(ds: ray.data.Dataset, group_by: list[str],
                        plan: list[tuple]) -> pd.DataFrame:
     parts = ds.map_batches(_partial(group_by, plan),
                            batch_format="pandas").to_pandas()
-    if parts.empty:
-        return parts
+    if parts.empty:  # typed empty state (a filtered view can match nothing)
+        return pd.DataFrame({c: [] for c in
+                             [*group_by, "__rows",
+                              *(name for name, _, _ in plan)]})
     return _fold(parts, group_by, plan)
 
 
@@ -142,19 +147,27 @@ def _swap_state(view_dir: str, state: dict, folded: pd.DataFrame) -> None:
 
 
 def create_view(store_dir: str, view_dir: str, group_by: list[str],
-                aggs: dict) -> dict:
+                aggs: dict, where: list | None = None) -> dict:
     """Materialize the view from a full scan and record the store snapshot
     it reflects. ``aggs``: {out_name: (op, col)}, op in count/sum/min/max/
-    avg (count needs no col)."""
+    avg (count needs no col). ``where``: optional list of decode-predicate
+    conjuncts ``(col, op, val)`` — a FILTERED materialized view; the same
+    predicate rides into every delta read (zone pruning + pushdown), so
+    an incremental refresh of a selective view decodes only the new
+    blocks its predicate straddles."""
     from .pipeline import decode_store
 
     os.makedirs(view_dir, exist_ok=True)
     plan = _plan(aggs)
+    where = [list(c) for c in (where or [])]
     footer = load_footer(store_dir)
-    ds = decode_store(store_dir, columns=_needed_columns(group_by, aggs))
+    ds = decode_store(store_dir,
+                      columns=_needed_columns(group_by, aggs, where),
+                      predicate=[tuple(c) for c in where] or None)
     folded = _aggregate_dataset(ds, group_by, plan)
     state = {"store": os.path.abspath(store_dir), "group_by": group_by,
              "aggs": {k: list(v) for k, v in aggs.items()},
+             "where": where,
              "snapshot_id": footer["snapshot_id"],
              "tombstones": _tomb_fingerprint(store_dir), "n_refreshes": 0}
     _swap_state(view_dir, state, folded)
@@ -176,6 +189,7 @@ def refresh_view(view_dir: str) -> dict:
     state = _load_state(view_dir)
     store = state["store"]
     group_by, aggs = state["group_by"], state["aggs"]
+    where = [tuple(c) for c in state.get("where") or []]
     plan = _plan(aggs)
     footer = load_footer(store)
     tombs = _tomb_fingerprint(store)
@@ -191,12 +205,16 @@ def refresh_view(view_dir: str) -> dict:
     else:
         try:
             delta = read_changes(store, state["snapshot_id"],
-                                 columns=_needed_columns(group_by, aggs))
+                                 columns=_needed_columns(group_by, aggs,
+                                                         where),
+                                 predicate=where or None)
             dp = _aggregate_dataset(delta, group_by, plan)
         except (ValueError, FileNotFoundError):
             mode = "rebaseline"  # rewrite between snapshots / expired base
     if mode == "rebaseline":
-        ds = decode_store(store, columns=_needed_columns(group_by, aggs))
+        ds = decode_store(store,
+                          columns=_needed_columns(group_by, aggs, where),
+                          predicate=where or None)
         folded = _aggregate_dataset(ds, group_by, plan)
         delta_rows = int(folded["__rows"].sum()) if len(folded) else 0
     else:

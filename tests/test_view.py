@@ -121,3 +121,36 @@ def test_view_cli(ray_session, tmp_path):
                      f"'{src}' GROUP BY source ORDER BY source").df()
     assert got["n"].tolist() == exp["n"].tolist()
     assert got["toks"].tolist() == [int(x) for x in exp["toks"]]
+
+
+def test_filtered_view(ray_session, tmp_path):
+    """Filtered materialized view: the WHERE conjunction rides into the
+    base scan AND every change-feed delta read (zone pruning + pushdown),
+    and the incremental refresh still equals the full filtered GROUP BY."""
+    d1, d2 = str(tmp_path / "d1.parquet"), str(tmp_path / "d2.parquet")
+    write_corpus(d1, 2000, seed=61)
+    write_corpus(d2, 1200, seed=62)
+    st, vw = str(tmp_path / "st"), str(tmp_path / "vw")
+    encode_dataset(d1, st, mode="cluster", target_rows=400)
+    create_view(st, vw, ["source"],
+                {"n": ("count",), "s": ("sum", "n_tok")},
+                where=[("n_tok", ">=", 500), ("source", "!=", "legal")])
+    append_to_store(st, d2, mode="cluster", target_rows=400)
+    r = refresh_view(vw)
+    assert r["mode"] == "incremental"
+    got = read_view(vw)
+    exp = duckdb.sql(
+        f"SELECT source, COUNT(*) AS n, SUM(n_tok) AS s FROM (SELECT * "
+        f"FROM '{d1}' UNION ALL SELECT * FROM '{d2}') "
+        "WHERE n_tok >= 500 AND source != 'legal' "
+        "GROUP BY source ORDER BY source").df()
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["n"].tolist() == [int(x) for x in exp["n"]]
+    assert got["s"].tolist() == [int(x) for x in exp["s"]]
+
+    # a view whose predicate matches nothing stays readable (typed empty)
+    vw2 = str(tmp_path / "vw2")
+    create_view(st, vw2, ["source"], {"n": ("count",)},
+                where=[("n_tok", ">", 10**9)])
+    assert len(read_view(vw2)) == 0
+    assert refresh_view(vw2)["mode"] == "noop"
