@@ -1133,6 +1133,36 @@ def run_sql(sf_dir: str, sql: str,
                             batch_format="pyarrow")
 
     if any(it["agg"] for it in plan["items"]):
+        # SQL keeps NULL as its own group; Ray's groupby DROPS null keys.
+        # Encode each (string/numeric) group key as (filled value, isnull
+        # flag) pairs so the null group survives the shuffle, then restore
+        # None on the (small) result frame.
+        null_flags: list[tuple[str, str]] = []
+        if plan["group"]:
+            gcols = list(plan["group"])
+
+            def _null_tag(b: pa.Table) -> pa.Table:
+                for c in gcols:
+                    col = b[c]
+                    t = col.type
+                    flag = pc.is_null(col)
+                    if pa.types.is_string(t) or pa.types.is_large_string(t):
+                        fill = pa.scalar("", type=t)
+                    elif pa.types.is_integer(t) or pa.types.is_floating(t):
+                        fill = pa.scalar(0, type=t)
+                    else:  # exotic key type: flag only (Ray semantics)
+                        b = b.append_column(f"__isnull_{c}", flag)
+                        continue
+                    b = b.set_column(b.column_names.index(c), c,
+                                     pc.fill_null(col, fill))
+                    b = b.append_column(f"__isnull_{c}", flag)
+                return b
+
+            # probe one schema-bearing batch? No — tag unconditionally;
+            # the flag column is a bool per key and the result frame is
+            # small, so correctness costs almost nothing
+            ds = ds.map_batches(_null_tag, batch_format="pyarrow")
+            null_flags = [(c, f"__isnull_{c}") for c in gcols]
         # grouped (or global) aggregate: build Ray aggregates; AVG becomes
         # SUM + COUNT merged driver-side (mergeable-partial discipline)
         aggs, post, distinct_items = [], [], []
@@ -1163,15 +1193,25 @@ def run_sql(sf_dir: str, sql: str,
                 aggs.append(Count(on=it["arg"], ignore_nulls=True,
                                   alias_name=key + "_c"))
             post.append((i, key, it))
+        gb_keys = (plan["group"] + [f for _, f in null_flags]
+                   if plan["group"] else plan["group"])
+
+        def _restore_nulls(frame: pd.DataFrame) -> pd.DataFrame:
+            for c, f in null_flags:
+                if f in frame.columns:
+                    frame.loc[frame[f].astype(bool), c] = None
+                    frame = frame.drop(columns=[f])
+            return frame
+
         if aggs:
             if plan["group"]:
-                out = ds.groupby(plan["group"]).aggregate(*aggs).to_pandas()
+                out = ds.groupby(gb_keys).aggregate(*aggs).to_pandas()
             else:
                 out = ds.groupby(None).aggregate(*aggs).to_pandas()
         else:
             out = None  # COUNT(DISTINCT ...) only — built below
         for it in distinct_items:
-            cd = _count_distinct(ds, plan["group"], it["arg"])
+            cd = _count_distinct(ds, gb_keys, it["arg"])
             cd = cd.rename(columns={"__cd": it["alias"]})
             cd[it["alias"]] = cd[it["alias"]].astype("int64")
             if it["nd"] is not None:
@@ -1180,10 +1220,14 @@ def run_sql(sf_dir: str, sql: str,
             if out is None:
                 out = cd
             elif plan["group"]:
-                out = out.merge(cd, on=plan["group"], how="left")
+                # merge on the FILLED keys + flags (None keys don't need
+                # to match); nulls are restored once, after every merge
+                out = out.merge(cd, on=gb_keys, how="left")
                 out[it["alias"]] = out[it["alias"]].fillna(0).astype("int64")
             else:
                 out[it["alias"]] = cd[it["alias"]].iloc[0]
+        if plan["group"]:
+            out = _restore_nulls(out)
         for _, key, it in post:
             if it["agg"] == "AVG":
                 out[it["alias"]] = out[key + "_s"] / out[key + "_c"]

@@ -352,3 +352,36 @@ def test_sql_select_star(ray_session, tmp_path):
     with pytest.raises(ValueError):
         run_sql(str(tmp_path), "SELECT * FROM orders "
                                "JOIN customer ON o_custkey = c_custkey")
+
+
+def test_sql_group_by_null_keys(ray_session, tmp_path):
+    """SQL keeps NULL as its own group; Ray's groupby drops null keys —
+    the (filled value, isnull flag) encoding restores SQL semantics,
+    including COUNT(DISTINCT) merged on the filled keys."""
+    import pyarrow as pa
+
+    from howard_ray.pipeline import append_to_store
+
+    d1 = str(tmp_path / "d1.parquet")
+    d2 = str(tmp_path / "d2.parquet")
+    write_corpus(d1, 800, seed=71)
+    t = pq.read_table(d1).slice(0, 400)
+    pq.write_table(t.append_column("lang", pa.array(["en", "fr"] * 200)),
+                   d2)
+    st = str(tmp_path / "st")
+    encode_dataset(d1, st, mode="stream", target_rows=300)
+    append_to_store(st, d2, mode="stream", target_rows=300)
+
+    q = ("SELECT lang, COUNT(*) AS n, COUNT(DISTINCT source) AS ns, "
+         "SUM(n_tok) AS s FROM store GROUP BY lang ORDER BY lang")
+    got = run_sql(st, q)
+    exp = duckdb.sql(
+        f"SELECT lang, COUNT(*) n, COUNT(DISTINCT source) ns, "
+        f"SUM(n_tok) s FROM (SELECT NULL AS lang, source, n_tok FROM "
+        f"'{d1}' UNION ALL SELECT lang, source, n_tok FROM '{d2}') "
+        "GROUP BY lang ORDER BY lang").df()
+    assert got["lang"].tolist()[:2] == exp["lang"].tolist()[:2]
+    assert got["lang"].isna().tolist() == exp["lang"].isna().tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["ns"].tolist() == exp["ns"].tolist()
+    assert got["s"].tolist() == [int(x) for x in exp["s"]]
