@@ -1287,8 +1287,12 @@ def append_to_store(store_dir: str, input_path: str | list[str], *,
     # ids, identify columns here — the documented limitation vs Iceberg)
     hist = footer.get("renamed_history") or {}
     dropped = set(footer.get("dropped_history") or [])
+    # clustered_by survives the append: the store is still DECLARED
+    # clustered (stats reports the new epoch's disorder; recluster
+    # --incremental repairs exactly that overlap)
     carry = {k: footer[k] for k in
-             ("derived_cols", "renamed_history", "dropped_history")
+             ("derived_cols", "renamed_history", "dropped_history",
+              "clustered_by")
              if footer.get(k)}
     if hist or dropped:
         in_names = set(ray.data.read_parquet(input_path).schema().names)

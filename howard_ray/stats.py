@@ -58,7 +58,43 @@ def store_report(store_dir: str) -> dict:
         # pending row-level deletes (tombstoned, not yet purged/compacted):
         # footer n_rows counts these until purge_deletes reclaims them
         "tombstoned_rows": _tombstoned_rows(store_dir),
+        # clustering health per declared cluster key: 'disorder' = fraction
+        # of blocks whose key range STRICTLY overlaps another's — the exact
+        # set `recluster --incremental` would rewrite; 0.0 means every
+        # range/point predicate on the key prunes maximally
+        "clustering": _clustering_health(footer, blocks),
     }
+
+
+def _clustering_health(footer: dict, blocks: list[dict]):
+    cb = footer.get("clustered_by")
+    if not cb:
+        return None
+    keys = (cb.get("zorder") if isinstance(cb, dict) else
+            ([cb] if isinstance(cb, str) else list(cb)))
+    out = []
+    for key in keys:
+        st = [((b.get("columns") or {}).get(key) or {}).get("stats") or {}
+              for b in blocks]
+        if any("min" not in x or "max" not in x for x in st):
+            out.append({"key": key, "disorder": None})
+            continue
+        ivs = sorted((x["min"], x["max"]) for x in st)
+        comps, overl, cur_hi, size = 0, 0, None, 0
+        for lo, hi in ivs:
+            if cur_hi is not None and lo < cur_hi:
+                size += 1
+                cur_hi = max(cur_hi, hi)
+            else:
+                overl += size if size > 1 else 0
+                comps += 1
+                size = 1
+                cur_hi = hi
+        overl += size if size > 1 else 0
+        out.append({"key": key, "components": comps,
+                    "overlapping_blocks": overl,
+                    "disorder": round(overl / len(ivs), 4) if ivs else 0.0})
+    return out
 
 
 def _tombstoned_rows(store_dir: str) -> int:

@@ -442,3 +442,29 @@ def test_recluster_incremental(ray_session, tmp_path):
                  b["columns"]["n_tok"]["stats"]["max"])
                 for b in f["blocks"])
     assert all(iv[i][1] <= iv[i + 1][0] for i in range(len(iv) - 1))
+
+
+def test_stats_clustering_health(ray_session, tmp_path):
+    """stats reports per-cluster-key disorder = fraction of blocks a
+    partial OPTIMIZE would rewrite; 0 after recluster, > 0 after a wide
+    append, 0 again after recluster_incremental."""
+    from howard_ray.fixtures import write_corpus
+    from howard_ray.pipeline import (append_to_store, encode_dataset,
+                                     recluster_incremental, recluster_store)
+    from howard_ray.stats import store_report
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 3000, seed=81)
+    st = str(tmp_path / "st")
+    encode_dataset(src, st, mode="cluster", target_rows=400)
+    assert store_report(st)["clustering"] is None  # no declared key yet
+
+    recluster_store(st, "n_tok", target_rows=400)
+    h = store_report(st)["clustering"]
+    assert h[0]["key"] == "n_tok" and h[0]["disorder"] == 0.0
+
+    append_to_store(st, src, mode="stream", target_rows=400)
+    assert store_report(st)["clustering"][0]["disorder"] > 0.0
+
+    recluster_incremental(st, "n_tok", target_rows=400)
+    assert store_report(st)["clustering"][0]["disorder"] == 0.0
