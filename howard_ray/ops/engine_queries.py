@@ -793,3 +793,52 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def join_spj(sf_dir: str):
+    """Storage-partitioned join (howard_ray.spj): documents and embeddings
+    are encoded into two stores and RECLUSTERED on the join key, then
+    joined with ZERO shuffle — the block-pair plan comes from the two
+    footers' zone maps alone, each surviving A block decodes itself plus
+    only the B blocks its key range intersects, and the per-pair Arrow
+    hash join runs block-parallel. The per-source aggregate of the joined
+    rows is value-hash-checked against the same JOIN in DuckDB."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..pipeline import recluster_store
+    from ..spj import join_clustered
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    sa = os.path.join(CACHE, f"spj_docs_{tag}")
+    sb = os.path.join(CACHE, f"spj_embs_{tag}")
+    for p in (sa, sb):
+        shutil.rmtree(p, ignore_errors=True)
+    encode_dataset(os.path.join(sf_dir, "documents.parquet"), sa,
+                   mode="stream", target_rows=20_000, resume=False,
+                   columns=["doc_id", "source", "n_chars"])
+    encode_dataset(os.path.join(sf_dir, "embeddings.parquet"), sb,
+                   mode="stream", target_rows=20_000, resume=False,
+                   columns=["vec_id", "label"])
+    recluster_store(sa, "doc_id", target_rows=20_000)
+    recluster_store(sb, "vec_id", target_rows=20_000)
+
+    ds = join_clustered(sa, sb, "doc_id", "vec_id",
+                        columns_a=["source", "n_chars"],
+                        columns_b=["label"])
+    out = (ds.groupby("source")
+           .aggregate(Count(alias_name="n"),
+                      Sum("n_chars", alias_name="sum_chars"),
+                      Sum("label", alias_name="sum_label"))
+           .to_pandas())
+    for c in ("n", "sum_chars", "sum_label"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL["join_spj"] = """
+SELECT source, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(label) AS BIGINT) AS sum_label
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY source ORDER BY source
+"""
