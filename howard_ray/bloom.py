@@ -49,6 +49,11 @@ def hash_values(col) -> np.ndarray:
         col = pa.array(col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        # token-presence index: the filter is built over the block's
+        # DISTINCT list VALUES (e.g. distinct token ids), probed by the
+        # decode path's 'contains' predicate with scalar token ids
+        col = col.flatten().unique()
     if pa.types.is_integer(col.type):
         vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pd.util.hash_array(vals.astype(np.int64), categorize=False)

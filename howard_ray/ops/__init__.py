@@ -119,6 +119,7 @@ def all_queries():
         "store_view": engine_queries.store_view,
         "store_schema_evolution": engine_queries.store_schema_evolution,
         "join_spj": engine_queries.join_spj,
+        "store_token_lookup": engine_queries.store_token_lookup,
         "store_recluster": engine_queries.store_recluster,
         # multimodal (stubbed decoder, real Ray plumbing)
         "media_features": multimodal.media_features,

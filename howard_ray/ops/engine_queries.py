@@ -842,3 +842,51 @@ SELECT source, count(*) AS n,
 FROM documents JOIN embeddings ON doc_id = vec_id
 GROUP BY source ORDER BY source
 """
+
+
+def store_token_lookup(sf_dir: str):
+    """Token-presence skipping index over the north-star tokens corpus
+    (rows-only: the synthesized corpus is not an oracle view): the corpus
+    encodes into a store, ``build_bloom_index(store, "tokens")`` builds
+    per-block Blooms over each block's DISTINCT token ids, and a
+    ``("tokens", "contains", id)`` decode predicate finds every sequence
+    containing the probe token — zone maps prune blocks whose value range
+    excludes it (the per-source vocabulary caps make this real), the
+    Bloom kills definite-miss blocks before any decode, and the
+    membership mask is one flatten + searchsorted (no per-row loop).
+    Self-checked: the emitted count equals a brute-force numpy scan of
+    the raw corpus."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..fixtures import write_corpus
+    from ..pipeline import build_bloom_index, decode_store
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    sf = {"sf0.001": 600, "sf0.01": 6000, "sf0.1": 60000}.get(tag, 3000)
+    src = os.path.join(CACHE, f"toklk_corpus_{sf}.parquet")
+    if not os.path.exists(src):
+        write_corpus(src, sf, seed=42)
+    store = os.path.join(CACHE, f"store_toklk_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="cluster", resume=False,
+                   target_rows=max(1000, sf // 8))
+    build_bloom_index(store, "tokens")
+
+    probe = 45_123  # above most sources' vocab caps: zone maps prune
+    got = decode_store(store, columns=["doc_id", "n_tok"],
+                       predicate=("tokens", "contains", probe)).to_pandas()
+
+    t = pq.read_table(src, columns=["tokens"])
+    arr = t["tokens"].combine_chunks()
+    flat = np.asarray(arr.flatten())
+    lengths = np.asarray(pc.list_value_length(arr), dtype=np.int64)
+    rows = np.unique(np.searchsorted(np.cumsum(lengths),
+                                     np.nonzero(flat == probe)[0],
+                                     side="right"))
+    assert len(got) == len(rows), (len(got), len(rows))
+    import pandas as pd
+    return pd.DataFrame({"probe_token": [probe],
+                         "n_sequences": [len(got)],
+                         "sum_n_tok": [int(got["n_tok"].sum())]})

@@ -1341,13 +1341,41 @@ def upsert_to_store(store_dir: str, input_path: str | list[str], *,
             "snapshot_id": f["snapshot_id"]}
 
 
-_PRED_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
+_PRED_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "contains")
+
+
+def _pred_mask(filt_col, op: str, val):
+    """Vectorized row mask for one decode predicate. ``contains`` tests
+    list-column membership (token-presence over list<int> tokens): flatten
+    once, locate hits, scatter hit positions back to their rows via one
+    searchsorted over the cumulative row lengths — no per-row loop."""
+    import pyarrow.compute as pc
+    if op == "in":
+        return pc.is_in(filt_col, value_set=pa.array(list(val)))
+    if op == "contains":
+        arr = (filt_col.combine_chunks()
+               if isinstance(filt_col, pa.ChunkedArray) else filt_col)
+        lengths = np.asarray(pc.list_value_length(arr), dtype=np.int64)
+        flat = np.asarray(arr.flatten())
+        mask = np.zeros(len(arr), dtype=bool)
+        hits = np.nonzero(flat == val)[0]
+        if hits.size:
+            ends = np.cumsum(lengths)
+            mask[np.searchsorted(ends, hits, side="right")] = True
+        return pa.array(mask)
+    return {"==": pc.equal, "!=": pc.not_equal,
+            "<": pc.less, "<=": pc.less_equal,
+            ">": pc.greater, ">=": pc.greater_equal}[op](filt_col, val)
 
 
 def _predicate_zone(predicate: tuple) -> dict:
     """Implied zone-map range of a predicate — free block skipping."""
     col, op, val = predicate
     if op == "==":
+        return {col: (val, val)}
+    if op == "contains":
+        # list-column stats are over the VALUES, so a block containing
+        # ``val`` must satisfy min <= val <= max
         return {col: (val, val)}
     if op in ("<", "<="):
         return {col: (None, val)}
@@ -1440,7 +1468,7 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
     tombs = list_tombstones(store_dir)
     # point predicates consult the block's Bloom sidecar (when indexed)
     # before decoding anything — definite-miss blocks cost one tiny read
-    bloom_cols = [p[0] for p in preds if p[1] in ("==", "in")]
+    bloom_cols = [p[0] for p in preds if p[1] in ("==", "in", "contains")]
     paths = [{"path": block_path(store_dir, b["block_id"]),
               "block_id": b["block_id"],
               "rmap": json.dumps(_block_rmap(b)),
@@ -1491,7 +1519,7 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
                 from .bloom import bloom_path, probe_file
                 miss = False
                 for col, op, val in preds:
-                    if col in blooms and op in ("==", "in"):
+                    if col in blooms and op in ("==", "in", "contains"):
                         probe_vals = list(val) if op == "in" else [val]
                         if not probe_file(
                                 bloom_path(store_dir, blooms[col]),
@@ -1530,13 +1558,7 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
                     filt_col = _col(col)
                     decoded_cols[col] = filt_col
                     n_rows = len(filt_col)
-                if op == "in":
-                    m = pc.is_in(filt_col, value_set=pa.array(list(val)))
-                else:
-                    m = {"==": pc.equal, "!=": pc.not_equal,
-                         "<": pc.less, "<=": pc.less_equal,
-                         ">": pc.greater,
-                         ">=": pc.greater_equal}[op](filt_col, val)
+                m = _pred_mask(filt_col, op, val)
                 mask = m if mask is None else pc.and_(mask, m)
                 if (pc.sum(mask.cast(pa.int8())).as_py() or 0) == 0:
                     empty = True
@@ -2059,12 +2081,7 @@ def delete_where(store_dir: str, predicate: tuple) -> dict:
             bid = bid_a.as_py()
             filt_col = _read_logical_block(
                 store_dir, bid, json.loads(rmap_j.as_py()), [col])[col]
-            if op == "in":
-                mask = pc.is_in(filt_col, value_set=pa.array(list(val)))
-            else:
-                mask = {"==": pc.equal, "!=": pc.not_equal,
-                        "<": pc.less, "<=": pc.less_equal,
-                        ">": pc.greater, ">=": pc.greater_equal}[op](filt_col, val)
+            mask = _pred_mask(filt_col, op, val)
             idx = np.flatnonzero(
                 mask.to_numpy(zero_copy_only=False).astype(bool))
             prior = load_tombstone(store_dir, bid)

@@ -134,3 +134,56 @@ def test_bloom_lifecycle_alter_compact_vacuum(store):
     referenced = {v for b in load_footer(st)["blocks"]
                   for v in (b.get("blooms") or {}).values()}
     assert on_disk == referenced
+
+
+def test_token_presence_contains(ray_session, tmp_path):
+    """'contains' predicate over the list<int> tokens column: Bloom built
+    over each block's DISTINCT token ids, zone maps prune by value range,
+    the mask is flatten+searchsorted; delete_where composes (GDPR 'remove
+    every sequence containing token X')."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from howard_ray.fixtures import write_corpus
+    from howard_ray.pipeline import (build_bloom_index, decode_store,
+                                     delete_where, encode_dataset)
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 2500, seed=23)
+    st = str(tmp_path / "st")
+    encode_dataset(src, st, mode="cluster", target_rows=400)
+    r = build_bloom_index(st, "tokens")
+    assert r["n_blocks_indexed"] > 0
+
+    t = pq.read_table(src)
+    arr = t["tokens"].combine_chunks()
+    flat = np.asarray(arr.flatten())
+    lengths = np.asarray(pc.list_value_length(arr), dtype=np.int64)
+
+    for tok in (49_000, 5, 31_999):
+        rows = np.unique(np.searchsorted(np.cumsum(lengths),
+                                         np.nonzero(flat == tok)[0],
+                                         side="right"))
+        truth = set(np.asarray(t["doc_id"])[rows].tolist())
+        got = decode_store(st, columns=["doc_id"],
+                           predicate=("tokens", "contains", tok)).to_pandas()
+        got_ids = set(got["doc_id"]) if len(got) else set()
+        assert got_ids == truth, tok
+
+    # conjunction with a scalar predicate
+    tok = 5
+    rows = np.unique(np.searchsorted(np.cumsum(lengths),
+                                     np.nonzero(flat == tok)[0],
+                                     side="right"))
+    n_tok_v = np.asarray(t["n_tok"])[rows]
+    got = decode_store(st, columns=["doc_id"],
+                       predicate=[("tokens", "contains", tok),
+                                  ("n_tok", ">=", 100)]).to_pandas()
+    assert len(got) == int((n_tok_v >= 100).sum())
+
+    # erasure by token containment
+    dl = delete_where(st, ("tokens", "contains", 49_000))
+    assert decode_store(st, columns=["doc_id"],
+                        predicate=("tokens", "contains",
+                                   49_000)).count() == 0
