@@ -889,4 +889,5 @@ def store_token_lookup(sf_dir: str):
     import pandas as pd
     return pd.DataFrame({"probe_token": [probe],
                          "n_sequences": [len(got)],
-                         "sum_n_tok": [int(got["n_tok"].sum())]})
+                         "sum_n_tok": [int(got["n_tok"].sum())
+                                       if len(got) else 0]})

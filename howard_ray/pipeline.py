@@ -1479,7 +1479,24 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
               "tomb": b["block_id"] if b["block_id"] in tombs else ""}
              for b in blocks]
     if not paths:
-        return ray.data.from_items([]).map_batches(lambda b: b)
+        # all blocks pruned: return a TYPED empty dataset (schema from
+        # donor-header probes) so downstream to_pandas/write_parquet and
+        # concat keep working instead of seeing a schema-less empty
+        all_blocks = load_blocks(store_dir, as_of=as_of)
+        want_cols = eff_columns
+        if want_cols is None:
+            seen2: set = set()
+            want_cols = []
+            for b in all_blocks:
+                for c in (b.get("columns") or {}):
+                    if c not in seen2:
+                        seen2.add(c)
+                        want_cols.append(c)
+        if not all_blocks or not want_cols:
+            return ray.data.from_items([]).map_batches(lambda b: b)
+        th = _column_type_hints(store_dir, all_blocks, want_cols)
+        return ray.data.from_arrow(
+            pa.table({c: pa.nulls(0, th[c]) for c in want_cols}))
 
     def _keep_mask(tomb_id: str, n_rows: int):
         """Boolean keep-vector for a block, or None when nothing is deleted."""
