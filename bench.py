@@ -34,7 +34,8 @@ OPS_IN_BENCH = ["pricing_summary", "join_hash", "dedup_exact",
                 "window_hourly", "token_stats", "ann_cosine_topk",
                 "dedup_jaccard_join", "ann_ivf_topk", "split_assign",
                 "heavy_hitters", "redact_terms", "token_freq_topk",
-                "curate_pipeline", "mixture_sample", "dup_ngram_spans"]
+                "curate_pipeline", "mixture_sample", "dup_ngram_spans",
+                "join_spj", "store_view", "sql_store_topk"]
 
 
 ALLOCATOR_ENV = {
@@ -189,6 +190,20 @@ def run_bench() -> dict:
         t_dec = dt if t_dec is None else min(t_dec, dt)
     queries["decode"] = round(t_dec, 3)
     assert n_dec > 0
+
+    # selective scan: a 0.5%-selectivity point predicate on the cluster key
+    # — zone maps answer which blocks can match from the footer alone, so
+    # the scan cost tracks MATCHING blocks, not store size
+    t_sel = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n_sel = decode_store(store, columns=["doc_id", "n_tok"],
+                             predicate=("source", "==", "legal")).count()
+        dt = time.perf_counter() - t0
+        t_sel = dt if t_sel is None else min(t_sel, dt)
+    queries["decode_selective"] = round(t_sel, 3)
+    extras["selective_scan_speedup"] = round(t_dec / t_sel, 2)
+    assert 0 < n_sel < n_dec
 
     # parquet+zstd baseline (single-threaded pyarrow per shard, the
     # reference's store format): exact total size + write time for the same
