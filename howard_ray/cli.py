@@ -203,6 +203,13 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_export_sorted(args) -> int:
+    from .pipeline import export_sorted
+    print(json.dumps(export_sorted(args.store, args.by, args.output,
+                                   columns=args.columns)))
+    return 0
+
+
 def cmd_view(args) -> int:
     from .view import create_view, read_view, refresh_view
 
@@ -353,6 +360,15 @@ def main(argv=None) -> int:
     ch.add_argument("--since", type=int, required=True)
     ch.add_argument("--columns", nargs="+", default=None)
     ch.set_defaults(fn=cmd_changes)
+
+    es = sub.add_parser("export-sorted", help="globally key-ordered "
+                        "parquet export from a clustered store: one task "
+                        "per block, rank-named shards, zero shuffle")
+    es.add_argument("store")
+    es.add_argument("output")
+    es.add_argument("--by", required=True)
+    es.add_argument("--columns", nargs="+", default=None)
+    es.set_defaults(fn=cmd_export_sorted)
 
     vw = sub.add_parser("view", help="materialized aggregate view: create "
                         "from a full scan, refresh incrementally from the "

@@ -2069,6 +2069,74 @@ def recluster_incremental(store_dir: str, by: str, *,
             "clustered_by": [by]}
 
 
+def export_sorted(store_dir: str, by: str, out_dir: str, *,
+                  columns: list[str] | None = None) -> dict:
+    """Globally key-ordered parquet export WITHOUT a sort: on a store
+    clustered by ``by`` (block key ranges non-overlapping — touching is
+    fine, ties across a boundary still yield non-decreasing output), the
+    global order is the footer order. Each block becomes one Ray task
+    that decodes itself (tombstones applied), LOCALLY sorts by the key,
+    and writes ``part-{rank:05d}.parquet`` — the shard filename encodes
+    the block's global rank, so reading the files in name order IS the
+    sorted dataset. Zero shuffle, no ordering dependency on Ray's output
+    order; at 100 TB the export cost is one pass over the blocks.
+
+    Refuses (pointing at recluster) when blocks strictly overlap — a
+    silent wrong order would be worse than the error."""
+    footer = load_footer(store_dir)
+    blocks = load_blocks(store_dir, footer=footer)
+    if not blocks:
+        return {"files": 0, "rows": 0}
+    stats = [((b.get("columns") or {}).get(by) or {}).get("stats") or {}
+             for b in blocks]
+    if any("min" not in s or "max" not in s for s in stats):
+        raise ValueError(f"column {by!r} lacks zone stats on some blocks")
+    order = sorted(range(len(blocks)),
+                   key=lambda i: (stats[i]["min"], stats[i]["max"]))
+    cur_hi = None
+    for i in order:
+        if cur_hi is not None and stats[i]["min"] < cur_hi:
+            raise ValueError(
+                f"store is not clustered on {by!r} (blocks overlap); run "
+                f"recluster_store / recluster_incremental first")
+        cur_hi = stats[i]["max"]
+    os.makedirs(out_dir, exist_ok=True)
+    tombs = list_tombstones(store_dir)
+    cols = (sorted(set(columns) | {by}) if columns is not None else None)
+    items = [{"rank": r, "block_id": blocks[i]["block_id"],
+              "rmap": json.dumps(_block_rmap(blocks[i])),
+              "tomb": blocks[i]["block_id"] in tombs}
+             for r, i in enumerate(order)]
+
+    def export_one(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq_mod
+        out_rows = []
+        for rank_a, bid_a, rmap_a, tomb_a in zip(
+                batch["rank"], batch["block_id"], batch["rmap"],
+                batch["tomb"]):
+            t = _read_logical_block(store_dir, bid_a.as_py(),
+                                    json.loads(rmap_a.as_py()), cols)
+            if tomb_a.as_py():
+                idx = load_tombstone(store_dir, bid_a.as_py())
+                if idx is not None and len(idx):
+                    keep = np.ones(t.num_rows, dtype=bool)
+                    keep[idx] = False
+                    t = t.filter(pa.array(keep))
+            t = t.sort_by(by)
+            path = os.path.join(out_dir,
+                                f"part-{rank_a.as_py():05d}.parquet")
+            pq_mod.write_table(t, path + ".tmp", compression="zstd")
+            os.replace(path + ".tmp", path)
+            out_rows.append(t.num_rows)
+        return pa.table({"rows": pa.array(out_rows, type=pa.int64())})
+
+    res = ray.data.from_items(items, override_num_blocks=len(items)) \
+        .map_batches(export_one, batch_size=1, batch_format="pyarrow") \
+        .to_pandas()
+    return {"files": len(items), "rows": int(res["rows"].sum()),
+            "by": by, "out_dir": out_dir}
+
+
 def delete_where(store_dir: str, predicate: tuple) -> dict:
     """Row-level delete: mark every row matching ``predicate``
     (``(col, op, value)``, same ops as :func:`decode_store`) as deleted via

@@ -468,3 +468,44 @@ def test_stats_clustering_health(ray_session, tmp_path):
 
     recluster_incremental(st, "n_tok", target_rows=400)
     assert store_report(st)["clustering"][0]["disorder"] == 0.0
+
+
+def test_export_sorted(ray_session, tmp_path):
+    """Globally key-ordered export without a sort: rank-named shards from
+    a clustered store read in filename order ARE the sorted dataset;
+    tombstones honored; unclustered stores are refused."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from howard_ray.fixtures import write_corpus
+    from howard_ray.pipeline import (delete_where, encode_dataset,
+                                     export_sorted, recluster_store)
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 5000, seed=31)
+    st = str(tmp_path / "st")
+    encode_dataset(src, st, mode="cluster", target_rows=500)
+    recluster_store(st, "n_tok", target_rows=500)
+    delete_where(st, ("source", "==", "forum"))
+
+    out = str(tmp_path / "sorted")
+    r = export_sorted(st, "n_tok", out, columns=["doc_id", "n_tok"])
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert len(parts) == r["files"]
+    vals = np.concatenate([
+        np.asarray(pq.read_table(os.path.join(out, f))["n_tok"])
+        for f in parts])
+    assert (np.diff(vals) >= 0).all()  # globally non-decreasing
+    exp = duckdb.sql(f"SELECT COUNT(*) n, SUM(n_tok) s FROM '{src}' "
+                     "WHERE source != 'forum'").df()
+    assert len(vals) == int(exp["n"].iloc[0]) == r["rows"]
+    assert int(vals.sum()) == int(exp["s"].iloc[0])
+
+    st2 = str(tmp_path / "st2")
+    encode_dataset(src, st2, mode="stream", target_rows=500)
+    with pytest.raises(ValueError, match="not clustered"):
+        export_sorted(st2, "n_tok", str(tmp_path / "x"))
