@@ -50,6 +50,24 @@ ROUND(SUM(c_acctbal), 2) AS bal FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""",
+    # boolean WHERE grammar: OR / parentheses / BETWEEN compiled to DNF,
+    # evaluated as one vectorized Kleene-OR of per-branch AND masks
+    "sql_where_or": """SELECT o_orderpriority, COUNT(*) AS n,
+ROUND(SUM(o_totalprice), 2) AS rev FROM orders
+WHERE o_totalprice >= 400000 OR o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "sql_between": """SELECT l_returnflag, COUNT(*) AS n,
+ROUND(AVG(l_quantity), 4) AS avg_qty FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "sql_or_and_mix": """SELECT COUNT(*) AS n,
+ROUND(SUM(o_totalprice), 2) AS rev FROM orders
+WHERE (o_orderpriority = '1-URGENT' OR o_orderpriority = '5-LOW')
+AND (o_totalprice BETWEEN 100000 AND 200000 OR o_totalprice > 400000)""",
+    "sql_having_or": """SELECT o_orderpriority, COUNT(*) AS n,
+ROUND(SUM(o_totalprice), 2) AS rev FROM orders
+GROUP BY o_orderpriority HAVING n >= 300 OR rev < 40000000
+ORDER BY o_orderpriority""",
 }
 
 
@@ -270,3 +288,40 @@ def sql_store_topk(sf_dir: str):
 
 QUERIES["sql_store_topk"] = sql_store_topk
 SQL["sql_store_topk"] = _TOPK_SQL.replace("FROM store", "FROM documents")
+
+
+_STORE_OR_SQL = """SELECT lang, COUNT(*) AS n_docs,
+SUM(n_chars) AS sum_chars FROM store
+WHERE source = 'src1' OR source = 'src4' AND n_chars BETWEEN 200 AND 900
+GROUP BY lang ORDER BY lang"""
+
+
+def sql_store_or(sf_dir: str):
+    """Boolean (DNF) WHERE directly over the encoded store: the cluster
+    store is partitioned by source, so union-of-branches zone pruning
+    (sqlmini._or_zone_block_ids) decodes only the two sources' blocks —
+    every other block is pruned from footer stats alone — and the residual
+    Kleene-OR mask reproduces DuckDB's NULL semantics exactly. The SQL
+    text deliberately mixes OR/AND precedence (AND binds tighter) so the
+    value-hash also proves the parser's grammar matches DuckDB's."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipeline import encode_dataset
+
+    cache = os.path.join(tempfile.gettempdir(), "howard_ray_cache")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(cache, f"store_sqlor_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(src, store, mode="cluster", target_rows=20_000,
+                   resume=False,
+                   columns=["doc_id", "lang", "source", "n_chars"])
+    out = run_sql(store, _STORE_OR_SQL)
+    out["sum_chars"] = out["sum_chars"].astype("float64")
+    return out
+
+
+QUERIES["sql_store_or"] = sql_store_or
+SQL["sql_store_or"] = _STORE_OR_SQL.replace("FROM store", "FROM documents")

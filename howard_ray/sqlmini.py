@@ -7,9 +7,9 @@ surface matters: this module parses the subset
 
     SELECT item [, item ...] | *
     FROM <table> [JOIN <table> ON col = col ...]
-    [WHERE col OP literal [AND ...]]
+    [WHERE bool-expr]           -- AND / OR / parentheses / BETWEEN / IN
     [GROUP BY col [, col ...]]
-    [HAVING alias OP literal [AND ...]]
+    [HAVING bool-expr]          -- over output aliases
     [ORDER BY col [DESC] [, ...]]
     [LIMIT n]
 
@@ -18,6 +18,15 @@ surface matters: this module parses the subset
           | COUNT(DISTINCT col) AS alias
           | [ROUND(] SUM|MIN|MAX|AVG|COUNT (col) [, nd )] AS alias
     OP   := = != <> < <= > >= LIKE (with %substr% pattern)
+          | IN (lit, ...) | BETWEEN lit AND lit
+
+WHERE / HAVING are parsed with a recursive-descent boolean grammar
+(AND binds tighter than OR, parentheses group) and compiled to
+disjunctive normal form. A single-branch DNF is the classic conjunction
+and keeps every fast path (zone pruning, predicate pushdown, metadata
+answers). A multi-branch DNF evaluates as one vectorized Kleene-OR of
+per-branch AND masks; over a store, blocks are pruned when EVERY branch's
+zone classification says 'none' (union-of-branches pruning).
 
 COUNT(DISTINCT) runs as a value-hash-bucketed distinct fold (bounded
 groupby, DESIGN.md §8.1), never a distinct-key-count Ray groupby; HAVING
@@ -63,13 +72,6 @@ _ITEM_RE = re.compile(
     r"(?:\s+AS\s+(?P<alias>[A-Za-z_][\w]*))?$",
     re.IGNORECASE)
 
-_COND_RE = re.compile(
-    r"^(?P<col>[A-Za-z_][\w]*)\s*"
-    r"(?:(?P<op>>=|<=|!=|<>|=|<|>|LIKE)\s*"
-    r"(?P<lit>'(?:[^']*)'|-?\d+(?:\.\d+)?)"
-    r"|(?P<in>IN)\s*\(\s*(?P<list>[^)]+)\s*\))$",
-    re.IGNORECASE)
-
 _LIT_RE = re.compile(r"^('(?:[^']*)'|-?\d+(?:\.\d+)?)$")
 
 _SQL_RE = re.compile(
@@ -107,6 +109,158 @@ _JOIN_RE = re.compile(
     re.IGNORECASE)
 
 
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<str>'[^']*')"
+    r"|(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<id>[A-Za-z_]\w*)"
+    r"|(?P<sym>>=|<=|!=|<>|=|<|>|\(|\)|,))")
+
+_MAX_DNF_BRANCHES = 64
+
+
+def _lit_val(tok: str):
+    if tok.startswith("'"):
+        return tok[1:-1]
+    return float(tok) if "." in tok else int(tok)
+
+
+class _BoolParser:
+    """Recursive-descent WHERE/HAVING parser → DNF branches
+    (list of conjunctions, each a list of cond dicts). Grammar:
+
+        expr   := term (OR term)*
+        term   := factor (AND factor)*
+        factor := '(' expr ')' | atom
+        atom   := col (op lit | LIKE str | IN '(' lit,... ')'
+                       | BETWEEN lit AND lit)
+
+    AND distributes over OR during parsing, so the result is always DNF;
+    branch count is capped at _MAX_DNF_BRANCHES (a hand-written WHERE
+    never gets near it — the cap only guards pathological inputs)."""
+
+    def __init__(self, text: str, what: str):
+        self.what = what
+        self.toks: list[str] = []
+        i = 0
+        while i < len(text):
+            m = _TOKEN_RE.match(text, i)
+            if not m or m.end() == i:
+                if text[i:].strip():
+                    raise ValueError(
+                        f"unsupported {what} syntax near {text[i:i+24]!r}")
+                break
+            self.toks.append(m.group("str") or m.group("num")
+                             or m.group("id") or m.group("sym"))
+            i = m.end()
+        self.i = 0
+
+    def _peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _kw(self, word: str) -> bool:
+        t = self._peek()
+        return t is not None and t.upper() == word
+
+    def _next(self) -> str | None:
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def parse(self) -> list[list[dict]]:
+        out = self._expr()
+        if self._peek() is not None:
+            raise ValueError(
+                f"unexpected token {self._peek()!r} in {self.what}")
+        return out
+
+    def _expr(self) -> list[list[dict]]:
+        branches = self._term()
+        while self._kw("OR"):
+            self._next()
+            branches = branches + self._term()
+            if len(branches) > _MAX_DNF_BRANCHES:
+                raise ValueError(f"{self.what} too complex (DNF cap)")
+        return branches
+
+    def _term(self) -> list[list[dict]]:
+        branches = self._factor()
+        while self._kw("AND"):
+            self._next()
+            right = self._factor()
+            branches = [a + b for a in branches for b in right]
+            if len(branches) > _MAX_DNF_BRANCHES:
+                raise ValueError(f"{self.what} too complex (DNF cap)")
+        return branches
+
+    def _factor(self) -> list[list[dict]]:
+        if self._peek() == "(":
+            self._next()
+            inner = self._expr()
+            if self._next() != ")":
+                raise ValueError(f"unbalanced parentheses in {self.what}")
+            return inner
+        return [self._atom()]
+
+    def _atom(self) -> list[dict]:
+        col = self._next()
+        if col is None or not re.fullmatch(r"[A-Za-z_]\w*", col):
+            raise ValueError(
+                f"expected a column name in {self.what}, got {col!r}")
+        t = self._peek()
+        if t is None:
+            raise ValueError(f"dangling condition on {col!r} in {self.what}")
+        up = t.upper()
+        if up == "BETWEEN":
+            self._next()
+            a = self._next()
+            if not self._kw("AND"):
+                raise ValueError(f"BETWEEN needs AND in {self.what}")
+            self._next()
+            b = self._next()
+            for lit in (a, b):
+                if lit is None or not _LIT_RE.match(lit):
+                    raise ValueError(f"unsupported BETWEEN literal: {lit!r}")
+            return [{"col": col, "op": ">=", "val": _lit_val(a)},
+                    {"col": col, "op": "<=", "val": _lit_val(b)}]
+        if up == "IN":
+            self._next()
+            if self._next() != "(":
+                raise ValueError(f"IN needs a literal list in {self.what}")
+            vals = []
+            while True:
+                lit = self._next()
+                if lit is None:
+                    raise ValueError(f"unterminated IN list in {self.what}")
+                if lit == ")":
+                    break
+                if lit == ",":
+                    continue
+                if not _LIT_RE.match(lit):
+                    raise ValueError(f"unsupported IN literal: {lit!r}")
+                vals.append(_lit_val(lit))
+            if not vals:
+                raise ValueError(f"empty IN list in {self.what}")
+            return [{"col": col, "op": "IN", "val": tuple(vals)}]
+        if up == "LIKE":
+            self._next()
+            lit = self._next()
+            if lit is None or not lit.startswith("'"):
+                raise ValueError(f"LIKE needs a string literal, got {lit!r}")
+            return [{"col": col, "op": "LIKE", "val": _lit_val(lit)}]
+        if t in (">=", "<=", "!=", "<>", "=", "<", ">"):
+            self._next()
+            lit = self._next()
+            if lit is None or not _LIT_RE.match(lit):
+                raise ValueError(
+                    f"unsupported literal for {col} {t}: {lit!r}")
+            return [{"col": col, "op": t, "val": _lit_val(lit)}]
+        raise ValueError(f"unsupported operator {t!r} on {col!r}")
+
+
+def _parse_bool(text: str, what: str) -> list[list[dict]]:
+    return _BoolParser(text, what).parse()
+
+
 def parse(sql: str) -> dict:
     m = _SQL_RE.match(sql)
     if not m:
@@ -131,36 +285,12 @@ def parse(sql: str) -> dict:
             "alias": d["alias"] or d["col"],
         })
 
-    def _conds_of(text: str, what: str) -> list[dict]:
-        out = []
-        for raw in re.split(r"\s+AND\s+", text, flags=re.IGNORECASE):
-            cm = _COND_RE.match(raw.strip())
-            if not cm:
-                raise ValueError(f"unsupported {what} condition: {raw!r}")
-
-            def _lit(lit: str):
-                return lit[1:-1] if lit.startswith("'") else (
-                    float(lit) if "." in lit else int(lit))
-
-            if cm.group("in"):
-                vals = []
-                for piece in cm.group("list").split(","):
-                    piece = piece.strip()
-                    if not _LIT_RE.match(piece):
-                        raise ValueError(
-                            f"unsupported IN literal: {piece!r}")
-                    vals.append(_lit(piece))
-                out.append({"col": cm.group("col"), "op": "IN",
-                            "val": tuple(vals)})
-            else:
-                out.append({"col": cm.group("col"),
-                            "op": cm.group("op").upper(),
-                            "val": _lit(cm.group("lit"))})
-        return out
-
-    conds = _conds_of(m.group("where"), "WHERE") if m.group("where") else []
-    having = (_conds_of(m.group("having"), "HAVING")
-              if m.group("having") else [])
+    wb = (_parse_bool(m.group("where"), "WHERE")
+          if m.group("where") else [[]])
+    conds, or_branches = (wb[0], None) if len(wb) == 1 else ([], wb)
+    hb = (_parse_bool(m.group("having"), "HAVING")
+          if m.group("having") else [[]])
+    having, having_or = (hb[0], None) if len(hb) == 1 else ([], hb)
     group = ([c.strip() for c in m.group("group").split(",")]
              if m.group("group") else [])
     order = []
@@ -175,8 +305,9 @@ def parse(sql: str) -> dict:
               "a": jm.group("a"), "b": jm.group("b")}
              for jm in _JOIN_RE.finditer(frm)]
     return {"items": items, "star": star, "table": table, "joins": joins,
-            "conds": conds,
-            "having": having, "group": group, "order": order,
+            "conds": conds, "or_branches": or_branches,
+            "having": having, "having_or": having_or,
+            "group": group, "order": order,
             "limit": int(m.group("limit")) if m.group("limit") else None}
 
 
@@ -218,6 +349,9 @@ def _needed_columns(plan: dict) -> list[str]:
             cols.add(it["arg"])
     for c in plan["conds"]:
         cols.add(c["col"])
+    for br in (plan.get("or_branches") or []):
+        for c in br:
+            cols.add(c["col"])
     cols.update(plan["group"])
     # ORDER BY may reference an output ALIAS (e.g. an aggregate's name) —
     # those are not table columns and must not reach the pruned read; the
@@ -229,39 +363,58 @@ def _needed_columns(plan: dict) -> list[str]:
     return sorted(cols)
 
 
-def _predicate(batch: pa.Table, conds: list[dict]) -> pa.Table:
+def _cond_mask(batch: pa.Table, c: dict):
+    col = batch[c["col"]]
+    op, val = c["op"], c["val"]
+    if op == "IN":
+        return pc.is_in(col, value_set=pa.array(list(val)))
+    if op == "LIKE":
+        pat = str(val)
+        inner = pat.strip("%")
+        if "%" not in inner and "_" not in pat:
+            # fast substring/prefix/suffix/equality kernels
+            if pat.startswith("%") and pat.endswith("%"):
+                return pc.match_substring(col, inner)
+            if pat.endswith("%"):
+                return pc.starts_with(col, inner)
+            if pat.startswith("%"):
+                return pc.ends_with(col, inner)
+            return pc.equal(col, pat)
+        # general LIKE (interior % / _): translate to an anchored
+        # regex — % -> .*, _ -> ., everything else escaped
+        rx = "".join(".*" if ch == "%" else "." if ch == "_"
+                     else re.escape(ch) for ch in pat)
+        return pc.match_substring_regex(col, f"^(?s:{rx})$")
+    fn = {"=": pc.equal, "!=": pc.not_equal, "<>": pc.not_equal,
+          "<": pc.less, "<=": pc.less_equal,
+          ">": pc.greater, ">=": pc.greater_equal}[op]
+    return fn(col, val)
+
+
+def _mask(batch: pa.Table, conds: list[dict]):
     mask = None
     for c in conds:
-        col = batch[c["col"]]
-        op, val = c["op"], c["val"]
-        if op == "IN":
-            m = pc.is_in(col, value_set=pa.array(list(val)))
-        elif op == "LIKE":
-            pat = str(val)
-            inner = pat.strip("%")
-            if "%" not in inner and "_" not in pat:
-                # fast substring/prefix/suffix/equality kernels
-                if pat.startswith("%") and pat.endswith("%"):
-                    m = pc.match_substring(col, inner)
-                elif pat.endswith("%"):
-                    m = pc.starts_with(col, inner)
-                elif pat.startswith("%"):
-                    m = pc.ends_with(col, inner)
-                else:
-                    m = pc.equal(col, pat)
-            else:
-                # general LIKE (interior % / _): translate to an anchored
-                # regex — % -> .*, _ -> ., everything else escaped
-                rx = "".join(".*" if ch == "%" else "." if ch == "_"
-                             else re.escape(ch) for ch in pat)
-                m = pc.match_substring_regex(col, f"^(?s:{rx})$")
-        else:
-            fn = {"=": pc.equal, "!=": pc.not_equal, "<>": pc.not_equal,
-                  "<": pc.less, "<=": pc.less_equal,
-                  ">": pc.greater, ">=": pc.greater_equal}[op]
-            m = fn(col, val)
-        mask = m if mask is None else pc.and_(mask, m)
+        m = _cond_mask(batch, c)
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    return mask
+
+
+def _predicate(batch: pa.Table, conds: list[dict]) -> pa.Table:
+    mask = _mask(batch, conds)
     return batch.filter(mask) if mask is not None else batch
+
+
+def _predicate_dnf(batch: pa.Table, branches: list[list[dict]]) -> pa.Table:
+    """Vectorized DNF filter: Kleene-OR of per-branch AND masks — the
+    null semantics SQL uses (NULL OR TRUE = TRUE), so OR over nullable
+    columns hash-matches the DuckDB oracle."""
+    masks = [_mask(batch, br) for br in branches]
+    if any(m is None for m in masks):   # an empty branch matches all rows
+        return batch
+    out = masks[0]
+    for m in masks[1:]:
+        out = pc.or_kleene(out, m)
+    return batch.filter(out)
 
 
 def _count_distinct(ds, group: list[str], col: str) -> pd.DataFrame:
@@ -566,6 +719,29 @@ def _zone_classify(stats: dict, op: str, val) -> str:
     except TypeError:
         return "partial"  # incomparable literal/stat types: just decode
     return "partial"
+
+
+def _or_zone_block_ids(store_dir: str, branches: list[list[dict]],
+                       as_of: int | None = None) -> set[str]:
+    """Union-of-branches zone pruning for a DNF WHERE over a store: a block
+    must decode unless EVERY branch has at least one range/IN conjunct the
+    block's footer min/max proves 'none'. Non-classifiable ops (LIKE, !=)
+    count as match-possible. Metadata-only — same footer stats, same
+    :func:`_zone_classify`, no block reads."""
+    from .manifest import load_footer
+
+    keep: set[str] = set()
+    for b in load_footer(store_dir, as_of=as_of)["blocks"]:
+        cols = b.get("columns") or {}
+        for br in branches:
+            verdicts = [
+                _zone_classify((cols.get(c["col"]) or {}).get("stats"),
+                               c["op"], c["val"])
+                for c in br if c["op"] in ("=", "<", "<=", ">", ">=", "IN")]
+            if "none" not in verdicts:
+                keep.add(b["block_id"])
+                break
+    return keep
 
 
 def _store_pushdown_aggregate(store_dir: str, plan: dict,
@@ -972,6 +1148,12 @@ def explain_sql(sf_dir: str, sql: str,
                                 for it in plan["items"] if it["agg"]],
                  "conditions": [f"{c['col']} {c['op']} {c['val']!r}"
                                 for c in plan["conds"]]}
+    if plan.get("or_branches"):
+        out["conditions"] = [
+            "(" + " AND ".join(f"{c['col']} {c['op']} {c['val']!r}"
+                               for c in br) + ")"
+            for br in plan["or_branches"]]
+        out["where_form"] = "dnf"
     if plan["joins"]:
         out["path"] = "broadcast-join"
         out["fact"] = plan["table"]
@@ -982,6 +1164,22 @@ def explain_sql(sf_dir: str, sql: str,
         return out
 
     from .manifest import load_footer
+
+    if plan.get("or_branches"):
+        # DNF WHERE: fast paths are gated off; the census is the
+        # union-of-branches pruning the executor applies
+        blocks = load_footer(sf_dir)["blocks"]
+        keep = _or_zone_block_ids(sf_dir, plan["or_branches"])
+        out["blocks"] = {"total": len(blocks),
+                         "pruned": len(blocks) - len(keep),
+                         "metadata": 0, "decoded": len(keep)}
+        out["zone_filter"] = {}
+        out["pushed_predicate"] = None
+        out["path"] = "store-scan"
+        tomb_dir = os.path.join(sf_dir, "tombstones")
+        out["tombstones_pending"] = os.path.isdir(tomb_dir) and any(
+            f.endswith(".tmb") for f in os.listdir(tomb_dir))
+        return out
 
     pure_agg = (plan["items"]
                 and all(it["agg"] and not it["distinct"]
@@ -1094,7 +1292,12 @@ def run_sql(sf_dir: str, sql: str,
         ds = _joined_dataset(sf_dir, plan, tables_dir)
         plan = dict(plan, conds=[])
     elif plan["table"] == "store":
-        if plan["group"]:
+        if plan.get("or_branches"):
+            # DNF WHERE: stats can't prove all-match across a disjunction,
+            # so every metadata fast path is gated off; zone pruning still
+            # fires as a union over branches (block_ids below)
+            fast = None
+        elif plan["group"]:
             fast = _store_grouped_metadata_answer(sf_dir, plan, as_of=as_of)
         elif any(it["agg"] for it in plan["items"]):
             fast = (_store_pushdown_aggregate(sf_dir, plan, as_of=as_of)
@@ -1116,18 +1319,30 @@ def run_sql(sf_dir: str, sql: str,
                 fast = fast.head(plan["limit"])
             return fast.reset_index(drop=True)
         from .pipeline import decode_store
-        # every range/IN condition contributes to zone pruning (blocks
-        # whose footer min/max misses ANY conjunct never decode), and the
-        # first pushable condition additionally rides into the block scan
-        # (IN preferred: it consults Bloom sidecars)
-        zones = _store_zones(plan["conds"])
-        ds = decode_store(sf_dir, columns=_needed_columns(plan),
-                          zone_filter=zones or None,
-                          predicate=_pushable_all(plan["conds"]) or None,
-                          as_of=as_of)
+        if plan.get("or_branches"):
+            # DNF: block survives if ANY branch may match (zone union);
+            # the residual Kleene-OR mask below is the filter
+            keep = _or_zone_block_ids(sf_dir, plan["or_branches"],
+                                      as_of=as_of)
+            ds = decode_store(sf_dir, columns=_needed_columns(plan),
+                              block_ids=keep, as_of=as_of)
+        else:
+            # every range/IN condition contributes to zone pruning (blocks
+            # whose footer min/max misses ANY conjunct never decode), and
+            # the full pushable conjunction additionally rides into the
+            # block scan (IN preferred: it consults Bloom sidecars)
+            zones = _store_zones(plan["conds"])
+            ds = decode_store(sf_dir, columns=_needed_columns(plan),
+                              zone_filter=zones or None,
+                              predicate=_pushable_all(plan["conds"]) or None,
+                              as_of=as_of)
     else:
         ds = tbl(sf_dir, plan["table"], _needed_columns(plan))
-    if plan["conds"]:
+    if plan.get("or_branches"):
+        brs = plan["or_branches"]
+        ds = ds.map_batches(lambda b: _predicate_dnf(b, brs),
+                            batch_format="pyarrow")
+    elif plan["conds"]:
         conds = plan["conds"]
         ds = ds.map_batches(lambda b: _predicate(b, conds),
                             batch_format="pyarrow")
@@ -1166,6 +1381,8 @@ def run_sql(sf_dir: str, sql: str,
         # grouped (or global) aggregate: build Ray aggregates; AVG becomes
         # SUM + COUNT merged driver-side (mergeable-partial discipline)
         aggs, post, distinct_items = [], [], []
+        bare_global_counts: list[str] = []
+        agg_cols: list[str] = []
         for i, it in enumerate(plan["items"]):
             if not it["agg"]:
                 continue
@@ -1178,20 +1395,26 @@ def run_sql(sf_dir: str, sql: str,
                 # (SQL semantics — the DuckDB oracle runs the same text)
                 if it["arg"] == "*":
                     aggs.append(Count(alias_name=key))
+                    bare_global_counts.append(key)
                 else:
                     aggs.append(Count(on=it["arg"], ignore_nulls=True,
                                       alias_name=key))
+                agg_cols.append(key)
             elif it["agg"] == "SUM":
                 aggs.append(Sum(it["arg"], alias_name=key))
+                agg_cols.append(key)
             elif it["agg"] == "MIN":
                 aggs.append(Min(it["arg"], alias_name=key))
+                agg_cols.append(key)
             elif it["agg"] == "MAX":
                 aggs.append(Max(it["arg"], alias_name=key))
+                agg_cols.append(key)
             elif it["agg"] == "AVG":
                 # SUM skips nulls, so the divisor must too
                 aggs.append(Sum(it["arg"], alias_name=key + "_s"))
                 aggs.append(Count(on=it["arg"], ignore_nulls=True,
                                   alias_name=key + "_c"))
+                agg_cols.extend([key + "_s", key + "_c"])
             post.append((i, key, it))
         gb_keys = (plan["group"] + [f for _, f in null_flags]
                    if plan["group"] else plan["group"])
@@ -1206,8 +1429,28 @@ def run_sql(sf_dir: str, sql: str,
         if aggs:
             if plan["group"]:
                 out = ds.groupby(gb_keys).aggregate(*aggs).to_pandas()
+                if out.empty and not set(gb_keys) <= set(out.columns):
+                    # a grouped aggregate over ZERO input rows comes back
+                    # as a schema-less empty frame — rebuild the typed
+                    # empty (group keys + one column per aggregate) so
+                    # renames/HAVING/ORDER downstream stay total
+                    out = pd.DataFrame(
+                        {c: pd.Series(dtype="float64" if c in agg_cols
+                                      else "object")
+                         for c in list(gb_keys) + agg_cols})
+            elif len(bare_global_counts) == len(aggs):
+                # Ray 2.49 quirk: a GLOBAL aggregate whose only aggs are
+                # bare Count() (on=None) answers 0 — route row counting
+                # through Dataset.count() (distributed, metadata-aware)
+                n = ds.count()
+                out = pd.DataFrame({k: [n] for k in bare_global_counts})
             else:
                 out = ds.groupby(None).aggregate(*aggs).to_pandas()
+                if out.empty:
+                    # SQL's global aggregate over zero rows is ONE row:
+                    # COUNT 0 (restored in the post loop), others NULL
+                    out = pd.DataFrame({c: [float("nan")]
+                                        for c in agg_cols})
         else:
             out = None  # COUNT(DISTINCT ...) only — built below
         for it in distinct_items:
@@ -1235,7 +1478,8 @@ def run_sql(sf_dir: str, sql: str,
             else:
                 out = out.rename(columns={key: it["alias"]})
             if it["agg"] == "COUNT":
-                out[it["alias"]] = out[it["alias"]].astype("int64")
+                out[it["alias"]] = \
+                    out[it["alias"]].fillna(0).astype("int64")
             if it["nd"] is not None:
                 out[it["alias"]] = out[it["alias"]].astype(float).round(it["nd"])
         out = out.rename(columns={it["col"]: it["alias"]
@@ -1247,9 +1491,21 @@ def run_sql(sf_dir: str, sql: str,
         # resolved — same alias-reference semantics the DuckDB oracle uses
         for c in plan["having"]:
             out = out[_HAVING_OPS[c["op"]](out[c["col"]], c["val"])]
+        if plan.get("having_or"):
+            dis = None
+            for br in plan["having_or"]:
+                bm = None
+                for c in br:
+                    cm = _HAVING_OPS[c["op"]](out[c["col"]], c["val"])
+                    bm = cm if bm is None else (bm & cm)
+                if bm is None:       # empty branch: matches everything
+                    dis = pd.Series(True, index=out.index)
+                    break
+                dis = bm if dis is None else (dis | bm)
+            out = out[dis]
         out = out.reset_index(drop=True)
     else:
-        if plan["having"]:
+        if plan["having"] or plan.get("having_or"):
             raise ValueError("HAVING requires an aggregate SELECT")
         # plain SELECT: with a LIMIT, order+limit stay DISTRIBUTED — a
         # large filtered table must never be pulled to the driver just to
