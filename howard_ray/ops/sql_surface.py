@@ -68,6 +68,19 @@ AND (o_totalprice BETWEEN 100000 AND 200000 OR o_totalprice > 400000)""",
 ROUND(SUM(o_totalprice), 2) AS rev FROM orders
 GROUP BY o_orderpriority HAVING n >= 300 OR rev < 40000000
 ORDER BY o_orderpriority""",
+    # NOT resolved at parse time by operator negation + De Morgan —
+    # the executor only ever sees positive DNF
+    "sql_not": """SELECT COUNT(*) AS n,
+ROUND(SUM(o_totalprice), 2) AS rev FROM orders
+WHERE NOT (o_orderpriority = '1-URGENT' OR o_totalprice > 400000)""",
+    "sql_not_in_like": """SELECT l_returnflag, COUNT(*) AS n,
+ROUND(SUM(l_quantity), 2) AS qty FROM lineitem
+WHERE l_linestatus NOT IN ('F') AND l_returnflag NOT LIKE 'A%'
+AND l_quantity NOT BETWEEN 20 AND 40
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # SELECT DISTINCT ≡ hidden grouped COUNT, dropped before output
+    "sql_distinct": """SELECT DISTINCT lang, source FROM documents
+ORDER BY lang, source""",
 }
 
 

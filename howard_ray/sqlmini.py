@@ -5,9 +5,9 @@ table (``howard query``, howard/tools/query.py:22-74; the CLI --query
 path). A full SQL engine is out of scope here, but the shape of the
 surface matters: this module parses the subset
 
-    SELECT item [, item ...] | *
+    SELECT [DISTINCT] item [, item ...] | *
     FROM <table> [JOIN <table> ON col = col ...]
-    [WHERE bool-expr]           -- AND / OR / parentheses / BETWEEN / IN
+    [WHERE bool-expr]   -- AND/OR/NOT, parens, BETWEEN, IN, IS [NOT] NULL
     [GROUP BY col [, col ...]]
     [HAVING bool-expr]          -- over output aliases
     [ORDER BY col [DESC] [, ...]]
@@ -124,6 +124,33 @@ def _lit_val(tok: str):
     return float(tok) if "." in tok else int(tok)
 
 
+_NEG_OP = {"=": "!=", "!=": "=", "<>": "=", "<": ">=", "<=": ">",
+           ">": "<=", ">=": "<", "LIKE": "NOTLIKE", "NOTLIKE": "LIKE",
+           "ISNULL": "NOTNULL", "NOTNULL": "ISNULL"}
+
+
+def _neg_cond(c: dict) -> list[dict]:
+    """¬cond as a CONJUNCTION of positive conds. Null-faithful: every
+    mapping yields NULL for NULL inputs exactly when SQL's NOT does —
+    e.g. NOT(col IN (a,b)) ≡ col != a AND col != b (NULL AND NULL =
+    NULL, row not selected, same as DuckDB)."""
+    if c["op"] == "IN":
+        return [{"col": c["col"], "op": "!=", "val": v} for v in c["val"]]
+    return [{"col": c["col"], "op": _NEG_OP[c["op"]], "val": c["val"]}]
+
+
+def _neg_dnf(branches: list[list[dict]], what: str) -> list[list[dict]]:
+    """De Morgan over a DNF: NOT(∨ᵢ ∧ⱼ cᵢⱼ) = ∧ᵢ(∨ⱼ ¬cᵢⱼ), redistributed
+    to DNF (cross product of the per-branch negation alternatives)."""
+    out: list[list[dict]] = [[]]
+    for br in branches:
+        alts = [_neg_cond(c) for c in br]
+        out = [acc + alt for acc in out for alt in alts]
+        if len(out) > _MAX_DNF_BRANCHES:
+            raise ValueError(f"{what} too complex (DNF cap under NOT)")
+    return out
+
+
 class _BoolParser:
     """Recursive-descent WHERE/HAVING parser → DNF branches
     (list of conjunctions, each a list of cond dicts). Grammar:
@@ -136,7 +163,14 @@ class _BoolParser:
 
     AND distributes over OR during parsing, so the result is always DNF;
     branch count is capped at _MAX_DNF_BRANCHES (a hand-written WHERE
-    never gets near it — the cap only guards pathological inputs)."""
+    never gets near it — the cap only guards pathological inputs).
+
+    NOT is resolved AT PARSE TIME by operator negation (=/!= swap, range
+    flip, IN → conjunction of !=, LIKE ↔ NOTLIKE, IS NULL ↔ IS NOT NULL)
+    plus De Morgan over sub-DNFs, so the executor only ever sees positive
+    DNF — every downstream path (zone pruning, pushdown, Kleene masks)
+    works unchanged. The operator table is null-faithful: NOT(col = 5)
+    becomes col != 5, which is NULL for NULL rows exactly as SQL wants."""
 
     def __init__(self, text: str, what: str):
         self.what = what
@@ -193,19 +227,46 @@ class _BoolParser:
         return branches
 
     def _factor(self) -> list[list[dict]]:
+        if self._kw("NOT"):
+            self._next()
+            return _neg_dnf(self._factor(), self.what)
         if self._peek() == "(":
             self._next()
             inner = self._expr()
             if self._next() != ")":
                 raise ValueError(f"unbalanced parentheses in {self.what}")
             return inner
-        return [self._atom()]
+        return self._atom()
 
-    def _atom(self) -> list[dict]:
+    def _atom(self) -> list[list[dict]]:
         col = self._next()
         if col is None or not re.fullmatch(r"[A-Za-z_]\w*", col):
             raise ValueError(
                 f"expected a column name in {self.what}, got {col!r}")
+        t = self._peek()
+        if t is None:
+            raise ValueError(f"dangling condition on {col!r} in {self.what}")
+        up = t.upper()
+        if up == "IS":
+            # col IS NULL / col IS NOT NULL
+            self._next()
+            neg = self._kw("NOT") and (self._next() or True)
+            if not self._kw("NULL"):
+                raise ValueError(f"IS needs NULL in {self.what}")
+            self._next()
+            return [[{"col": col, "op": "NOTNULL" if neg else "ISNULL",
+                      "val": None}]]
+        if up == "NOT":
+            # col NOT LIKE / NOT IN / NOT BETWEEN: parse the positive
+            # form, then negate (NOT BETWEEN yields TWO branches)
+            self._next()
+            nxt = self._peek()
+            if nxt is None or nxt.upper() not in ("LIKE", "IN", "BETWEEN"):
+                raise ValueError(f"NOT needs LIKE/IN/BETWEEN after {col!r}")
+            return _neg_dnf(self._op_atom(col), self.what)
+        return self._op_atom(col)
+
+    def _op_atom(self, col: str) -> list[list[dict]]:
         t = self._peek()
         if t is None:
             raise ValueError(f"dangling condition on {col!r} in {self.what}")
@@ -220,8 +281,8 @@ class _BoolParser:
             for lit in (a, b):
                 if lit is None or not _LIT_RE.match(lit):
                     raise ValueError(f"unsupported BETWEEN literal: {lit!r}")
-            return [{"col": col, "op": ">=", "val": _lit_val(a)},
-                    {"col": col, "op": "<=", "val": _lit_val(b)}]
+            return [[{"col": col, "op": ">=", "val": _lit_val(a)},
+                     {"col": col, "op": "<=", "val": _lit_val(b)}]]
         if up == "IN":
             self._next()
             if self._next() != "(":
@@ -240,20 +301,20 @@ class _BoolParser:
                 vals.append(_lit_val(lit))
             if not vals:
                 raise ValueError(f"empty IN list in {self.what}")
-            return [{"col": col, "op": "IN", "val": tuple(vals)}]
+            return [[{"col": col, "op": "IN", "val": tuple(vals)}]]
         if up == "LIKE":
             self._next()
             lit = self._next()
             if lit is None or not lit.startswith("'"):
                 raise ValueError(f"LIKE needs a string literal, got {lit!r}")
-            return [{"col": col, "op": "LIKE", "val": _lit_val(lit)}]
+            return [[{"col": col, "op": "LIKE", "val": _lit_val(lit)}]]
         if t in (">=", "<=", "!=", "<>", "=", "<", ">"):
             self._next()
             lit = self._next()
             if lit is None or not _LIT_RE.match(lit):
                 raise ValueError(
                     f"unsupported literal for {col} {t}: {lit!r}")
-            return [{"col": col, "op": t, "val": _lit_val(lit)}]
+            return [[{"col": col, "op": t, "val": _lit_val(lit)}]]
         raise ValueError(f"unsupported operator {t!r} on {col!r}")
 
 
@@ -266,8 +327,13 @@ def parse(sql: str) -> dict:
     if not m:
         raise ValueError(f"unsupported SQL: {sql!r}")
     items = []
-    star = m.group("select").strip() == "*"
-    for raw in ([] if star else _split_commas(m.group("select"))):
+    sel = m.group("select").strip()
+    dm = re.match(r"^DISTINCT\s+", sel, re.IGNORECASE)
+    select_distinct = bool(dm)
+    if dm:
+        sel = sel[dm.end():]
+    star = sel == "*"
+    for raw in ([] if star else _split_commas(sel)):
         im = _ITEM_RE.match(raw.strip())
         if not im:
             raise ValueError(f"unsupported SELECT item: {raw!r}")
@@ -304,7 +370,12 @@ def parse(sql: str) -> dict:
     joins = [{"table": jm.group("table"),
               "a": jm.group("a"), "b": jm.group("b")}
              for jm in _JOIN_RE.finditer(frm)]
+    if select_distinct:
+        if any(it["agg"] for it in items) or group:
+            raise ValueError(
+                "SELECT DISTINCT with aggregates/GROUP BY is unsupported")
     return {"items": items, "star": star, "table": table, "joins": joins,
+            "select_distinct": select_distinct,
             "conds": conds, "or_branches": or_branches,
             "having": having, "having_or": having_or,
             "group": group, "order": order,
@@ -368,6 +439,14 @@ def _cond_mask(batch: pa.Table, c: dict):
     op, val = c["op"], c["val"]
     if op == "IN":
         return pc.is_in(col, value_set=pa.array(list(val)))
+    if op == "ISNULL":
+        return pc.is_null(col)
+    if op == "NOTNULL":
+        return pc.is_valid(col)
+    if op == "NOTLIKE":
+        # Arrow invert is null-preserving, i.e. Kleene NOT — NULL rows
+        # stay NULL and are dropped by the filter, matching SQL NOT LIKE
+        return pc.invert(_cond_mask(batch, dict(c, op="LIKE")))
     if op == "LIKE":
         pat = str(val)
         inner = pat.strip("%")
@@ -453,6 +532,7 @@ _HAVING_OPS = {
     "<>": lambda s, v: s != v, "<": lambda s, v: s < v,
     "<=": lambda s, v: s <= v, ">": lambda s, v: s > v,
     ">=": lambda s, v: s >= v, "IN": lambda s, v: s.isin(list(v)),
+    "ISNULL": lambda s, v: s.isna(), "NOTNULL": lambda s, v: s.notna(),
 }
 
 
@@ -700,6 +780,10 @@ def _zone_classify(stats: dict, op: str, val) -> str:
             if mx < val or mn > val:
                 return "none"
             return "all" if mn == val and mx == val else "partial"
+        if op in ("!=", "<>"):
+            if mn == mx == val:
+                return "none"
+            return "all" if val < mn or val > mx else "partial"
         if op == ">":
             if mx <= val:
                 return "none"
@@ -737,7 +821,8 @@ def _or_zone_block_ids(store_dir: str, branches: list[list[dict]],
             verdicts = [
                 _zone_classify((cols.get(c["col"]) or {}).get("stats"),
                                c["op"], c["val"])
-                for c in br if c["op"] in ("=", "<", "<=", ">", ">=", "IN")]
+                for c in br
+                if c["op"] in ("=", "!=", "<>", "<", "<=", ">", ">=", "IN")]
             if "none" not in verdicts:
                 keep.add(b["block_id"])
                 break
@@ -1140,6 +1225,9 @@ def explain_sql(sf_dir: str, sql: str,
     reuses the same :func:`_zone_classify` the executor uses, so the
     numbers are the plan, not an estimate."""
     plan = _expand_star(sf_dir, parse(sql))
+    if plan.get("select_distinct"):
+        # mirror run_sql's rewrite so the reported plan is the real one
+        plan = dict(plan, group=[it["col"] for it in plan["items"]])
     out: dict = {"table": plan["table"],
                  "joins": [dict(j) for j in plan["joins"]],
                  "columns": _needed_columns(plan),
@@ -1284,6 +1372,16 @@ def run_sql(sf_dir: str, sql: str,
     if as_of is not None and (plan["table"] != "store" or plan["joins"]):
         raise ValueError("as_of requires a plain FROM store query")
     plan = _expand_star(sf_dir, plan, as_of=as_of)
+    distinct_drop = False
+    if plan.get("select_distinct"):
+        # SELECT DISTINCT a, b ≡ GROUP BY a, b with a hidden COUNT(*):
+        # rides the whole grouped machinery (NULL-group tagging, store
+        # grouped-metadata fast path) — the hidden count drops at the end
+        plan = dict(plan, group=[it["col"] for it in plan["items"]],
+                    items=plan["items"] + [{
+                        "agg": "COUNT", "arg": "*", "col": None,
+                        "distinct": False, "nd": None, "alias": "__dn"}])
+        distinct_drop = True
     if plan["joins"]:
         if plan["table"] == "store" and tables_dir is None:
             raise ValueError(
@@ -1317,6 +1415,8 @@ def run_sql(sf_dir: str, sql: str,
                     ascending=[not d for _, d in plan["order"]])
             if plan["limit"] is not None:
                 fast = fast.head(plan["limit"])
+            if distinct_drop:
+                fast = fast.drop(columns=["__dn"])
             return fast.reset_index(drop=True)
         from .pipeline import decode_store
         if plan.get("or_branches"):
@@ -1554,4 +1654,6 @@ def run_sql(sf_dir: str, sql: str,
         # projection dropped them; re-sorting a key subset would be wrong
     if plan["limit"] is not None:
         out = out.head(plan["limit"])
+    if distinct_drop:
+        out = out.drop(columns=["__dn"])
     return out.reset_index(drop=True)

@@ -144,6 +144,128 @@ def test_store_or_range_branches(ray_session, tmp_path):
     pd.testing.assert_frame_equal(mine, exp, check_dtype=False)
 
 
+# ------------------------------------------- NOT / IS NULL / DISTINCT
+
+def test_parse_not_demorgan():
+    p = parse("SELECT COUNT(*) AS n FROM orders WHERE NOT (a = 1 OR b > 2)")
+    assert p["conds"] == [{"col": "a", "op": "!=", "val": 1},
+                         {"col": "b", "op": "<=", "val": 2}]
+
+
+def test_parse_not_in_not_between_is_null():
+    p = parse("SELECT COUNT(*) AS n FROM orders WHERE x NOT IN (1, 2)")
+    assert p["conds"] == [{"col": "x", "op": "!=", "val": 1},
+                         {"col": "x", "op": "!=", "val": 2}]
+    p = parse("SELECT COUNT(*) AS n FROM orders WHERE q NOT BETWEEN 5 AND 9")
+    assert p["or_branches"] == [[{"col": "q", "op": "<", "val": 5}],
+                                [{"col": "q", "op": ">", "val": 9}]]
+    p = parse("SELECT COUNT(*) AS n FROM orders "
+              "WHERE c IS NULL OR d IS NOT NULL")
+    assert p["or_branches"] == [[{"col": "c", "op": "ISNULL", "val": None}],
+                                [{"col": "d", "op": "NOTNULL", "val": None}]]
+
+
+NOT_CASES = [
+    ("SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev FROM orders "
+     "WHERE NOT (o_orderpriority = '1-URGENT' OR o_totalprice > 400000)",
+     "orders"),
+    ("SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+     "WHERE l_linestatus NOT IN ('F') AND l_returnflag NOT LIKE 'A%' "
+     "AND l_quantity NOT BETWEEN 20 AND 40 "
+     "GROUP BY l_returnflag ORDER BY l_returnflag", "lineitem"),
+]
+
+
+@pytest.mark.parametrize("sql,table", NOT_CASES)
+def test_not_matches_duckdb(ray_session, sql, table):
+    import pandas as pd
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    exp = _oracle(sql, table).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, exp, check_dtype=False, rtol=1e-9)
+
+
+def test_is_null_over_nullable_parquet(ray_session, tmp_path):
+    """IS NULL / IS NOT NULL / NOT over a genuinely nullable column:
+    three-valued logic must match DuckDB (NOT(col = v) excludes NULLs)."""
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "k": list(range(12)),
+        "v": [None, 1, 2, None, 3, 1, None, 2, 5, None, 1, 9],
+        "s": ["a", None, "b", "a", None, "b", "a", "b", None, "a", "b", "a"],
+    })
+    df.to_parquet(str(tmp_path / "t.parquet"))
+    for sql in [
+        "SELECT COUNT(*) AS n FROM t WHERE v IS NULL",
+        "SELECT COUNT(*) AS n FROM t WHERE v IS NOT NULL AND s IS NULL",
+        "SELECT COUNT(*) AS n FROM t WHERE NOT (v = 1)",
+        "SELECT COUNT(*) AS n FROM t WHERE NOT (v = 1 OR s = 'a')",
+        "SELECT k FROM t WHERE v IS NULL OR s IS NULL ORDER BY k",
+    ]:
+        mine = run_sql(str(tmp_path), sql).reset_index(drop=True)
+        exp = duckdb.sql(
+            sql.replace("FROM t", f"FROM '{tmp_path}/t.parquet'")) \
+            .df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(mine, exp, check_dtype=False)
+
+
+def test_select_distinct_matches_duckdb(ray_session):
+    import pandas as pd
+    sql = ("SELECT DISTINCT lang, source FROM documents "
+           "ORDER BY lang, source")
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    exp = _oracle(sql, "documents").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, exp, check_dtype=False)
+    assert list(mine.columns) == ["lang", "source"]
+
+
+def test_select_distinct_keeps_null_group(ray_session, tmp_path):
+    import pandas as pd
+    df = pd.DataFrame({"g": ["x", None, "y", "x", None, "y", "x"],
+                       "h": [1, 2, 1, 1, 2, 2, 1]})
+    df.to_parquet(str(tmp_path / "t.parquet"))
+    sql = "SELECT DISTINCT g, h FROM t ORDER BY g, h"
+    mine = run_sql(str(tmp_path), sql).reset_index(drop=True)
+    exp = duckdb.sql(sql.replace("FROM t", f"FROM '{tmp_path}/t.parquet'")) \
+        .df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, exp, check_dtype=False)
+
+
+def test_select_distinct_over_clustered_store(ray_session, tmp_path):
+    import pandas as pd
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 1200, seed=3)
+    st = str(tmp_path / "st")
+    encode_dataset(src, st, mode="cluster", target_rows=300)
+    sql = "SELECT DISTINCT source FROM store ORDER BY source"
+    mine = run_sql(st, sql).reset_index(drop=True)
+    exp = duckdb.sql(
+        sql.replace("FROM store", f"FROM '{src}'")).df() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, exp, check_dtype=False)
+
+
+def test_not_between_zone_prunes_store(ray_session, tmp_path):
+    """NOT BETWEEN over a clustered store: the negated range splits into
+    two branches; union-of-branches zone pruning skips mid-range blocks."""
+    import pandas as pd
+    src = str(tmp_path / "c2.parquet")
+    write_corpus(src, 2000, seed=5)
+    st = str(tmp_path / "st2")
+    encode_dataset(src, st, mode="cluster", target_rows=250)
+    from howard_ray.pipeline import recluster_store
+    recluster_store(st, ["n_tok"])
+    sql = ("SELECT COUNT(*) AS n, SUM(n_tok) AS tok FROM store "
+           "WHERE n_tok NOT BETWEEN 150 AND 800")
+    plan = explain_sql(st, sql)
+    assert plan["where_form"] == "dnf"
+    assert plan["blocks"]["pruned"] > 0
+    mine = run_sql(st, sql).reset_index(drop=True)
+    exp = duckdb.sql(sql.replace("FROM store", f"FROM '{src}'")) \
+        .df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, exp, check_dtype=False)
+
+
 def test_empty_match_aggregates_keep_sql_semantics(ray_session):
     """WHERE matching zero rows: grouped aggregate returns a typed EMPTY
     frame (not a schema-less crash); global aggregate returns one row with
