@@ -81,6 +81,28 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
     # SELECT DISTINCT ≡ hidden grouped COUNT, dropped before output
     "sql_distinct": """SELECT DISTINCT lang, source FROM documents
 ORDER BY lang, source""",
+    # scalar arithmetic expressions (TPC-H Q1 shape): compiled to one
+    # vectorized pyarrow.compute map_batches stage, then aggregated as
+    # ordinary columns; ROUND matches DuckDB's half-away-from-zero on the
+    # scaled double (_sql_round), not numpy's half-to-even
+    "sql_expr_q1": """SELECT l_returnflag, COUNT(*) AS n,
+ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev,
+ROUND(AVG(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS charge
+FROM lineitem WHERE l_quantity >= 25
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # plain projection expression with SQL float division; the /1000 lands
+    # 2-decimal money values on exact scaled .5 ties, so this hash also
+    # proves the DuckDB-compatible tie-break in _sql_round
+    "sql_expr_project": """SELECT o_orderkey,
+ROUND(o_totalprice / 1000, 4) AS kprice FROM orders
+WHERE o_totalprice >= 450000 ORDER BY o_orderkey""",
+    # typed temporal literals: TIMESTAMP '...' / DATE '...' parse to
+    # datetimes compared natively against timestamp columns by Arrow,
+    # while DuckDB runs the same text
+    "sql_date_filter": """SELECT o_orderpriority, COUNT(*) AS n,
+ROUND(SUM(o_totalprice), 2) AS rev FROM orders
+WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 }
 
 

@@ -57,9 +57,33 @@ from __future__ import annotations
 import os
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def _sql_round(v, nd: int):
+    """DuckDB-compatible ROUND over doubles: round-half-AWAY-from-zero on
+    the scaled value ``v * 10**nd`` (DuckDB applies std::round to the
+    scaled double), where numpy/pandas/python round half-to-even — the two
+    disagree exactly when the scaled product lands on .5, which is common
+    for money-like 2-decimal inputs divided by powers of ten. Ties are
+    detected exactly (binary ``frac >= 0.5`` after the same scaling the
+    oracle performs), avoiding the classic ``floor(y+0.5)`` drift at
+    non-tie values like 0.49999999999999994. NaN/None pass through."""
+    p = 10.0 ** nd
+    y = np.asarray(v, dtype=float) * p
+    a = np.abs(y)
+    f = np.floor(a)
+    with np.errstate(invalid="ignore"):
+        r = np.where(a - f >= 0.5, f + 1.0, f)
+    out = np.copysign(r, y) / p
+    if isinstance(v, pd.Series):
+        return pd.Series(out, index=v.index, name=v.name)
+    if np.ndim(out) == 0:
+        return float(out)
+    return out
 
 _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
@@ -122,6 +146,200 @@ def _lit_val(tok: str):
     if tok.startswith("'"):
         return tok[1:-1]
     return float(tok) if "." in tok else int(tok)
+
+
+# ---------------------------------------------------------------------------
+# Scalar arithmetic expressions (SELECT items and aggregate arguments).
+#
+# The reference's SQL surface runs arbitrary DuckDB expressions
+# (howard/tools/query.py:26-96); this subset covers the arithmetic that
+# real analytics need — TPC-H Q1's SUM(l_extendedprice * (1 - l_discount))
+# shape — compiled to vectorized pyarrow.compute kernels inside one
+# map_batches stage. Grammar (precedence: unary minus > * / > + -):
+#
+#     expr   := term (('+'|'-') term)*
+#     term   := factor (('*'|'/') factor)*
+#     factor := '-' factor | '(' expr ')' | column | number
+#
+# AST nodes: ('col', name) | ('lit', value) | ('neg', x) | (op, l, r).
+# '/' follows SQL semantics (always float division — DuckDB's '/'), so
+# the same text evaluates identically in both engines; + - * keep integer
+# types on integer inputs, as SQL does. Elementwise IEEE arithmetic is
+# deterministic, so unrounded float expressions still value-hash-match
+# the oracle (only REDUCTIONS over floats are order-sensitive).
+# ---------------------------------------------------------------------------
+
+_EXPR_TOK_RE = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?)"
+    r"|(?P<id>[A-Za-z_]\w*)"
+    r"|(?P<sym>\+|-|\*|/|\(|\)))")
+
+
+class _ExprParser:
+    def __init__(self, text: str):
+        self.toks: list[str] = []
+        i = 0
+        while i < len(text):
+            m = _EXPR_TOK_RE.match(text, i)
+            if not m or m.end() == i:
+                if text[i:].strip():
+                    raise ValueError(
+                        f"unsupported expression near {text[i:i+24]!r}")
+                break
+            self.toks.append(m.group("num") or m.group("id")
+                             or m.group("sym"))
+            i = m.end()
+        self.i = 0
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def parse(self) -> tuple:
+        node = self._expr()
+        if self._peek() is not None:
+            raise ValueError(
+                f"unexpected token {self._peek()!r} in expression")
+        return node
+
+    def _expr(self) -> tuple:
+        node = self._term()
+        while self._peek() in ("+", "-"):
+            op = self._next()
+            node = (op, node, self._term())
+        return node
+
+    def _term(self) -> tuple:
+        node = self._factor()
+        while self._peek() in ("*", "/"):
+            op = self._next()
+            node = (op, node, self._factor())
+        return node
+
+    def _factor(self) -> tuple:
+        t = self._peek()
+        if t == "-":
+            self._next()
+            return ("neg", self._factor())
+        if t == "(":
+            self._next()
+            node = self._expr()
+            if self._next() != ")":
+                raise ValueError("unbalanced parentheses in expression")
+            return node
+        t = self._next()
+        if t is None:
+            raise ValueError("dangling expression")
+        if re.fullmatch(r"\d+(?:\.\d+)?", t):
+            return ("lit", float(t) if "." in t else int(t))
+        if re.fullmatch(r"[A-Za-z_]\w*", t):
+            return ("col", t)
+        raise ValueError(f"unsupported expression token {t!r}")
+
+
+def _parse_expr(text: str) -> tuple:
+    node = _ExprParser(text).parse()
+    if node[0] in ("col", "lit"):
+        # a bare column/literal is not an "expression item" — the plain
+        # item paths (and their fast paths) own those
+        raise ValueError(f"not a compound expression: {text!r}")
+    return node
+
+
+def _expr_cols(node: tuple, out: set | None = None) -> set:
+    out = out if out is not None else set()
+    if node[0] == "col":
+        out.add(node[1])
+    elif node[0] == "neg":
+        _expr_cols(node[1], out)
+    elif node[0] not in ("lit",):
+        _expr_cols(node[1], out)
+        _expr_cols(node[2], out)
+    return out
+
+
+def _eval_expr(node: tuple, batch: pa.Table):
+    """Evaluate an expression AST over an Arrow batch → Array/scalar.
+    '/' casts both sides to float64 (SQL float-division semantics,
+    matching DuckDB's '/'); + - * keep Arrow's native type promotion
+    (int op int stays int, like SQL)."""
+    kind = node[0]
+    if kind == "col":
+        col = batch[node[1]]
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+    if kind == "lit":
+        return node[1]
+    if kind == "neg":
+        v = _eval_expr(node[1], batch)
+        return -v if isinstance(v, (int, float)) else pc.negate(v)
+    lv = _eval_expr(node[1], batch)
+    rv = _eval_expr(node[2], batch)
+    if kind == "/":
+        lv = float(lv) if isinstance(lv, (int, float)) \
+            else pc.cast(lv, pa.float64())
+        rv = float(rv) if isinstance(rv, (int, float)) \
+            else pc.cast(rv, pa.float64())
+    if isinstance(lv, (int, float)) and isinstance(rv, (int, float)):
+        return {"+": lv + rv, "-": lv - rv,
+                "*": lv * rv, "/": lv / rv if rv else float("nan")}[kind]
+    fn = {"+": pc.add, "-": pc.subtract,
+          "*": pc.multiply, "/": pc.divide}[kind]
+    return fn(lv, rv)
+
+
+def _has_expr(plan: dict) -> bool:
+    return any(it.get("expr") for it in plan["items"])
+
+
+def _parse_item_expr(raw: str) -> dict:
+    """Fallback SELECT-item parser for expression items:
+
+        [ROUND(] [AGG(] expr [)] [, nd )] [AS alias]
+
+    An alias is REQUIRED (both engines must agree on the output column
+    name; auto-generated expression names never would)."""
+    text = raw.strip()
+    am = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", text, re.IGNORECASE)
+    if not am:
+        raise ValueError(
+            f"expression SELECT items need an AS alias: {raw!r}")
+    alias = am.group(1)
+    text = text[:am.start()].strip()
+    nd = None
+    rm = re.match(r"^ROUND\((.*),\s*(\d+)\s*\)$", text,
+                  re.IGNORECASE | re.DOTALL)
+    if rm and _balanced(rm.group(1)):
+        nd = int(rm.group(2))
+        text = rm.group(1).strip()
+    agg = None
+    gm = re.match(r"^(COUNT|SUM|MIN|MAX|AVG)\((.*)\)$", text,
+                  re.IGNORECASE | re.DOTALL)
+    if gm and _balanced(gm.group(2)):
+        agg = gm.group(1).upper()
+        text = gm.group(2).strip()
+        if re.match(r"^DISTINCT\s", text, re.IGNORECASE):
+            raise ValueError(
+                f"DISTINCT over an expression is unsupported: {raw!r}")
+    expr = _parse_expr(text)
+    return {"agg": agg, "arg": None, "col": None, "distinct": False,
+            "nd": nd, "alias": alias, "expr": expr}
+
+
+def _balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
 
 
 _NEG_OP = {"=": "!=", "!=": "=", "<>": "=", "<": ">=", "<=": ">",
@@ -266,6 +484,24 @@ class _BoolParser:
             return _neg_dnf(self._op_atom(col), self.what)
         return self._op_atom(col)
 
+    def _literal(self, col: str):
+        """One literal token — plus SQL's typed date/time literal forms
+        ``DATE '2020-01-31'`` / ``TIMESTAMP '2020-01-31 00:00:00'``
+        (DuckDB runs the same text; Arrow compares a Python datetime
+        against timestamp columns natively)."""
+        t = self._next()
+        if t is not None and t.upper() in ("DATE", "TIMESTAMP"):
+            s = self._next()
+            if s is None or not s.startswith("'"):
+                raise ValueError(
+                    f"{t.upper()} needs a quoted literal in {self.what}")
+            from datetime import datetime
+            return datetime.fromisoformat(s[1:-1])
+        if t is None or not _LIT_RE.match(t):
+            raise ValueError(
+                f"unsupported literal for {col!r} in {self.what}: {t!r}")
+        return _lit_val(t)
+
     def _op_atom(self, col: str) -> list[list[dict]]:
         t = self._peek()
         if t is None:
@@ -273,16 +509,13 @@ class _BoolParser:
         up = t.upper()
         if up == "BETWEEN":
             self._next()
-            a = self._next()
+            a = self._literal(col)
             if not self._kw("AND"):
                 raise ValueError(f"BETWEEN needs AND in {self.what}")
             self._next()
-            b = self._next()
-            for lit in (a, b):
-                if lit is None or not _LIT_RE.match(lit):
-                    raise ValueError(f"unsupported BETWEEN literal: {lit!r}")
-            return [[{"col": col, "op": ">=", "val": _lit_val(a)},
-                     {"col": col, "op": "<=", "val": _lit_val(b)}]]
+            b = self._literal(col)
+            return [[{"col": col, "op": ">=", "val": a},
+                     {"col": col, "op": "<=", "val": b}]]
         if up == "IN":
             self._next()
             if self._next() != "(":
@@ -310,11 +543,7 @@ class _BoolParser:
             return [[{"col": col, "op": "LIKE", "val": _lit_val(lit)}]]
         if t in (">=", "<=", "!=", "<>", "=", "<", ">"):
             self._next()
-            lit = self._next()
-            if lit is None or not _LIT_RE.match(lit):
-                raise ValueError(
-                    f"unsupported literal for {col} {t}: {lit!r}")
-            return [[{"col": col, "op": t, "val": _lit_val(lit)}]]
+            return [[{"col": col, "op": t, "val": self._literal(col)}]]
         raise ValueError(f"unsupported operator {t!r} on {col!r}")
 
 
@@ -336,7 +565,13 @@ def parse(sql: str) -> dict:
     for raw in ([] if star else _split_commas(sel)):
         im = _ITEM_RE.match(raw.strip())
         if not im:
-            raise ValueError(f"unsupported SELECT item: {raw!r}")
+            # compound arithmetic item: expr / AGG(expr) / ROUND(..., nd)
+            try:
+                items.append(_parse_item_expr(raw))
+                continue
+            except ValueError as e:
+                raise ValueError(
+                    f"unsupported SELECT item: {raw!r} ({e})") from None
         d = im.groupdict()
         if d["round"] and d["nd"] is None:
             raise ValueError(f"ROUND(...) needs a digit count: {raw!r}")
@@ -414,7 +649,9 @@ def _expand_star(sf_dir: str, plan: dict,
 def _needed_columns(plan: dict) -> list[str]:
     cols = set()
     for it in plan["items"]:
-        if it["col"]:
+        if it.get("expr"):
+            cols |= _expr_cols(it["expr"])
+        elif it["col"]:
             cols.add(it["col"])
         elif it["arg"] and it["arg"] != "*":
             cols.add(it["arg"])
@@ -753,7 +990,7 @@ def _store_metadata_answer(store_dir: str, plan: dict,
                 vals = [s[key] for s in sts]
                 val = min(vals) if agg == "MIN" else max(vals)
         if it["nd"] is not None:
-            val = round(float(val), it["nd"])
+            val = _sql_round(float(val), it["nd"])
         out[it["alias"]] = [val]
     df = pd.DataFrame(out)
     for it in items:
@@ -961,7 +1198,7 @@ def _store_pushdown_aggregate(store_dir: str, plan: dict,
         else:
             val = maxs[col]
         if it["nd"] is not None and val is not None:
-            val = round(float(val), it["nd"])
+            val = _sql_round(float(val), it["nd"])
         out[it["alias"]] = [val]
     df = pd.DataFrame(out)
     for it in items:
@@ -1096,7 +1333,7 @@ def _store_grouped_metadata_answer(store_dir: str, plan: dict,
                    else g["sum"][col] / g["n"] if agg == "AVG"
                    else g["min"][col] if agg == "MIN" else g["max"][col])
             if it["nd"] is not None and val is not None:
-                val = round(float(val), it["nd"])
+                val = _sql_round(float(val), it["nd"])
             row[it["alias"]] = val
         rows_out.append(row)
     df = pd.DataFrame(rows_out, columns=[it["alias"] for it in items])
@@ -1212,7 +1449,7 @@ def _store_order_limit_scan(sf_dir: str, plan: dict,
                               for it in plan["items"]})[out_cols]
     for it in plan["items"]:
         if it["nd"] is not None:
-            out[it["alias"]] = out[it["alias"]].astype(float).round(it["nd"])
+            out[it["alias"]] = out[it["alias"]].astype(float).pipe(_sql_round, it["nd"])
     return out
 
 
@@ -1232,7 +1469,7 @@ def explain_sql(sf_dir: str, sql: str,
                  "joins": [dict(j) for j in plan["joins"]],
                  "columns": _needed_columns(plan),
                  "group_by": list(plan["group"]),
-                 "aggregates": [f"{it['agg']}({it['arg']})"
+                 "aggregates": [f"{it['agg']}({it['arg'] or '<expr>'})"
                                 for it in plan["items"] if it["agg"]],
                  "conditions": [f"{c['col']} {c['op']} {c['val']!r}"
                                 for c in plan["conds"]]}
@@ -1270,6 +1507,7 @@ def explain_sql(sf_dir: str, sql: str,
         return out
 
     pure_agg = (plan["items"]
+                and not _has_expr(plan)
                 and all(it["agg"] and not it["distinct"]
                         and (it["agg"] != "COUNT" or it["arg"] == "*")
                         for it in plan["items"]
@@ -1390,10 +1628,12 @@ def run_sql(sf_dir: str, sql: str,
         ds = _joined_dataset(sf_dir, plan, tables_dir)
         plan = dict(plan, conds=[])
     elif plan["table"] == "store":
-        if plan.get("or_branches"):
+        if plan.get("or_branches") or _has_expr(plan):
             # DNF WHERE: stats can't prove all-match across a disjunction,
             # so every metadata fast path is gated off; zone pruning still
-            # fires as a union over branches (block_ids below)
+            # fires as a union over branches (block_ids below). Expression
+            # items likewise need real rows — footer stats can't fold
+            # SUM(a*b).
             fast = None
         elif plan["group"]:
             fast = _store_grouped_metadata_answer(sf_dir, plan, as_of=as_of)
@@ -1446,6 +1686,36 @@ def run_sql(sf_dir: str, sql: str,
         conds = plan["conds"]
         ds = ds.map_batches(lambda b: _predicate(b, conds),
                             batch_format="pyarrow")
+
+    if _has_expr(plan):
+        # Materialize every expression item as a real column in ONE
+        # vectorized map_batches stage, then rewrite the plan so the item
+        # is an ordinary column (plain items) or aggregate argument
+        # (AGG(expr)) — the entire downstream machinery (grouped
+        # aggregation, NULL groups, HAVING, ORDER/LIMIT) runs unchanged.
+        specs: list[tuple[str, tuple]] = []
+        new_items = [dict(it) for it in plan["items"]]
+        for i, it in enumerate(new_items):
+            if not it.get("expr"):
+                continue
+            tgt = f"__x{i}" if it["agg"] else it["alias"]
+            specs.append((tgt, it["expr"]))
+            if it["agg"]:
+                it["arg"] = tgt
+            else:
+                it["col"] = tgt
+            it["expr"] = None
+
+        def _compute(b: pa.Table, _specs=specs) -> pa.Table:
+            for tgt, ast in _specs:
+                v = _eval_expr(ast, b)
+                if isinstance(v, (int, float)):  # constant expression
+                    v = pa.array([v] * b.num_rows)
+                b = b.append_column(tgt, v)
+            return b
+
+        ds = ds.map_batches(_compute, batch_format="pyarrow")
+        plan = dict(plan, items=new_items)
 
     if any(it["agg"] for it in plan["items"]):
         # SQL keeps NULL as its own group; Ray's groupby DROPS null keys.
@@ -1559,7 +1829,7 @@ def run_sql(sf_dir: str, sql: str,
             cd[it["alias"]] = cd[it["alias"]].astype("int64")
             if it["nd"] is not None:
                 cd[it["alias"]] = cd[it["alias"]].astype(float) \
-                    .round(it["nd"])
+                    .pipe(_sql_round, it["nd"])
             if out is None:
                 out = cd
             elif plan["group"]:
@@ -1581,7 +1851,7 @@ def run_sql(sf_dir: str, sql: str,
                 out[it["alias"]] = \
                     out[it["alias"]].fillna(0).astype("int64")
             if it["nd"] is not None:
-                out[it["alias"]] = out[it["alias"]].astype(float).round(it["nd"])
+                out[it["alias"]] = out[it["alias"]].astype(float).pipe(_sql_round, it["nd"])
         out = out.rename(columns={it["col"]: it["alias"]
                                   for it in plan["items"]
                                   if it["col"] and not it["agg"]})
@@ -1637,7 +1907,7 @@ def run_sql(sf_dir: str, sql: str,
     # ROUND on plain (non-aggregate) columns — agg rounding handled above
     for it in plan["items"]:
         if it["nd"] is not None and not it["agg"]:
-            out[it["alias"]] = out[it["alias"]].astype(float).round(it["nd"])
+            out[it["alias"]] = out[it["alias"]].astype(float).pipe(_sql_round, it["nd"])
 
     if plan["order"]:
         # the result frame carries ALIASES; accept either the alias or the

@@ -1,0 +1,124 @@
+"""Scalar arithmetic expressions in mini-SQL (TPC-H Q1 shape), typed
+DATE/TIMESTAMP literals, and DuckDB-compatible ROUND (half away from zero
+on the scaled double, where numpy/pandas round half to even)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from howard_ray.sqlmini import (_eval_expr, _parse_expr, _sql_round,
+                                explain_sql, parse, run_sql)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str, *tables: str):
+    for t in tables:
+        sql = sql.replace(f"FROM {t}", f"FROM '{SF}/{t}.parquet' {t}")
+        sql = sql.replace(f"JOIN {t}", f"JOIN '{SF}/{t}.parquet' {t}")
+    return duckdb.sql(sql).df()
+
+
+# -------------------------------------------------------------- parser
+
+def test_expr_parser_precedence_and_paren():
+    # 1 + 2 * 3  ->  ('+', 1, ('*', 2, 3))
+    ast = _parse_expr("a + b * c")
+    assert ast == ("+", ("col", "a"), ("*", ("col", "b"), ("col", "c")))
+    ast = _parse_expr("(a + b) * c")
+    assert ast == ("*", ("+", ("col", "a"), ("col", "b")), ("col", "c"))
+
+
+def test_expr_parser_rejects_bare_column():
+    with pytest.raises(ValueError, match="not a compound"):
+        _parse_expr("a")
+
+
+def test_expr_item_requires_alias():
+    with pytest.raises(ValueError, match="AS alias"):
+        parse("SELECT a * 2 FROM orders")
+
+
+def test_eval_expr_division_is_float():
+    import pyarrow as pa
+    t = pa.table({"a": [3, 10], "b": [2, 4]})
+    out = _eval_expr(_parse_expr("a / b"), t)
+    assert out.type == pa.float64()
+    assert out.to_pylist() == [1.5, 2.5]
+
+
+# ----------------------------------------------------------- _sql_round
+
+def test_sql_round_matches_duckdb_on_scaled_ties():
+    cases = [(499.70505, 4), (463.53825, 4), (2.675, 2), (-2.675, 2),
+             (0.125, 2), (-0.125, 2), (26.5, 0), (-26.5, 0),
+             (0.49999999999999994, 0), (123456.789, 2)]
+    for v, nd in cases:
+        duck = duckdb.sql(f"SELECT round({v!r}::DOUBLE, {nd})").fetchone()[0]
+        assert _sql_round(v, nd) == duck, (v, nd)
+
+
+def test_sql_round_series_preserves_index_and_nan():
+    s = pd.Series([2.675, float("nan"), -0.125], index=[7, 8, 9])
+    out = _sql_round(s, 2)
+    assert list(out.index) == [7, 8, 9]
+    assert out.iloc[0] == 2.68 and out.iloc[2] == -0.13
+    assert pd.isna(out.iloc[1])
+
+
+# ----------------------------------------------------- execution vs DuckDB
+
+CASES = [
+    # TPC-H Q1 shape: aggregate over compound arithmetic
+    ("""SELECT l_returnflag, COUNT(*) AS n,
+ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev,
+ROUND(AVG(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS charge
+FROM lineitem WHERE l_quantity >= 25
+GROUP BY l_returnflag ORDER BY l_returnflag""", ("lineitem",)),
+    # plain projection expression with SQL float division + ROUND
+    ("""SELECT o_orderkey, ROUND(o_totalprice / 1000, 4) AS kprice
+FROM orders WHERE o_totalprice >= 450000 ORDER BY o_orderkey""",
+     ("orders",)),
+    # unary minus and literal-only subexpression
+    ("""SELECT o_orderpriority, ROUND(SUM(-o_totalprice * -1), 2) AS rev
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+     ("orders",)),
+    # TIMESTAMP literal in WHERE (o_orderdate is timestamp[us])
+    ("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority ORDER BY o_orderpriority""", ("orders",)),
+    # DATE literal + BETWEEN over timestamps
+    ("""SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev
+FROM orders WHERE o_orderdate BETWEEN DATE '1994-01-01'
+AND DATE '1994-12-31'""", ("orders",)),
+    # expression composed with join + group
+    ("""SELECT c_mktsegment, ROUND(SUM(o_totalprice * 0.9), 2) AS disc_rev
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""", ("orders", "customer")),
+]
+
+
+@pytest.mark.parametrize("sql,tables", CASES)
+def test_expr_sql_matches_duckdb(ray_session, sql, tables):
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, *tables).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora)
+
+
+def test_expr_gates_off_metadata_fastpath(ray_session, tmp_path):
+    """SUM(expr) over a store must decode rows — footer stats can't fold
+    SUM(a*b) — while plain SUM(col) on the same store stays O(metadata)."""
+    from howard_ray.pipeline import encode_dataset
+
+    src = SF + "/documents.parquet"
+    store = str(tmp_path / "store")
+    encode_dataset(src, store, mode="stream", resume=False,
+                   columns=["doc_id", "source", "n_chars"])
+    plain = explain_sql(store, "SELECT SUM(n_chars) AS s FROM store")
+    assert plain["path"] == "metadata"
+    ex = explain_sql(store,
+                     "SELECT SUM(n_chars * 2) AS s2 FROM store")
+    assert ex["path"] != "metadata"
+    out = run_sql(store, "SELECT SUM(n_chars * 2) AS s2 FROM store")
+    base = run_sql(store, "SELECT SUM(n_chars) AS s FROM store")
+    assert int(out["s2"].iloc[0]) == 2 * int(base["s"].iloc[0])
