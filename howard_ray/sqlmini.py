@@ -660,7 +660,8 @@ def _needed_columns(plan: dict) -> list[str]:
     for br in (plan.get("or_branches") or []):
         for c in br:
             cols.add(c["col"])
-    cols.update(plan["group"])
+    expr_aliases = {it["alias"] for it in plan["items"] if it.get("expr")}
+    cols.update(c for c in plan["group"] if c not in expr_aliases)
     # ORDER BY may reference an output ALIAS (e.g. an aggregate's name) —
     # those are not table columns and must not reach the pruned read; the
     # final sort runs on the result frame where aliases exist
@@ -1615,7 +1616,10 @@ def run_sql(sf_dir: str, sql: str,
         # SELECT DISTINCT a, b ≡ GROUP BY a, b with a hidden COUNT(*):
         # rides the whole grouped machinery (NULL-group tagging, store
         # grouped-metadata fast path) — the hidden count drops at the end
-        plan = dict(plan, group=[it["col"] for it in plan["items"]],
+        # expression items group on their ALIAS — the materialization
+        # stage creates that column before the grouped aggregation runs
+        plan = dict(plan, group=[it["col"] or it["alias"]
+                                 for it in plan["items"]],
                     items=plan["items"] + [{
                         "agg": "COUNT", "arg": "*", "col": None,
                         "distinct": False, "nd": None, "alias": "__dn"}])
@@ -1792,8 +1796,14 @@ def run_sql(sf_dir: str, sql: str,
         def _restore_nulls(frame: pd.DataFrame) -> pd.DataFrame:
             for c, f in null_flags:
                 if f in frame.columns:
-                    frame.loc[frame[f].astype(bool), c] = None
+                    m = frame[f].astype(bool)
                     frame = frame.drop(columns=[f])
+                    # assign ONLY when a null group exists: pandas casts
+                    # int64 keys to float64 even for an all-False mask,
+                    # which would break dtype parity with DuckDB on
+                    # null-free integer group keys
+                    if m.any():
+                        frame.loc[m, c] = None
             return frame
 
         if aggs:

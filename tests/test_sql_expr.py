@@ -105,6 +105,29 @@ def test_expr_sql_matches_duckdb(ray_session, sql, tables):
     pd.testing.assert_frame_equal(mine, ora)
 
 
+def test_distinct_over_expression(ray_session):
+    """SELECT DISTINCT expr rides the hidden-grouped-COUNT rewrite by
+    grouping on the expression's ALIAS (the materialized column)."""
+    sql = ("SELECT DISTINCT ROUND(l_discount * 100, 0) AS disc_pct, "
+           "l_returnflag FROM lineitem ORDER BY disc_pct, l_returnflag")
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, "lineitem").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora)
+
+
+def test_int_group_keys_stay_int(ray_session):
+    """Null-free integer GROUP BY keys must not decay to float64 through
+    the NULL-group restore (pandas casts on .loc[...] = None even when
+    the mask is all-False)."""
+    sql = ("SELECT o_custkey, COUNT(*) AS n FROM orders "
+           "GROUP BY o_custkey ORDER BY o_custkey LIMIT 5")
+    mine = run_sql(SF, sql)
+    assert pd.api.types.is_integer_dtype(mine["o_custkey"])
+    ora = _oracle(sql, "orders")
+    assert mine["o_custkey"].tolist() == ora["o_custkey"].tolist()
+    assert mine["n"].tolist() == ora["n"].tolist()
+
+
 def test_expr_gates_off_metadata_fastpath(ray_session, tmp_path):
     """SUM(expr) over a store must decode rows — footer stats can't fold
     SUM(a*b) — while plain SUM(col) on the same store stays O(metadata)."""
