@@ -1624,6 +1624,26 @@ def run_sql(sf_dir: str, sql: str,
                         "agg": "COUNT", "arg": "*", "col": None,
                         "distinct": False, "nd": None, "alias": "__dn"}])
         distinct_drop = True
+    # A GROUP BY key naming a ROUND(col) item's ALIAS must group on the
+    # ROUNDED value (in SQL the alias refers to the whole select
+    # expression) — promote such plain items to expression items so the
+    # materialization stage computes the rounded column before grouping.
+    # GROUP BY the raw column name keeps raw-column grouping (SQL resolves
+    # a name collision in favor of the physical column); runs BEFORE the
+    # scan dispatch so _needed_columns never treats the alias as physical.
+    if plan["group"]:
+        promoted = [dict(it) for it in plan["items"]]
+        hit = False
+        for it in promoted:
+            if (not it["agg"] and not it.get("expr")
+                    and it["nd"] is not None
+                    and it["alias"] in plan["group"]
+                    and it["alias"] != it["col"]):
+                it["expr"] = ("col", it["col"])
+                it["col"] = None
+                hit = True
+        if hit:
+            plan = dict(plan, items=promoted)
     if plan["joins"]:
         if plan["table"] == "store" and tables_dir is None:
             raise ValueError(
@@ -1697,24 +1717,32 @@ def run_sql(sf_dir: str, sql: str,
         # is an ordinary column (plain items) or aggregate argument
         # (AGG(expr)) — the entire downstream machinery (grouped
         # aggregation, NULL groups, HAVING, ORDER/LIMIT) runs unchanged.
-        specs: list[tuple[str, tuple]] = []
+        # For NON-aggregate items ROUND folds into the materialized column
+        # (the alias names the rounded expression, and group keys must see
+        # the rounded value); for AGG(expr) the ROUND stays on the
+        # aggregate result, as in SQL.
+        specs: list[tuple[str, tuple, int | None]] = []
         new_items = [dict(it) for it in plan["items"]]
         for i, it in enumerate(new_items):
             if not it.get("expr"):
                 continue
             tgt = f"__x{i}" if it["agg"] else it["alias"]
-            specs.append((tgt, it["expr"]))
+            specs.append((tgt, it["expr"], None if it["agg"] else it["nd"]))
             if it["agg"]:
                 it["arg"] = tgt
             else:
                 it["col"] = tgt
+                it["nd"] = None
             it["expr"] = None
 
         def _compute(b: pa.Table, _specs=specs) -> pa.Table:
-            for tgt, ast in _specs:
+            for tgt, ast, nd in _specs:
                 v = _eval_expr(ast, b)
                 if isinstance(v, (int, float)):  # constant expression
                     v = pa.array([v] * b.num_rows)
+                if nd is not None:
+                    v = pa.array(_sql_round(
+                        v.to_numpy(zero_copy_only=False), nd))
                 b = b.append_column(tgt, v)
             return b
 

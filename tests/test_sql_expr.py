@@ -145,3 +145,45 @@ def test_expr_gates_off_metadata_fastpath(ray_session, tmp_path):
     out = run_sql(store, "SELECT SUM(n_chars * 2) AS s2 FROM store")
     base = run_sql(store, "SELECT SUM(n_chars) AS s FROM store")
     assert int(out["s2"].iloc[0]) == 2 * int(base["s"].iloc[0])
+
+
+def test_group_by_rounded_alias(ray_session):
+    """GROUP BY naming a ROUND(col) item's alias must group on the ROUNDED
+    value (SQL resolves the alias to the whole select expression), not the
+    raw column — otherwise duplicate key rows appear."""
+    sql = ("SELECT ROUND(l_discount, 1) AS disc_b, COUNT(*) AS n "
+           "FROM lineitem GROUP BY disc_b ORDER BY disc_b")
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, "lineitem").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora)
+
+
+def test_group_by_rounded_alias_with_agg(ray_session):
+    """Rounded-alias grouping composes with a real aggregate item."""
+    sql = ("SELECT ROUND(l_tax, 2) AS rt, SUM(l_quantity) AS sq "
+           "FROM lineitem GROUP BY rt ORDER BY rt")
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, "lineitem").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora)
+
+
+def test_group_by_alias_shadowing_own_column(ray_session):
+    """ROUND(x) AS x GROUP BY x: SQL resolves the name collision in favor
+    of the PHYSICAL column (groups raw, projects rounded) — the promotion
+    must not fire when alias == the ROUND argument's column."""
+    sql = ("SELECT ROUND(l_tax, 2) AS l_tax, COUNT(*) AS n "
+           "FROM lineitem GROUP BY l_tax ORDER BY l_tax")
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, "lineitem").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora)
+
+
+def test_round_on_aggregate_stays_on_result(ray_session):
+    """ROUND(SUM(expr), n) applies to the aggregate result, not the
+    per-row values."""
+    sql = ("SELECT l_returnflag, "
+           "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev "
+           "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, "lineitem").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora)
