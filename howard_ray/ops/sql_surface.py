@@ -103,6 +103,33 @@ WHERE o_totalprice >= 450000 ORDER BY o_orderkey""",
 ROUND(SUM(o_totalprice), 2) AS rev FROM orders
 WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    # CASE WHEN inside aggregates (TPC-H Q12 shape): the WHEN condition
+    # grammar (comparisons, AND/OR/NOT, LIKE) evaluates as Kleene masks
+    # and the arms fold into one vectorized if_else chain; float literals
+    # keep the two engines' SUM dtypes aligned (DuckDB widens SUM over
+    # INTEGER to HUGEINT, which pandas renders as float)
+    "sql_case_when": """SELECT l_linestatus,
+ROUND(SUM(CASE WHEN l_quantity > 30 THEN 1.0 ELSE 0.0 END), 2) AS n_big,
+ROUND(SUM(CASE WHEN l_quantity <= 30 AND l_returnflag <> 'R'
+THEN l_extendedprice END), 2) AS small_rev
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    # string-valued CASE as a GROUP BY key (grouped via its alias — the
+    # materialized expression column is the shuffle key)
+    "sql_case_bucket": """SELECT CASE WHEN n_chars > 2000 THEN 'long'
+WHEN n_chars > 500 THEN 'mid' ELSE 'short' END AS bucket,
+COUNT(*) AS n, ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY bucket ORDER BY bucket""",
+    # post-aggregation expression (TPC-H Q14 shape): each aggregate call
+    # becomes a hidden grouped aggregate; the residual ratio arithmetic is
+    # evaluated on the small result frame with the same Arrow kernels
+    "sql_postagg_ratio": """SELECT ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+THEN p_retailprice ELSE 0.0 END) / SUM(p_retailprice) * 100, 4) AS promo_pct
+FROM part""",
+    # per-group ratio of two independent aggregates
+    "sql_postagg_grouped": """SELECT l_returnflag,
+ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_rev,
+ROUND(MAX(l_extendedprice) - MIN(l_extendedprice), 2) AS price_span
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 }
 
 

@@ -110,14 +110,17 @@ _SQL_RE = re.compile(
 
 
 def _split_commas(s: str) -> list[str]:
-    """Split on commas not inside parentheses."""
-    out, depth, cur = [], 0, []
+    """Split on commas not inside parentheses or string literals."""
+    out, depth, cur, instr = [], 0, [], False
     for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            instr = not instr
+        elif not instr:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not instr:
             out.append("".join(cur).strip())
             cur = []
         else:
@@ -159,9 +162,19 @@ def _lit_val(tok: str):
 #
 #     expr   := term (('+'|'-') term)*
 #     term   := factor (('*'|'/') factor)*
-#     factor := '-' factor | '(' expr ')' | column | number
+#     factor := '-' factor | '(' expr ')' | CASE ... END | column
+#               | number | string
 #
-# AST nodes: ('col', name) | ('lit', value) | ('neg', x) | (op, l, r).
+# CASE WHEN <bool> THEN expr [WHEN ...]* [ELSE expr] END is a factor
+# (TPC-H Q12/Q14 conditional-aggregation shape); the WHEN condition is a
+# boolean grammar over comparisons of sub-expressions (OR / AND / NOT,
+# LIKE, IS [NOT] NULL), evaluated with Kleene kernels and SQL's
+# NULL-condition-selects-nothing rule applied once per WHEN arm.
+#
+# AST nodes: ('col', name) | ('lit', value) | ('neg', x) | (op, l, r)
+# | ('case', ((cond, val), ...), else|None) | ('cmp', op, l, r)
+# | ('and'|'or', l, r) | ('not', x) | ('like', x, pat)
+# | ('isnull'|'notnull', x).
 # '/' follows SQL semantics (always float division — DuckDB's '/'), so
 # the same text evaluates identically in both engines; + - * keep integer
 # types on integer inputs, as SQL does. Elementwise IEEE arithmetic is
@@ -170,14 +183,25 @@ def _lit_val(tok: str):
 # ---------------------------------------------------------------------------
 
 _EXPR_TOK_RE = re.compile(
-    r"\s*(?:(?P<num>\d+(?:\.\d+)?)"
+    r"\s*(?:'(?P<str>(?:[^']|'')*)'"
+    r"|(?P<num>\d+(?:\.\d+)?)"
     r"|(?P<id>[A-Za-z_]\w*)"
-    r"|(?P<sym>\+|-|\*|/|\(|\)))")
+    r"|(?P<sym><=|>=|<>|!=|=|<|>|\+|-|\*|/|\(|\)))")
+
+# reserved inside expressions — never column names
+_EXPR_KEYWORDS = {"CASE", "WHEN", "THEN", "ELSE", "END",
+                  "AND", "OR", "NOT", "IS", "NULL", "LIKE"}
+
+_CMP_OPS = ("=", "!=", "<>", "<", "<=", ">", ">=")
+
+_AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
 
 class _ExprParser:
     def __init__(self, text: str):
-        self.toks: list[str] = []
+        # string-literal tokens are ('str', value) tuples so 'CASE' the
+        # string can never be confused with CASE the keyword
+        self.toks: list = []
         i = 0
         while i < len(text):
             m = _EXPR_TOK_RE.match(text, i)
@@ -186,8 +210,11 @@ class _ExprParser:
                     raise ValueError(
                         f"unsupported expression near {text[i:i+24]!r}")
                 break
-            self.toks.append(m.group("num") or m.group("id")
-                             or m.group("sym"))
+            if m.group("str") is not None:
+                self.toks.append(("str", m.group("str").replace("''", "'")))
+            else:
+                self.toks.append(m.group("num") or m.group("id")
+                                 or m.group("sym"))
             i = m.end()
         self.i = 0
 
@@ -198,6 +225,10 @@ class _ExprParser:
         t = self._peek()
         self.i += 1
         return t
+
+    def _kw(self, word: str) -> bool:
+        t = self._peek()
+        return isinstance(t, str) and t.upper() == word
 
     def parse(self) -> tuple:
         node = self._expr()
@@ -222,6 +253,9 @@ class _ExprParser:
 
     def _factor(self) -> tuple:
         t = self._peek()
+        if isinstance(t, tuple):  # string literal
+            self._next()
+            return ("lit", t[1])
         if t == "-":
             self._next()
             return ("neg", self._factor())
@@ -231,14 +265,131 @@ class _ExprParser:
             if self._next() != ")":
                 raise ValueError("unbalanced parentheses in expression")
             return node
+        if self._kw("CASE"):
+            return self._case()
+        # aggregate call as a factor: SUM(expr), COUNT(*), ... — yields an
+        # ('aggref', AGG, arg) node; whether that's legal where it appears
+        # is decided by the item classifier (_parse_item_expr)
+        if (isinstance(t, str) and t.upper() in _AGG_FNS
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1] == "("):
+            agg = self._next().upper()
+            self._next()  # (
+            if agg == "COUNT" and self._peek() == "*":
+                self._next()
+                arg = "*"
+            else:
+                if self._kw("DISTINCT"):
+                    raise ValueError(
+                        "DISTINCT is unsupported inside aggregate "
+                        "expressions")
+                arg = self._expr()
+            if self._next() != ")":
+                raise ValueError("unbalanced parentheses in aggregate call")
+            return ("aggref", agg, arg)
         t = self._next()
         if t is None:
             raise ValueError("dangling expression")
         if re.fullmatch(r"\d+(?:\.\d+)?", t):
             return ("lit", float(t) if "." in t else int(t))
         if re.fullmatch(r"[A-Za-z_]\w*", t):
+            if t.upper() in _EXPR_KEYWORDS:
+                raise ValueError(
+                    f"misplaced keyword {t!r} in expression")
             return ("col", t)
         raise ValueError(f"unsupported expression token {t!r}")
+
+    # -- CASE WHEN ... THEN ... [ELSE ...] END --------------------------
+    def _case(self) -> tuple:
+        self._next()  # CASE
+        whens: list[tuple] = []
+        while self._kw("WHEN"):
+            self._next()
+            cond = self._bool()
+            if not self._kw("THEN"):
+                raise ValueError("CASE WHEN needs THEN")
+            self._next()
+            whens.append((cond, self._expr()))
+        if not whens:
+            raise ValueError("CASE needs at least one WHEN arm")
+        els = None
+        if self._kw("ELSE"):
+            self._next()
+            els = self._expr()
+        if not self._kw("END"):
+            raise ValueError("CASE needs END")
+        self._next()
+        return ("case", tuple(whens), els)
+
+    def _bool(self) -> tuple:
+        node = self._booland()
+        while self._kw("OR"):
+            self._next()
+            node = ("or", node, self._booland())
+        return node
+
+    def _booland(self) -> tuple:
+        node = self._boolnot()
+        while self._kw("AND"):
+            self._next()
+            node = ("and", node, self._boolnot())
+        return node
+
+    def _boolnot(self) -> tuple:
+        if self._kw("NOT"):
+            self._next()
+            return ("not", self._boolnot())
+        return self._boolatom()
+
+    def _boolatom(self) -> tuple:
+        # '(' is ambiguous: boolean grouping vs arithmetic parens in a
+        # comparison's lhs — try boolean first, backtrack on failure
+        # (tokens are a flat list, so backtracking is an index reset)
+        if self._peek() == "(":
+            save = self.i
+            self._next()
+            try:
+                node = self._bool()
+                if self._next() != ")":
+                    raise ValueError("unbalanced parens in CASE condition")
+                return node
+            except ValueError:
+                self.i = save
+        return self._comparison()
+
+    def _comparison(self) -> tuple:
+        lhs = self._expr()
+        if self._kw("IS"):
+            self._next()
+            neg = False
+            if self._kw("NOT"):
+                self._next()
+                neg = True
+            t = self._next()
+            if not (isinstance(t, str) and t.upper() == "NULL"):
+                raise ValueError("IS must be followed by [NOT] NULL")
+            return ("notnull" if neg else "isnull", lhs)
+        if self._kw("NOT"):
+            self._next()
+            if not self._kw("LIKE"):
+                raise ValueError("expected LIKE after NOT in CASE condition")
+            self._next()
+            pat = self._next()
+            if not isinstance(pat, tuple):
+                raise ValueError("LIKE needs a string literal pattern")
+            return ("not", ("like", lhs, pat[1]))
+        if self._kw("LIKE"):
+            self._next()
+            pat = self._next()
+            if not isinstance(pat, tuple):
+                raise ValueError("LIKE needs a string literal pattern")
+            return ("like", lhs, pat[1])
+        t = self._peek()
+        if t in _CMP_OPS:
+            op = self._next()
+            return ("cmp", "!=" if op == "<>" else op, lhs, self._expr())
+        raise ValueError(
+            f"expected a comparison operator in CASE condition, got {t!r}")
 
 
 def _parse_expr(text: str) -> tuple:
@@ -252,11 +403,26 @@ def _parse_expr(text: str) -> tuple:
 
 def _expr_cols(node: tuple, out: set | None = None) -> set:
     out = out if out is not None else set()
-    if node[0] == "col":
+    kind = node[0]
+    if kind == "col":
         out.add(node[1])
-    elif node[0] == "neg":
+    elif kind == "lit":
+        pass
+    elif kind in ("neg", "not", "isnull", "notnull", "like"):
         _expr_cols(node[1], out)
-    elif node[0] not in ("lit",):
+    elif kind == "aggref":
+        if isinstance(node[2], tuple):
+            _expr_cols(node[2], out)
+    elif kind == "case":
+        for cond, val in node[1]:
+            _expr_cols(cond, out)
+            _expr_cols(val, out)
+        if node[2] is not None:
+            _expr_cols(node[2], out)
+    elif kind == "cmp":
+        _expr_cols(node[2], out)
+        _expr_cols(node[3], out)
+    else:  # binary arithmetic / and / or
         _expr_cols(node[1], out)
         _expr_cols(node[2], out)
     return out
@@ -277,6 +443,8 @@ def _eval_expr(node: tuple, batch: pa.Table):
     if kind == "neg":
         v = _eval_expr(node[1], batch)
         return -v if isinstance(v, (int, float)) else pc.negate(v)
+    if kind == "case":
+        return _eval_case(node, batch)
     lv = _eval_expr(node[1], batch)
     rv = _eval_expr(node[2], batch)
     if kind == "/":
@@ -292,17 +460,172 @@ def _eval_expr(node: tuple, batch: pa.Table):
     return fn(lv, rv)
 
 
+def _eval_bool(node: tuple, batch: pa.Table):
+    """Evaluate a CASE-condition AST → BooleanArray (Kleene three-valued,
+    may contain nulls) or a Python bool for all-constant conditions."""
+    kind = node[0]
+    if kind == "and":
+        lv, rv = _eval_bool(node[1], batch), _eval_bool(node[2], batch)
+        if isinstance(lv, bool) and isinstance(rv, bool):
+            return lv and rv
+        return pc.and_kleene(lv, rv)
+    if kind == "or":
+        lv, rv = _eval_bool(node[1], batch), _eval_bool(node[2], batch)
+        if isinstance(lv, bool) and isinstance(rv, bool):
+            return lv or rv
+        return pc.or_kleene(lv, rv)
+    if kind == "not":
+        v = _eval_bool(node[1], batch)
+        return (not v) if isinstance(v, bool) else pc.invert(v)
+    if kind == "like":
+        return pc.match_like(_eval_expr(node[1], batch), node[2])
+    if kind == "isnull":
+        v = _eval_expr(node[1], batch)
+        return False if isinstance(v, (int, float, str)) else pc.is_null(v)
+    if kind == "notnull":
+        v = _eval_expr(node[1], batch)
+        return True if isinstance(v, (int, float, str)) else pc.is_valid(v)
+    # ('cmp', op, l, r)
+    op, lv, rv = node[1], _eval_expr(node[2], batch), \
+        _eval_expr(node[3], batch)
+    if isinstance(lv, (int, float, str)) and isinstance(rv, (int, float, str)):
+        return {"=": lv == rv, "!=": lv != rv, "<": lv < rv,
+                "<=": lv <= rv, ">": lv > rv, ">=": lv >= rv}[op]
+    fn = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+          "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
+    return fn(lv, rv)
+
+
+def _eval_case(node: tuple, batch: pa.Table):
+    """SQL CASE: first WHEN whose condition is TRUE wins (NULL condition
+    selects nothing); no match → ELSE, or NULL without one. Vectorized as
+    a reversed pc.if_else chain; branch values are unified to one Arrow
+    type first (ints widen to float64 when any branch is float, exactly
+    DuckDB's promotion for the types this grammar can produce)."""
+    whens, els = node[1], node[2]
+    conds = [_eval_bool(c, batch) for c, _ in whens]
+    vals = [_eval_expr(v, batch) for _, v in whens]
+    ev = _eval_expr(els, batch) if els is not None else None
+    branches = vals + ([ev] if els is not None else [])
+    # unified result type across all branch values
+    arrs = [b for b in branches if isinstance(b, (pa.Array, pa.ChunkedArray))]
+
+    def _is_str(b):
+        return isinstance(b, str) or (
+            isinstance(b, (pa.Array, pa.ChunkedArray))
+            and (pa.types.is_string(b.type)
+                 or pa.types.is_large_string(b.type)))
+
+    def _is_float(b):
+        return isinstance(b, float) or (
+            isinstance(b, (pa.Array, pa.ChunkedArray))
+            and pa.types.is_floating(b.type))
+
+    if any(_is_str(b) for b in branches):
+        typ = pa.string()
+    elif any(_is_float(b) for b in branches):
+        typ = pa.float64()
+    else:
+        typ = arrs[0].type if arrs else pa.int64()
+
+    def _as(v):
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            return v if v.type == typ else pc.cast(v, typ)
+        return pa.scalar(v, type=typ)
+
+    res = _as(ev) if els is not None else pa.scalar(None, type=typ)
+    for c, v in zip(reversed(conds), reversed(vals)):
+        if isinstance(c, bool):
+            c = pa.array([c] * batch.num_rows)
+        elif isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        c = pc.fill_null(c, False)  # SQL: NULL condition selects nothing
+        res = pc.if_else(c, _as(v), res)
+    if isinstance(res, pa.Scalar):  # every branch constant, no rows hit
+        res = pa.array([res.as_py()] * batch.num_rows, type=typ)
+    return res
+
+
 def _has_expr(plan: dict) -> bool:
-    return any(it.get("expr") for it in plan["items"])
+    return any(it.get("expr") or it.get("post_expr")
+               for it in plan["items"])
+
+
+def _extract_aggrefs(node, acc: list):
+    """Replace every ('aggref', AGG, arg) in the AST with a ('col',
+    hidden_alias) reference, collecting (alias, (AGG, arg)) pairs in acc
+    (deduplicated: two uses of SUM(x) share one hidden aggregate)."""
+    if not isinstance(node, tuple):
+        return node
+    if node[0] == "aggref":
+        agg, arg = node[1], node[2]
+        key = ("COUNT", "*") if arg == "*" else (agg, arg)
+        for alias, k in acc:
+            if k == key:
+                return ("col", alias)
+        alias = f"__pa{len(acc)}"
+        acc.append((alias, key))
+        return ("col", alias)
+    if node[0] == "case":
+        whens = tuple((_extract_aggrefs(c, acc), _extract_aggrefs(v, acc))
+                      for c, v in node[1])
+        els = (_extract_aggrefs(node[2], acc)
+               if node[2] is not None else None)
+        return ("case", whens, els)
+    return (node[0],) + tuple(
+        _extract_aggrefs(x, acc) if isinstance(x, tuple) else x
+        for x in node[1:])
+
+
+def _lower_postagg(items: list[dict]) -> list[dict]:
+    """Rewrite post-aggregation items in place: each aggref becomes a
+    HIDDEN aggregate item computed by the ordinary grouped machinery; the
+    residual expression (stored as 'post_expr') is evaluated over the
+    small result frame after aggregation. Returns the items list with
+    hidden items appended."""
+    acc: list[tuple] = []
+    for it in items:
+        if it.get("postagg") is not None:
+            it["post_expr"] = _extract_aggrefs(it.pop("postagg"), acc)
+    for alias, (agg, arg) in acc:
+        hid = {"agg": agg, "arg": None, "col": None, "distinct": False,
+               "nd": None, "alias": alias, "hidden": True}
+        if arg == "*":
+            hid["arg"] = "*"
+        elif isinstance(arg, tuple) and arg[0] == "col":
+            hid["arg"] = arg[1]
+        else:
+            hid["expr"] = arg
+        items.append(hid)
+    return items
+
+
+def _contains_aggref(node) -> bool:
+    if not isinstance(node, tuple):
+        return False
+    if node[0] == "aggref":
+        return True
+    if node[0] == "case":
+        return (any(_contains_aggref(c) or _contains_aggref(v)
+                    for c, v in node[1])
+                or (node[2] is not None and _contains_aggref(node[2])))
+    return any(_contains_aggref(x) for x in node[1:])
 
 
 def _parse_item_expr(raw: str) -> dict:
     """Fallback SELECT-item parser for expression items:
 
-        [ROUND(] [AGG(] expr [)] [, nd )] [AS alias]
+        [ROUND(] expr-with-optional-aggregate-calls [, nd )] AS alias
 
-    An alias is REQUIRED (both engines must agree on the output column
-    name; auto-generated expression names never would)."""
+    The parsed AST classifies the item: a lone AGG(...) call is an
+    ordinary aggregate item (its argument may be a row expression); an
+    expression CONTAINING aggregate calls (SUM(x)/COUNT(*), TPC-H Q14
+    shape) becomes a POST-AGGREGATION item — each aggref is later pulled
+    out as a hidden aggregate and the residual expression is evaluated on
+    the small result frame; a pure row expression materializes as a
+    column. An alias is REQUIRED (both engines must agree on the output
+    column name; auto-generated expression names never would)."""
     text = raw.strip()
     am = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", text, re.IGNORECASE)
     if not am:
@@ -316,18 +639,23 @@ def _parse_item_expr(raw: str) -> dict:
     if rm and _balanced(rm.group(1)):
         nd = int(rm.group(2))
         text = rm.group(1).strip()
-    agg = None
-    gm = re.match(r"^(COUNT|SUM|MIN|MAX|AVG)\((.*)\)$", text,
-                  re.IGNORECASE | re.DOTALL)
-    if gm and _balanced(gm.group(2)):
-        agg = gm.group(1).upper()
-        text = gm.group(2).strip()
-        if re.match(r"^DISTINCT\s", text, re.IGNORECASE):
-            raise ValueError(
-                f"DISTINCT over an expression is unsupported: {raw!r}")
-    expr = _parse_expr(text)
-    return {"agg": agg, "arg": None, "col": None, "distinct": False,
-            "nd": nd, "alias": alias, "expr": expr}
+    ast = _ExprParser(text).parse()
+    base = {"agg": None, "arg": None, "col": None, "distinct": False,
+            "nd": nd, "alias": alias, "expr": None}
+    if ast[0] == "aggref":
+        agg, arg = ast[1], ast[2]
+        if arg == "*":
+            return dict(base, agg="COUNT", arg="*")
+        if arg[0] == "col":
+            return dict(base, agg=agg, arg=arg[1])
+        return dict(base, agg=agg, expr=arg)
+    if _contains_aggref(ast):
+        return dict(base, postagg=ast)
+    if ast[0] in ("col", "lit"):
+        # a bare column/literal is not an "expression item" — the plain
+        # item paths (and their fast paths) own those
+        raise ValueError(f"not a compound expression: {text!r}")
+    return dict(base, expr=ast)
 
 
 def _balanced(s: str) -> bool:
@@ -585,6 +913,7 @@ def parse(sql: str) -> dict:
             "nd": int(d["nd"]) if d["nd"] is not None else None,
             "alias": d["alias"] or d["col"],
         })
+    items = _lower_postagg(items)
 
     wb = (_parse_bool(m.group("where"), "WHERE")
           if m.group("where") else [[]])
@@ -1635,7 +1964,7 @@ def run_sql(sf_dir: str, sql: str,
         promoted = [dict(it) for it in plan["items"]]
         hit = False
         for it in promoted:
-            if (not it["agg"] and not it.get("expr")
+            if (not it["agg"] and not it.get("expr") and it["col"]
                     and it["nd"] is not None
                     and it["alias"] in plan["group"]
                     and it["alias"] != it["col"]):
@@ -1890,10 +2219,25 @@ def run_sql(sf_dir: str, sql: str,
                     out[it["alias"]].fillna(0).astype("int64")
             if it["nd"] is not None:
                 out[it["alias"]] = out[it["alias"]].astype(float).pipe(_sql_round, it["nd"])
+        # post-aggregation expressions: hidden aggregates are now real
+        # columns of the (small) result frame — evaluate the residual
+        # expression over it with the same Arrow kernels rows use
+        for it in plan["items"]:
+            if it.get("post_expr") is not None:
+                t_ = pa.Table.from_pandas(out, preserve_index=False)
+                v = _eval_expr(it["post_expr"], t_)
+                if isinstance(v, (int, float, str)):
+                    out[it["alias"]] = v
+                else:
+                    out[it["alias"]] = v.to_pandas()
+                if it["nd"] is not None:
+                    out[it["alias"]] = out[it["alias"]].astype(float) \
+                        .pipe(_sql_round, it["nd"])
         out = out.rename(columns={it["col"]: it["alias"]
                                   for it in plan["items"]
                                   if it["col"] and not it["agg"]})
-        cols = [it["alias"] for it in plan["items"]]
+        cols = [it["alias"] for it in plan["items"]
+                if not it.get("hidden")]
         out = out[cols]
         # HAVING: post-aggregate filter on the (small) result, aliases
         # resolved — same alias-reference semantics the DuckDB oracle uses

@@ -187,3 +187,85 @@ def test_round_on_aggregate_stays_on_result(ray_session):
     mine = run_sql(SF, sql).reset_index(drop=True)
     ora = _oracle(sql, "lineitem").reset_index(drop=True)
     pd.testing.assert_frame_equal(mine, ora)
+
+
+# -------------------------------------------------- CASE WHEN / postagg
+
+CASE_CASES = [
+    # conditional counting (Q12 shape) + no-ELSE NULL arm skipped by SUM
+    ("""SELECT l_linestatus,
+ROUND(SUM(CASE WHEN l_quantity > 30 THEN 1.0 ELSE 0.0 END), 2) AS n_big,
+ROUND(SUM(CASE WHEN l_quantity <= 30 THEN l_extendedprice END), 2) AS rev
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""", ("lineitem",)),
+    # string-valued CASE grouped via its alias
+    ("""SELECT CASE WHEN n_chars > 2000 THEN 'long'
+WHEN n_chars > 500 THEN 'mid' ELSE 'short' END AS bucket, COUNT(*) AS n
+FROM documents GROUP BY bucket ORDER BY bucket""", ("documents",)),
+    # boolean grammar in the WHEN arm: parens, AND/OR/NOT, LIKE
+    ("""SELECT ROUND(SUM(CASE WHEN (l_tax + l_discount) > 0.1
+OR (l_quantity < 5 AND NOT l_returnflag = 'R') THEN 1.0 ELSE 0.0 END), 2)
+AS n FROM lineitem""", ("lineitem",)),
+    # plain projection CASE item
+    ("""SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'high'
+ELSE 'low' END AS tier FROM orders ORDER BY o_orderkey LIMIT 7""",
+     ("orders",)),
+    # post-aggregation ratio (Q14 shape) incl. shared-aggref dedupe
+    ("""SELECT ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN p_retailprice
+ELSE 0.0 END) / SUM(p_retailprice) * 100, 4) AS promo_pct FROM part""",
+     ("part",)),
+    # per-group arithmetic over several aggregates + HAVING on the alias
+    ("""SELECT l_returnflag, ROUND(SUM(l_extendedprice) / COUNT(*), 0)
+AS ap FROM lineitem GROUP BY l_returnflag HAVING ap > 38000
+ORDER BY l_returnflag""", ("lineitem",)),
+    # group key referenced in the residual post-aggregation expression
+    ("""SELECT n_chars, ROUND(SUM(n_chars) / COUNT(*) + n_chars, 2) AS x
+FROM documents GROUP BY n_chars ORDER BY n_chars LIMIT 5""",
+     ("documents",)),
+]
+
+
+@pytest.mark.parametrize("sql,tables", CASE_CASES)
+def test_case_postagg_matches_duckdb(ray_session, sql, tables):
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, *tables).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora)
+
+
+def test_case_null_condition_selects_nothing(ray_session, tmp_path):
+    """SQL CASE: a NULL condition falls through to the next arm / ELSE —
+    three-valued logic must not leak NULL into the result the way a raw
+    Kleene if_else would."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"k": [1, 2, 3, 4],
+                  "v": pa.array([10.0, None, 30.0, None])})
+    pq.write_table(t, tmp_path / "tt.parquet")
+    sql = ("SELECT k, CASE WHEN v > 15 THEN 'big' ELSE 'small' END AS c "
+           "FROM tt ORDER BY k")
+    mine = run_sql(str(tmp_path), sql).reset_index(drop=True)
+    ora = duckdb.sql(sql.replace("FROM tt",
+                                 f"FROM '{tmp_path}/tt.parquet' tt")) \
+        .df().reset_index(drop=True)
+    # NULL v -> condition NULL -> ELSE arm ('small'), in both engines
+    assert mine["c"].tolist() == ["small", "small", "big", "small"]
+    pd.testing.assert_frame_equal(mine, ora)
+
+
+def test_case_no_else_yields_null(ray_session):
+    sql = ("SELECT l_linenumber, CASE WHEN l_quantity > 9999 THEN 1 END "
+           "AS never FROM lineitem ORDER BY l_orderkey, l_linenumber "
+           "LIMIT 3")
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    assert mine["never"].isna().all()
+
+
+def test_aggref_distinct_rejected():
+    with pytest.raises(ValueError, match="DISTINCT"):
+        parse("SELECT SUM(COUNT(*)) / COUNT(DISTINCT x * 2) AS r FROM t")
+
+
+def test_postagg_hidden_items_not_in_output(ray_session):
+    out = run_sql(SF, "SELECT ROUND(SUM(o_totalprice) / COUNT(*), 2) "
+                      "AS avg_p FROM orders")
+    assert list(out.columns) == ["avg_p"]
