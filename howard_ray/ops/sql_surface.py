@@ -130,6 +130,16 @@ FROM part""",
 ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_rev,
 ROUND(MAX(l_extendedprice) - MIN(l_extendedprice), 2) AS price_span
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # scalar function library (pyarrow.compute kernels): string functions
+    # as GROUP BY keys via materialized aliases, ABS/inner-ROUND inside
+    # aggregate arguments, COALESCE over a no-ELSE CASE's NULL arm
+    "sql_scalar_fns": """SELECT UPPER(SUBSTR(p_type, 1, 5)) AS t5,
+COUNT(*) AS n, ROUND(SUM(ABS(p_retailprice - 1000.0)), 2) AS dev,
+ROUND(SUM(COALESCE(CASE WHEN p_size > 25 THEN p_retailprice END, 0.0)), 2)
+AS big_rev FROM part GROUP BY t5 ORDER BY t5""",
+    "sql_length_floor": """SELECT FLOOR(LENGTH(text) / 400) AS len_bucket,
+COUNT(*) AS n, ROUND(AVG(n_chars), 4) AS avg_chars FROM documents
+GROUP BY len_bucket ORDER BY len_bucket""",
 }
 
 

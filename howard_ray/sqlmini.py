@@ -54,6 +54,7 @@ stats with zero block decodes.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 
@@ -186,7 +187,7 @@ _EXPR_TOK_RE = re.compile(
     r"\s*(?:'(?P<str>(?:[^']|'')*)'"
     r"|(?P<num>\d+(?:\.\d+)?)"
     r"|(?P<id>[A-Za-z_]\w*)"
-    r"|(?P<sym><=|>=|<>|!=|=|<|>|\+|-|\*|/|\(|\)))")
+    r"|(?P<sym><=|>=|<>|!=|=|<|>|\+|-|\*|/|\(|\)|,))")
 
 # reserved inside expressions — never column names
 _EXPR_KEYWORDS = {"CASE", "WHEN", "THEN", "ELSE", "END",
@@ -195,6 +196,13 @@ _EXPR_KEYWORDS = {"CASE", "WHEN", "THEN", "ELSE", "END",
 _CMP_OPS = ("=", "!=", "<>", "<", "<=", ">", ">=")
 
 _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+
+# scalar functions → (min_args, max_args); evaluated in _eval_fn with
+# pyarrow.compute kernels (ROUND via _sql_round for DuckDB tie parity)
+_SCALAR_FNS = {"ABS": (1, 1), "LENGTH": (1, 1), "LOWER": (1, 1),
+               "UPPER": (1, 1), "FLOOR": (1, 1), "CEIL": (1, 1),
+               "CEILING": (1, 1), "COALESCE": (2, 8), "SUBSTR": (3, 3),
+               "SUBSTRING": (3, 3), "ROUND": (2, 2)}
 
 
 class _ExprParser:
@@ -287,6 +295,27 @@ class _ExprParser:
             if self._next() != ")":
                 raise ValueError("unbalanced parentheses in aggregate call")
             return ("aggref", agg, arg)
+        # scalar function call: FN(arg [, arg]*)
+        if (isinstance(t, str) and t.upper() in _SCALAR_FNS
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1] == "("):
+            fn = self._next().upper()
+            self._next()  # (
+            args = [self._expr()]
+            while self._peek() == ",":
+                self._next()
+                args.append(self._expr())
+            if self._next() != ")":
+                raise ValueError(f"unbalanced parentheses in {fn}(...)")
+            lo, hi = _SCALAR_FNS[fn]
+            if not lo <= len(args) <= hi:
+                raise ValueError(
+                    f"{fn} takes {lo}..{hi} arguments, got {len(args)}")
+            if fn == "CEILING":
+                fn = "CEIL"
+            elif fn == "SUBSTRING":
+                fn = "SUBSTR"
+            return ("fn", fn, tuple(args))
         t = self._next()
         if t is None:
             raise ValueError("dangling expression")
@@ -413,6 +442,9 @@ def _expr_cols(node: tuple, out: set | None = None) -> set:
     elif kind == "aggref":
         if isinstance(node[2], tuple):
             _expr_cols(node[2], out)
+    elif kind == "fn":
+        for a in node[2]:
+            _expr_cols(a, out)
     elif kind == "case":
         for cond, val in node[1]:
             _expr_cols(cond, out)
@@ -445,6 +477,8 @@ def _eval_expr(node: tuple, batch: pa.Table):
         return -v if isinstance(v, (int, float)) else pc.negate(v)
     if kind == "case":
         return _eval_case(node, batch)
+    if kind == "fn":
+        return _eval_fn(node, batch)
     lv = _eval_expr(node[1], batch)
     rv = _eval_expr(node[2], batch)
     if kind == "/":
@@ -458,6 +492,59 @@ def _eval_expr(node: tuple, batch: pa.Table):
     fn = {"+": pc.add, "-": pc.subtract,
           "*": pc.multiply, "/": pc.divide}[kind]
     return fn(lv, rv)
+
+
+def _eval_fn(node: tuple, batch: pa.Table):
+    """Scalar SQL functions → pyarrow.compute kernels. LENGTH counts
+    characters (utf8_length, like DuckDB's length on VARCHAR); SUBSTR is
+    SQL 1-based (start, len both positive); ROUND matches DuckDB's
+    half-away-from-zero via _sql_round, not Arrow's banker's rounding."""
+    fn, args = node[1], node[2]
+    vals = [_eval_expr(a, batch) for a in args]
+
+    def _arr(v):
+        return v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+
+    v0 = _arr(vals[0])
+    if fn == "ABS":
+        return abs(v0) if isinstance(v0, (int, float)) else pc.abs(v0)
+    if fn == "LENGTH":
+        # cast to int64: DuckDB's length() is BIGINT, Arrow's is int32
+        return len(v0) if isinstance(v0, str) \
+            else pc.cast(pc.utf8_length(v0), pa.int64())
+    if fn == "LOWER":
+        return v0.lower() if isinstance(v0, str) else pc.utf8_lower(v0)
+    if fn == "UPPER":
+        return v0.upper() if isinstance(v0, str) else pc.utf8_upper(v0)
+    if fn == "FLOOR":
+        return math.floor(v0) if isinstance(v0, (int, float)) \
+            else pc.floor(v0)
+    if fn == "CEIL":
+        return math.ceil(v0) if isinstance(v0, (int, float)) \
+            else pc.ceil(v0)
+    if fn == "COALESCE":
+        cv = [_arr(v) for v in vals]
+        if all(isinstance(v, (int, float, str)) for v in cv):
+            return cv[0]
+        return pc.coalesce(*cv)
+    if fn == "SUBSTR":
+        start, length = vals[1], vals[2]
+        if not isinstance(start, int) or not isinstance(length, int) \
+                or start < 1 or length < 0:
+            raise ValueError(
+                "SUBSTR needs positive integer literal start/len")
+        if isinstance(v0, str):
+            return v0[start - 1:start - 1 + length]
+        return pc.utf8_slice_codeunits(v0, start - 1, start - 1 + length)
+    if fn == "ROUND":
+        nd = vals[1]
+        if not isinstance(nd, int):
+            raise ValueError("ROUND digit count must be an integer literal")
+        if isinstance(v0, (int, float)):
+            return float(_sql_round(float(v0), nd))
+        return pa.array(_sql_round(
+            pc.cast(v0, pa.float64()).to_numpy(zero_copy_only=False), nd))
+    raise ValueError(f"unknown scalar function {fn}")
 
 
 def _eval_bool(node: tuple, batch: pa.Table):

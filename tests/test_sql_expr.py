@@ -269,3 +269,47 @@ def test_postagg_hidden_items_not_in_output(ray_session):
     out = run_sql(SF, "SELECT ROUND(SUM(o_totalprice) / COUNT(*), 2) "
                       "AS avg_p FROM orders")
     assert list(out.columns) == ["avg_p"]
+
+
+# ------------------------------------------------------ scalar functions
+
+FN_CASES = [
+    ("SELECT LOWER(lang) AS l, COUNT(*) AS n FROM documents "
+     "GROUP BY l ORDER BY l LIMIT 5", ("documents",)),
+    ("SELECT doc_id, LENGTH(text) AS n_len FROM documents "
+     "ORDER BY doc_id LIMIT 6", ("documents",)),
+    ("SELECT SUBSTR(lang, 1, 1) AS initial, COUNT(*) AS n FROM documents "
+     "GROUP BY initial ORDER BY initial", ("documents",)),
+    ("SELECT ROUND(SUM(ABS(l_discount - 0.05)), 4) AS s FROM lineitem",
+     ("lineitem",)),
+    ("SELECT o_orderkey, FLOOR(o_totalprice / 100000) AS b1, "
+     "CEIL(o_totalprice / 100000) AS b2 FROM orders "
+     "ORDER BY o_orderkey LIMIT 6", ("orders",)),
+    # nested composition + inner ROUND (DuckDB tie parity inside SUM)
+    ("SELECT l_returnflag, ROUND(SUM(ROUND(l_extendedprice, 0)), 2) AS s "
+     "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+     ("lineitem",)),
+    # COALESCE over the NULL arm of a no-ELSE CASE
+    ("SELECT ROUND(SUM(COALESCE(CASE WHEN l_quantity > 30 "
+     "THEN l_extendedprice END, 0.0)), 2) AS s FROM lineitem",
+     ("lineitem",)),
+]
+
+
+@pytest.mark.parametrize("sql,tables", FN_CASES)
+def test_scalar_fn_matches_duckdb(ray_session, sql, tables):
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, *tables).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora)
+
+
+def test_fn_name_usable_as_column():
+    """A column merely NAMED like a function (no following paren) still
+    parses as a column reference."""
+    ast = _parse_expr("abs + 1")
+    assert ast == ("+", ("col", "abs"), ("lit", 1))
+
+
+def test_fn_arity_checked():
+    with pytest.raises(ValueError, match="arguments"):
+        _parse_expr("SUBSTR(lang, 1) + 0")
