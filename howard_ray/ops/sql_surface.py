@@ -140,6 +140,18 @@ AS big_rev FROM part GROUP BY t5 ORDER BY t5""",
     "sql_length_floor": """SELECT FLOOR(LENGTH(text) / 400) AS len_bucket,
 COUNT(*) AS n, ROUND(AVG(n_chars), 4) AS avg_chars FROM documents
 GROUP BY len_bucket ORDER BY len_bucket""",
+    # expression WHERE (function calls / arithmetic comparisons fall back
+    # from the DNF parser to one vectorized Kleene mask, no pruning)
+    "sql_expr_where": """SELECT l_returnflag, COUNT(*) AS n,
+ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net
+FROM lineitem WHERE l_extendedprice * (1 - l_discount) > 50000
+AND LENGTH(l_returnflag) = 1 GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # expression HAVING with raw aggregates not in the SELECT list —
+    # lowered to hidden aggregate items via the postagg accumulator
+    "sql_having_raw_agg": """SELECT o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+HAVING MAX(o_totalprice) > 400000 AND SUM(o_totalprice) / COUNT(*) > 100000
+ORDER BY o_orderpriority""",
 }
 
 

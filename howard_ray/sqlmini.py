@@ -191,7 +191,8 @@ _EXPR_TOK_RE = re.compile(
 
 # reserved inside expressions — never column names
 _EXPR_KEYWORDS = {"CASE", "WHEN", "THEN", "ELSE", "END",
-                  "AND", "OR", "NOT", "IS", "NULL", "LIKE"}
+                  "AND", "OR", "NOT", "IS", "NULL", "LIKE",
+                  "BETWEEN", "IN"}
 
 _CMP_OPS = ("=", "!=", "<>", "<", "<=", ">", ">=")
 
@@ -243,6 +244,13 @@ class _ExprParser:
         if self._peek() is not None:
             raise ValueError(
                 f"unexpected token {self._peek()!r} in expression")
+        return node
+
+    def parse_bool(self) -> tuple:
+        node = self._bool()
+        if self._peek() is not None:
+            raise ValueError(
+                f"unexpected token {self._peek()!r} in condition")
         return node
 
     def _expr(self) -> tuple:
@@ -400,8 +408,13 @@ class _ExprParser:
             return ("notnull" if neg else "isnull", lhs)
         if self._kw("NOT"):
             self._next()
+            if self._kw("BETWEEN"):
+                return ("not", self._between(lhs))
+            if self._kw("IN"):
+                return ("not", self._inlist(lhs))
             if not self._kw("LIKE"):
-                raise ValueError("expected LIKE after NOT in CASE condition")
+                raise ValueError(
+                    "expected LIKE/BETWEEN/IN after NOT in condition")
             self._next()
             pat = self._next()
             if not isinstance(pat, tuple):
@@ -413,12 +426,40 @@ class _ExprParser:
             if not isinstance(pat, tuple):
                 raise ValueError("LIKE needs a string literal pattern")
             return ("like", lhs, pat[1])
+        if self._kw("BETWEEN"):
+            return self._between(lhs)
+        if self._kw("IN"):
+            return self._inlist(lhs)
         t = self._peek()
         if t in _CMP_OPS:
             op = self._next()
             return ("cmp", "!=" if op == "<>" else op, lhs, self._expr())
         raise ValueError(
-            f"expected a comparison operator in CASE condition, got {t!r}")
+            f"expected a comparison operator in condition, got {t!r}")
+
+    def _between(self, lhs: tuple) -> tuple:
+        # lhs BETWEEN e1 AND e2 — the AND belongs to BETWEEN, consumed here
+        self._next()
+        lo = self._expr()
+        if not self._kw("AND"):
+            raise ValueError("BETWEEN needs AND")
+        self._next()
+        return ("and", ("cmp", ">=", lhs, lo),
+                ("cmp", "<=", lhs, self._expr()))
+
+    def _inlist(self, lhs: tuple) -> tuple:
+        self._next()
+        if self._next() != "(":
+            raise ValueError("IN needs a parenthesized literal list")
+        node = None
+        while True:
+            alt = ("cmp", "=", lhs, self._expr())
+            node = alt if node is None else ("or", node, alt)
+            t = self._next()
+            if t == ")":
+                return node
+            if t != ",":
+                raise ValueError("IN list items must be comma-separated")
 
 
 def _parse_expr(text: str) -> tuple:
@@ -635,8 +676,13 @@ def _eval_case(node: tuple, batch: pa.Table):
 
 
 def _has_expr(plan: dict) -> bool:
-    return any(it.get("expr") or it.get("post_expr")
-               for it in plan["items"])
+    """True when the plan carries expression constructs that footer-stat
+    fast paths cannot fold (expression items, post-aggregation residuals,
+    expression WHERE/HAVING masks)."""
+    return (plan.get("where_expr") is not None
+            or plan.get("having_expr") is not None
+            or any(it.get("expr") or it.get("post_expr")
+                   for it in plan["items"]))
 
 
 def _extract_aggrefs(node, acc: list):
@@ -665,16 +711,19 @@ def _extract_aggrefs(node, acc: list):
         for x in node[1:])
 
 
-def _lower_postagg(items: list[dict]) -> list[dict]:
+def _lower_postagg(items: list[dict], having_expr=None):
     """Rewrite post-aggregation items in place: each aggref becomes a
     HIDDEN aggregate item computed by the ordinary grouped machinery; the
     residual expression (stored as 'post_expr') is evaluated over the
-    small result frame after aggregation. Returns the items list with
-    hidden items appended."""
+    small result frame after aggregation. A HAVING expression's raw
+    aggregate calls lower through the same accumulator (shared dedupe).
+    Returns (items-with-hidden-appended, rewritten having_expr)."""
     acc: list[tuple] = []
     for it in items:
         if it.get("postagg") is not None:
             it["post_expr"] = _extract_aggrefs(it.pop("postagg"), acc)
+    if having_expr is not None:
+        having_expr = _extract_aggrefs(having_expr, acc)
     for alias, (agg, arg) in acc:
         hid = {"agg": agg, "arg": None, "col": None, "distinct": False,
                "nd": None, "alias": alias, "hidden": True}
@@ -685,7 +734,7 @@ def _lower_postagg(items: list[dict]) -> list[dict]:
         else:
             hid["expr"] = arg
         items.append(hid)
-    return items
+    return items, having_expr
 
 
 def _contains_aggref(node) -> bool:
@@ -1000,14 +1049,31 @@ def parse(sql: str) -> dict:
             "nd": int(d["nd"]) if d["nd"] is not None else None,
             "alias": d["alias"] or d["col"],
         })
-    items = _lower_postagg(items)
 
-    wb = (_parse_bool(m.group("where"), "WHERE")
-          if m.group("where") else [[]])
+    # WHERE/HAVING: the DNF parser owns the fast shapes (zone pruning,
+    # pushdown); anything it can't express — function calls, arithmetic
+    # comparisons, CASE — falls back to the EXPRESSION boolean grammar,
+    # evaluated as one vectorized Kleene mask with no pruning
+    where_expr = having_expr = None
+    wb = [[]]
+    if m.group("where"):
+        try:
+            wb = _parse_bool(m.group("where"), "WHERE")
+        except ValueError:
+            where_expr = _ExprParser(m.group("where")).parse_bool()
+            if _contains_aggref(where_expr):
+                raise ValueError("aggregates are not allowed in WHERE")
     conds, or_branches = (wb[0], None) if len(wb) == 1 else ([], wb)
-    hb = (_parse_bool(m.group("having"), "HAVING")
-          if m.group("having") else [[]])
+    hb = [[]]
+    if m.group("having"):
+        try:
+            hb = _parse_bool(m.group("having"), "HAVING")
+        except ValueError:
+            # HAVING may use raw aggregates (HAVING COUNT(*) > 5) — those
+            # lower to hidden aggregate items exactly like postagg items
+            having_expr = _ExprParser(m.group("having")).parse_bool()
     having, having_or = (hb[0], None) if len(hb) == 1 else ([], hb)
+    items, having_expr = _lower_postagg(items, having_expr)
     group = ([c.strip() for c in m.group("group").split(",")]
              if m.group("group") else [])
     order = []
@@ -1028,6 +1094,7 @@ def parse(sql: str) -> dict:
     return {"items": items, "star": star, "table": table, "joins": joins,
             "select_distinct": select_distinct,
             "conds": conds, "or_branches": or_branches,
+            "where_expr": where_expr, "having_expr": having_expr,
             "having": having, "having_or": having_or,
             "group": group, "order": order,
             "limit": int(m.group("limit")) if m.group("limit") else None}
@@ -1076,6 +1143,8 @@ def _needed_columns(plan: dict) -> list[str]:
     for br in (plan.get("or_branches") or []):
         for c in br:
             cols.add(c["col"])
+    if plan.get("where_expr") is not None:
+        cols |= _expr_cols(plan["where_expr"])
     expr_aliases = {it["alias"] for it in plan["items"] if it.get("expr")}
     cols.update(c for c in plan["group"] if c not in expr_aliases)
     # ORDER BY may reference an output ALIAS (e.g. an aggregate's name) —
@@ -2126,6 +2195,21 @@ def run_sql(sf_dir: str, sql: str,
         conds = plan["conds"]
         ds = ds.map_batches(lambda b: _predicate(b, conds),
                             batch_format="pyarrow")
+    if plan.get("where_expr") is not None:
+        # expression WHERE (functions / arithmetic comparisons / CASE):
+        # one vectorized Kleene mask; WHERE keeps only TRUE rows, so
+        # NULLs fill to False exactly as SQL drops them
+        wex = plan["where_expr"]
+
+        def _wmask(b: pa.Table, _w=wex) -> pa.Table:
+            mk = _eval_bool(_w, b)
+            if isinstance(mk, bool):
+                return b if mk else b.slice(0, 0)
+            if isinstance(mk, pa.ChunkedArray):
+                mk = mk.combine_chunks()
+            return b.filter(pc.fill_null(mk, False))
+
+        ds = ds.map_batches(_wmask, batch_format="pyarrow")
 
     if _has_expr(plan):
         # Materialize every expression item as a real column in ONE
@@ -2323,6 +2407,17 @@ def run_sql(sf_dir: str, sql: str,
         out = out.rename(columns={it["col"]: it["alias"]
                                   for it in plan["items"]
                                   if it["col"] and not it["agg"]})
+        if plan.get("having_expr") is not None:
+            # expression HAVING — raw aggregate calls were lowered to
+            # hidden items, still present in the frame at this point
+            t_ = pa.Table.from_pandas(out, preserve_index=False)
+            mk = _eval_bool(plan["having_expr"], t_)
+            if isinstance(mk, bool):
+                out = out if mk else out.iloc[0:0]
+            else:
+                if isinstance(mk, pa.ChunkedArray):
+                    mk = mk.combine_chunks()
+                out = out[pc.fill_null(mk, False).to_pandas().to_numpy()]
         cols = [it["alias"] for it in plan["items"]
                 if not it.get("hidden")]
         out = out[cols]
@@ -2344,7 +2439,8 @@ def run_sql(sf_dir: str, sql: str,
             out = out[dis]
         out = out.reset_index(drop=True)
     else:
-        if plan["having"] or plan.get("having_or"):
+        if plan["having"] or plan.get("having_or") \
+                or plan.get("having_expr") is not None:
             raise ValueError("HAVING requires an aggregate SELECT")
         # plain SELECT: with a LIMIT, order+limit stay DISTRIBUTED — a
         # large filtered table must never be pulled to the driver just to

@@ -41,10 +41,15 @@ def test_parse_parenthesized_or_distributes():
     assert all(len(br) == 2 for br in p["or_branches"])
 
 
-def test_parse_dnf_cap_rejects_pathological_where():
+def test_parse_dnf_cap_falls_back_to_expression_mask():
+    """A WHERE whose DNF would explode past the cap (2^8 branches here) no
+    longer errors: it falls back to the expression boolean grammar — one
+    vectorized Kleene mask, no pruning — with conds/or_branches empty so
+    no fast path misfires."""
     where = " AND ".join(f"(a{i} = 1 OR b{i} = 2)" for i in range(8))
-    with pytest.raises(ValueError, match="DNF cap"):
-        parse(f"SELECT COUNT(*) AS n FROM orders WHERE {where}")
+    p = parse(f"SELECT COUNT(*) AS n FROM orders WHERE {where}")
+    assert p["where_expr"] is not None
+    assert p["conds"] == [] and p["or_branches"] is None
 
 
 def test_parse_string_literal_containing_keywords():

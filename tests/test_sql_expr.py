@@ -313,3 +313,63 @@ def test_fn_name_usable_as_column():
 def test_fn_arity_checked():
     with pytest.raises(ValueError, match="arguments"):
         _parse_expr("SUBSTR(lang, 1) + 0")
+
+
+# -------------------------------------------- expression WHERE / HAVING
+
+WEXPR_CASES = [
+    # function call in WHERE
+    ("SELECT lang, COUNT(*) AS n FROM documents WHERE LENGTH(text) > 1000 "
+     "GROUP BY lang ORDER BY lang", ("documents",)),
+    # arithmetic comparison in WHERE
+    ("SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS rev "
+     "FROM lineitem WHERE l_extendedprice * (1 - l_discount) > 50000",
+     ("lineitem",)),
+    # CASE in WHERE + expression BETWEEN
+    ("SELECT COUNT(*) AS n FROM orders WHERE CASE WHEN "
+     "o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END "
+     "BETWEEN 100000 AND 300000", ("orders",)),
+    # IN-list through the expression fallback (function on the lhs)
+    ("SELECT COUNT(*) AS n FROM documents "
+     "WHERE SUBSTR(lang, 1, 1) IN ('e', 'f')", ("documents",)),
+    # HAVING with raw aggregates not in the SELECT list
+    ("SELECT l_returnflag FROM lineitem GROUP BY l_returnflag "
+     "HAVING COUNT(*) > 1000 AND SUM(l_quantity) / COUNT(*) > 25 "
+     "ORDER BY l_returnflag", ("lineitem",)),
+    # HAVING mixing a select alias with a raw aggregate
+    ("SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+     "GROUP BY o_orderpriority HAVING n > 100 AND "
+     "MAX(o_totalprice) > 400000 ORDER BY o_orderpriority", ("orders",)),
+]
+
+
+@pytest.mark.parametrize("sql,tables", WEXPR_CASES)
+def test_expr_where_having_matches_duckdb(ray_session, sql, tables):
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, *tables).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora)
+
+
+def test_where_expr_gates_store_fastpath(ray_session, tmp_path):
+    """An expression WHERE over a store must force a real block scan —
+    footer stats can't evaluate LENGTH() — and still answer correctly."""
+    from howard_ray.pipeline import encode_dataset
+
+    src = SF + "/documents.parquet"
+    store = str(tmp_path / "store")
+    encode_dataset(src, store, mode="stream", resume=False,
+                   columns=["doc_id", "source", "n_chars"])
+    ex = explain_sql(store,
+                     "SELECT COUNT(*) AS n FROM store WHERE n_chars * 2 > 800")
+    assert ex["path"] != "metadata"
+    out = run_sql(store,
+                  "SELECT COUNT(*) AS n FROM store WHERE n_chars * 2 > 800")
+    base = run_sql(store,
+                   "SELECT COUNT(*) AS n FROM store WHERE n_chars > 400")
+    assert int(out["n"].iloc[0]) == int(base["n"].iloc[0])
+
+
+def test_having_expr_without_aggregate_select_rejected(ray_session):
+    with pytest.raises(ValueError, match="HAVING requires"):
+        run_sql(SF, "SELECT o_orderkey FROM orders "
+                    "HAVING ABS(o_orderkey) > 2")
