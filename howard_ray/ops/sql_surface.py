@@ -152,6 +152,13 @@ AND LENGTH(l_returnflag) = 1 GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM orders GROUP BY o_orderpriority
 HAVING MAX(o_totalprice) > 400000 AND SUM(o_totalprice) / COUNT(*) > 100000
 ORDER BY o_orderpriority""",
+    # LEFT JOIN: unmatched fact rows survive NULL-padded (COUNT(col)
+    # skips them); the dim-side WHERE condition applies POST-join so the
+    # NULL-padded rows it must drop are visible to it, as in SQL
+    "sql_left_join": """SELECT c_mktsegment, COUNT(*) AS n_rows,
+COUNT(o_orderkey) AS n_orders, ROUND(SUM(o_totalprice), 2) AS rev
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 }
 
 

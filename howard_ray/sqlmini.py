@@ -101,7 +101,8 @@ _LIT_RE = re.compile(r"^('(?:[^']*)'|-?\d+(?:\.\d+)?)$")
 
 _SQL_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>[A-Za-z_][\w]*"
-    r"(?:\s+JOIN\s+[A-Za-z_][\w]*\s+ON\s+[A-Za-z_][\w]*\s*=\s*[A-Za-z_][\w]*)*)"
+    r"(?:\s+(?:LEFT\s+(?:OUTER\s+)?)?JOIN\s+[A-Za-z_][\w]*\s+ON\s+"
+    r"[A-Za-z_][\w]*\s*=\s*[A-Za-z_][\w]*)*)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?:\s+HAVING\s+(?P<having>.+?))?"
@@ -132,7 +133,8 @@ def _split_commas(s: str) -> list[str]:
 
 
 _JOIN_RE = re.compile(
-    r"\s+JOIN\s+(?P<table>[A-Za-z_][\w]*)\s+ON\s+"
+    r"\s+(?:(?P<left>LEFT)\s+(?:OUTER\s+)?)?JOIN\s+"
+    r"(?P<table>[A-Za-z_][\w]*)\s+ON\s+"
     r"(?P<a>[A-Za-z_][\w]*)\s*=\s*(?P<b>[A-Za-z_][\w]*)",
     re.IGNORECASE)
 
@@ -1085,7 +1087,8 @@ def parse(sql: str) -> dict:
     frm = m.group("from")
     table = frm.split()[0]
     joins = [{"table": jm.group("table"),
-              "a": jm.group("a"), "b": jm.group("b")}
+              "a": jm.group("a"), "b": jm.group("b"),
+              "how": "left" if jm.group("left") else "inner"}
              for jm in _JOIN_RE.finditer(frm)]
     if select_distinct:
         if any(it["agg"] for it in items) or group:
@@ -1361,9 +1364,20 @@ def _joined_dataset(sf_dir: str, plan: dict, tables_dir: str | None = None):
     for j in plan["joins"]:
         needed.add(j["a"])
         needed.add(j["b"])
+    # a WHERE condition on a LEFT-joined dim must filter AFTER the join
+    # (SQL's WHERE sees the NULL-padded rows; pre-filtering the dim would
+    # KEEP unmatched left rows the condition should drop) — such conds are
+    # held back and applied as a post-join residual mask
+    left_tables = {j["table"] for j in plan["joins"]
+                   if j.get("how") == "left"}
     conds_by: dict[str, list[dict]] = {t: [] for t in tables}
+    post_conds: list[dict] = []
     for c in plan["conds"]:
-        conds_by[owner(c["col"])].append(c)
+        t = owner(c["col"])
+        if t in left_tables:
+            post_conds.append(c)
+        else:
+            conds_by[t].append(c)
     cols_by = {t: sorted(c for c in needed if c in schemas[t])
                for t in tables}
 
@@ -1402,14 +1416,20 @@ def _joined_dataset(sf_dir: str, plan: dict, tables_dir: str | None = None):
             ray.get(dim.to_arrow_refs()), promote_options="default")
         ref = ray.put(dim_tbl)
 
-        def bjoin(batch: pa.Table, _ref=ref, _lk=lk, _rk=rk) -> pa.Table:
+        how = "left outer" if j.get("how") == "left" else "inner"
+
+        def bjoin(batch: pa.Table, _ref=ref, _lk=lk, _rk=rk,
+                  _how=how) -> pa.Table:
             from .pipeline import _cached_get
             right = _cached_get(_ref)
             return batch.join(right, keys=_lk, right_keys=_rk,
-                              join_type="inner")
+                              join_type=_how)
 
         ds = ds.map_batches(bjoin, batch_format="pyarrow")
         acc |= set(cols_by[j["table"]])
+    if post_conds:
+        ds = ds.map_batches(lambda b, _cs=post_conds: _predicate(b, _cs),
+                            batch_format="pyarrow")
     return ds
 
 

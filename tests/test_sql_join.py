@@ -53,8 +53,9 @@ def test_join_parse_and_errors(ray_session):
     p = parse("SELECT a, COUNT(*) AS n FROM t JOIN u ON a = b "
               "JOIN v ON c = d GROUP BY a")
     assert p["table"] == "t"
-    assert p["joins"] == [{"table": "u", "a": "a", "b": "b"},
-                          {"table": "v", "a": "c", "b": "d"}]
+    assert p["joins"] == [
+        {"table": "u", "a": "a", "b": "b", "how": "inner"},
+        {"table": "v", "a": "c", "b": "d", "how": "inner"}]
     # disconnected join key (references neither side built so far)
     with pytest.raises(ValueError):
         run_sql(SF, "SELECT COUNT(*) AS n FROM orders "
@@ -86,3 +87,38 @@ def test_join_from_store(ray_session, tmp_path):
     pd.testing.assert_frame_equal(out.astype(ref.dtypes.to_dict()), ref)
     with pytest.raises(ValueError):
         run_sql(st, sql)  # no tables_dir: dims unresolvable
+
+
+# ------------------------------------------------------------ LEFT JOIN
+
+LEFT_CASES = [
+    # unmatched left rows survive NULL-padded; COUNT(col) skips them
+    ("SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS "
+     "n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+     "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+     ("customer", "orders")),
+    # LEFT OUTER spelling; SUM over the NULL-padded measure
+    ("SELECT c_nationkey, ROUND(SUM(o_totalprice), 2) AS rev FROM customer "
+     "LEFT OUTER JOIN orders ON c_custkey = o_custkey GROUP BY c_nationkey "
+     "ORDER BY c_nationkey LIMIT 6", ("customer", "orders")),
+    # WHERE on the left-joined dim filters AFTER the join (SQL WHERE sees
+    # the NULL-padded rows) — pre-filtering the dim would keep unmatched
+    # left rows the condition must drop
+    ("SELECT c_mktsegment, COUNT(*) AS n FROM customer LEFT JOIN orders "
+     "ON c_custkey = o_custkey WHERE o_totalprice > 200000 "
+     "GROUP BY c_mktsegment ORDER BY c_mktsegment", ("customer", "orders")),
+    # inner-then-left chain
+    ("SELECT n_name, COUNT(o_orderkey) AS n_orders FROM customer "
+     "JOIN nation ON c_nationkey = n_nationkey LEFT JOIN orders "
+     "ON c_custkey = o_custkey GROUP BY n_name ORDER BY n_name LIMIT 6",
+     ("customer", "nation", "orders")),
+    # fact-side WHERE still pushes pre-join
+    ("SELECT c_mktsegment, COUNT(o_orderkey) AS n FROM customer "
+     "LEFT JOIN orders ON c_custkey = o_custkey WHERE c_acctbal > 5000 "
+     "GROUP BY c_mktsegment ORDER BY c_mktsegment", ("customer", "orders")),
+]
+
+
+@pytest.mark.parametrize("sql,tables", LEFT_CASES)
+def test_left_join_matches_duckdb(ray_session, con, sql, tables):
+    _check(con, sql)
