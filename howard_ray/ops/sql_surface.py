@@ -159,6 +159,11 @@ ORDER BY o_orderpriority""",
 COUNT(o_orderkey) AS n_orders, ROUND(SUM(o_totalprice), 2) AS rev
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    # expression ORDER BY: raw aggregates / ratios as sort keys lower to
+    # hidden items, sorted on then dropped before output
+    "sql_order_by_expr": """SELECT o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+ORDER BY SUM(o_totalprice) / COUNT(*) DESC, o_orderpriority LIMIT 4""",
 }
 
 

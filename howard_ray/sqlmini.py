@@ -713,19 +713,52 @@ def _extract_aggrefs(node, acc: list):
         for x in node[1:])
 
 
-def _lower_postagg(items: list[dict], having_expr=None):
+def _lower_postagg(items: list[dict], having_expr=None,
+                   order_raw: list | None = None,
+                   is_agg_query: bool = False):
     """Rewrite post-aggregation items in place: each aggref becomes a
     HIDDEN aggregate item computed by the ordinary grouped machinery; the
     residual expression (stored as 'post_expr') is evaluated over the
     small result frame after aggregation. A HAVING expression's raw
     aggregate calls lower through the same accumulator (shared dedupe).
-    Returns (items-with-hidden-appended, rewritten having_expr)."""
+    ORDER BY keys that are expressions (``ORDER BY COUNT(*) DESC``,
+    ``ORDER BY SUM(a)/COUNT(*)``, ``ORDER BY LENGTH(x)``) lower to hidden
+    items too — the sort runs on the hidden column, dropped before output.
+    Returns (items-with-hidden-appended, rewritten having_expr, order)."""
     acc: list[tuple] = []
     for it in items:
         if it.get("postagg") is not None:
             it["post_expr"] = _extract_aggrefs(it.pop("postagg"), acc)
     if having_expr is not None:
         having_expr = _extract_aggrefs(having_expr, acc)
+    order: list[tuple[str, bool]] = []
+    ord_hidden: list[dict] = []
+    for i, (txt, desc) in enumerate(order_raw or []):
+        if re.fullmatch(r"[A-Za-z_]\w*", txt):
+            order.append((txt, desc))
+            continue
+        ast = _ExprParser(txt).parse()
+        if ast[0] == "aggref":
+            # a lone aggregate call: reuse/create its hidden agg item
+            ref = _extract_aggrefs(ast, acc)
+            order.append((ref[1], desc))
+            continue
+        alias = f"__ord{i}"
+        if _contains_aggref(ast) or is_agg_query:
+            # compound over aggregates, or any expression in an aggregate
+            # query (only group keys are visible there): evaluate on the
+            # small result frame
+            ord_hidden.append({"agg": None, "arg": None, "col": None,
+                               "distinct": False, "nd": None,
+                               "alias": alias, "hidden": True,
+                               "post_expr": _extract_aggrefs(ast, acc)})
+        else:
+            # row expression in a plain query: materialize per row
+            ord_hidden.append({"agg": None, "arg": None, "col": None,
+                               "distinct": False, "nd": None,
+                               "alias": alias, "hidden": True,
+                               "expr": ast})
+        order.append((alias, desc))
     for alias, (agg, arg) in acc:
         hid = {"agg": agg, "arg": None, "col": None, "distinct": False,
                "nd": None, "alias": alias, "hidden": True}
@@ -736,7 +769,8 @@ def _lower_postagg(items: list[dict], having_expr=None):
         else:
             hid["expr"] = arg
         items.append(hid)
-    return items, having_expr
+    items.extend(ord_hidden)
+    return items, having_expr, order
 
 
 def _contains_aggref(node) -> bool:
@@ -1075,15 +1109,21 @@ def parse(sql: str) -> dict:
             # lower to hidden aggregate items exactly like postagg items
             having_expr = _ExprParser(m.group("having")).parse_bool()
     having, having_or = (hb[0], None) if len(hb) == 1 else ([], hb)
-    items, having_expr = _lower_postagg(items, having_expr)
     group = ([c.strip() for c in m.group("group").split(",")]
              if m.group("group") else [])
-    order = []
+    order_raw: list[tuple[str, bool]] = []
     if m.group("order"):
-        for raw in m.group("order").split(","):
-            parts = raw.strip().split()
-            order.append((parts[0], len(parts) > 1
-                          and parts[1].upper() == "DESC"))
+        for raw in _split_commas(m.group("order")):
+            txt = raw.strip()
+            om = re.search(r"\s+(ASC|DESC)\s*$", txt, re.IGNORECASE)
+            desc = False
+            if om:
+                desc = om.group(1).upper() == "DESC"
+                txt = txt[:om.start()].strip()
+            order_raw.append((txt, desc))
+    items, having_expr, order = _lower_postagg(
+        items, having_expr, order_raw,
+        is_agg_query=bool(group) or any(it["agg"] for it in items))
     frm = m.group("from")
     table = frm.split()[0]
     joins = [{"table": jm.group("table"),
@@ -2118,6 +2158,9 @@ def run_sql(sf_dir: str, sql: str,
     plan = _expand_star(sf_dir, plan, as_of=as_of)
     distinct_drop = False
     if plan.get("select_distinct"):
+        if any(it.get("hidden") for it in plan["items"]):
+            raise ValueError(
+                "expression ORDER BY with SELECT DISTINCT is unsupported")
         # SELECT DISTINCT a, b ≡ GROUP BY a, b with a hidden COUNT(*):
         # rides the whole grouped machinery (NULL-group tagging, store
         # grouped-metadata fast path) — the hidden count drops at the end
@@ -2186,6 +2229,10 @@ def run_sql(sf_dir: str, sql: str,
                 fast = fast.head(plan["limit"])
             if distinct_drop:
                 fast = fast.drop(columns=["__dn"])
+            hid = [it["alias"] for it in plan["items"]
+                   if it.get("hidden") and it["alias"] in fast.columns]
+            if hid:
+                fast = fast.drop(columns=hid)
             return fast.reset_index(drop=True)
         from .pipeline import decode_store
         if plan.get("or_branches"):
@@ -2438,8 +2485,12 @@ def run_sql(sf_dir: str, sql: str,
                 if isinstance(mk, pa.ChunkedArray):
                     mk = mk.combine_chunks()
                 out = out[pc.fill_null(mk, False).to_pandas().to_numpy()]
+        order_keys = {c for c, _ in plan["order"]}
         cols = [it["alias"] for it in plan["items"]
                 if not it.get("hidden")]
+        # hidden ORDER BY columns must survive until the final sort
+        cols += [it["alias"] for it in plan["items"]
+                 if it.get("hidden") and it["alias"] in order_keys]
         out = out[cols]
         # HAVING: post-aggregate filter on the (small) result, aliases
         # resolved — same alias-reference semantics the DuckDB oracle uses
@@ -2511,4 +2562,8 @@ def run_sql(sf_dir: str, sql: str,
         out = out.head(plan["limit"])
     if distinct_drop:
         out = out.drop(columns=["__dn"])
+    hid = [it["alias"] for it in plan["items"]
+           if it.get("hidden") and it["alias"] in out.columns]
+    if hid:
+        out = out.drop(columns=hid)
     return out.reset_index(drop=True)

@@ -373,3 +373,44 @@ def test_having_expr_without_aggregate_select_rejected(ray_session):
     with pytest.raises(ValueError, match="HAVING requires"):
         run_sql(SF, "SELECT o_orderkey FROM orders "
                     "HAVING ABS(o_orderkey) > 2")
+
+
+# ------------------------------------------------- expression ORDER BY
+
+OEXPR_CASES = [
+    # bare aggregate as sort key (selected and not)
+    ("SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+     "GROUP BY o_orderpriority ORDER BY COUNT(*) DESC, o_orderpriority",
+     ("orders",)),
+    ("SELECT o_orderpriority FROM orders GROUP BY o_orderpriority "
+     "ORDER BY SUM(o_totalprice) DESC LIMIT 3", ("orders",)),
+    # post-aggregation ratio as sort key
+    ("SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+     "GROUP BY l_returnflag ORDER BY SUM(l_extendedprice) / COUNT(*) DESC",
+     ("lineitem",)),
+    # row expression sort in a plain query (distributed top-k with LIMIT)
+    ("SELECT doc_id, lang FROM documents "
+     "ORDER BY LENGTH(text) DESC, doc_id LIMIT 6", ("documents",)),
+    # expression over a group key in an aggregate query
+    ("SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang "
+     "ORDER BY LENGTH(lang) DESC, lang LIMIT 5", ("documents",)),
+]
+
+
+@pytest.mark.parametrize("sql,tables", OEXPR_CASES)
+def test_order_by_expression_matches_duckdb(ray_session, sql, tables):
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, *tables).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora)
+
+
+def test_order_expr_hidden_cols_not_in_output(ray_session):
+    out = run_sql(SF, "SELECT o_orderpriority FROM orders "
+                      "GROUP BY o_orderpriority ORDER BY COUNT(*) DESC")
+    assert list(out.columns) == ["o_orderpriority"]
+
+
+def test_order_expr_with_distinct_rejected(ray_session):
+    with pytest.raises(ValueError, match="DISTINCT"):
+        run_sql(SF, "SELECT DISTINCT lang FROM documents "
+                    "ORDER BY LENGTH(lang)")
