@@ -89,14 +89,32 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+def _lsh_bucket_planes(dim: int = 64, n_planes: int = 16) -> np.ndarray:
+    """The deterministic seed-42 hyperplane matrix shared by the Ray path
+    and its SQL twin (the twin inlines these exact float64 values)."""
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _lsh_plane_values() -> str:
+    """Inline the seed-42 planes as DOUBLE[] VALUES rows; ``repr`` emits
+    the shortest round-trip decimal, which DuckDB's correctly-rounded
+    parser restores bit-identical."""
+    rows = []
+    for i, p in enumerate(_lsh_bucket_planes()):
+        vals = ", ".join(repr(float(x)) for x in p)
+        rows.append(f"({i}, [{vals}]::DOUBLE[])")
+    return ", ".join(rows)
+
+
 def ann_lsh_buckets(sf_dir: str):
     """Scale path: random-hyperplane LSH bucket assignment (16-bit keys,
     deterministic seed=42) → per-bucket counts. At 100 TB the same bucket key
     becomes the shuffle/partition key so each query only probes its bucket
-    (plus neighbors). Rows-only oracle (hash-dependent)."""
-    dim = 64
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((16, dim))
+    (plus neighbors). SQL twin inlines the exact plane values (sign-of-dot
+    per plane, bit i weighted 1<<i — same construction as the simhash
+    twin's per-bit vote)."""
+    planes = _lsh_bucket_planes()
     planes_ref = ray.put(planes)
 
     # task pool: per-task state is one zero-copy ray.get of a tiny plane

@@ -522,6 +522,10 @@ def _eval_expr(node: tuple, batch: pa.Table):
         return _eval_case(node, batch)
     if kind == "fn":
         return _eval_fn(node, batch)
+    if kind == "aggref":  # backstop: lowering missed an aggregate call
+        raise ValueError(
+            f"internal: aggregate {node[1]}(...) reached row evaluation "
+            "un-lowered — _lower_postagg should have replaced it")
     lv = _eval_expr(node[1], batch)
     rv = _eval_expr(node[2], batch)
     if kind == "/":
@@ -708,6 +712,13 @@ def _extract_aggrefs(node, acc: list):
         els = (_extract_aggrefs(node[2], acc)
                if node[2] is not None else None)
         return ("case", whens, els)
+    if node[0] == "fn":
+        # node[2] is the ARGS TUPLE, not an AST node — recurse per-arg
+        # (the generic walk below would mistake it for a node and skip
+        # its first element, leaving aggrefs un-lowered inside FLOOR(
+        # AVG(x)) etc.)
+        return ("fn", node[1],
+                tuple(_extract_aggrefs(a, acc) for a in node[2]))
     return (node[0],) + tuple(
         _extract_aggrefs(x, acc) if isinstance(x, tuple) else x
         for x in node[1:])
@@ -782,6 +793,8 @@ def _contains_aggref(node) -> bool:
         return (any(_contains_aggref(c) or _contains_aggref(v)
                     for c, v in node[1])
                 or (node[2] is not None and _contains_aggref(node[2])))
+    if node[0] == "fn":  # node[2] is the args TUPLE — walk per-arg
+        return any(_contains_aggref(a) for a in node[2])
     return any(_contains_aggref(x) for x in node[1:])
 
 
@@ -1454,6 +1467,22 @@ def _joined_dataset(sf_dir: str, plan: dict, tables_dir: str | None = None):
         dim = scan(j["table"])
         dim_tbl = pa.concat_tables(
             ray.get(dim.to_arrow_refs()), promote_options="default")
+        # The joined side is BROADCAST: materialized once on the driver,
+        # ray.put once, read zero-copy in every batch task. This is the
+        # right shape for small dims, but LEFT JOIN inverts the usual
+        # expectation (users put the BIG table on the right to keep all
+        # left rows) — guard with a clear error instead of exhausting
+        # driver memory. At 100-TB scale a big right side needs the
+        # cogroup path (ops/relational.cogroup_join), not a broadcast.
+        _BCAST_CAP = int(os.environ.get("HOWARD_SQL_BROADCAST_CAP_MB",
+                                        "2048")) * (1 << 20)
+        if dim_tbl.nbytes > _BCAST_CAP:
+            raise ValueError(
+                f"joined table {j['table']!r} is "
+                f"{dim_tbl.nbytes / 1e6:.0f} MB — too large to broadcast "
+                f"(cap {_BCAST_CAP >> 20} MB; raise with "
+                "HOWARD_SQL_BROADCAST_CAP_MB or use "
+                "howard_ray.ops.relational.cogroup_join for big-big joins)")
         ref = ray.put(dim_tbl)
 
         how = "left outer" if j.get("how") == "left" else "inner"
@@ -2460,17 +2489,30 @@ def run_sql(sf_dir: str, sql: str,
         # post-aggregation expressions: hidden aggregates are now real
         # columns of the (small) result frame — evaluate the residual
         # expression over it with the same Arrow kernels rows use
-        for it in plan["items"]:
-            if it.get("post_expr") is not None:
-                t_ = pa.Table.from_pandas(out, preserve_index=False)
-                v = _eval_expr(it["post_expr"], t_)
-                if isinstance(v, (int, float, str)):
-                    out[it["alias"]] = v
-                else:
-                    out[it["alias"]] = v.to_pandas()
-                if it["nd"] is not None:
-                    out[it["alias"]] = out[it["alias"]].astype(float) \
-                        .pipe(_sql_round, it["nd"])
+        _post_items = [it for it in plan["items"]
+                       if it.get("post_expr") is not None]
+        if _post_items:
+            # SELECT aliases of group keys are visible to ORDER BY /
+            # HAVING expressions (DuckDB semantics) but the col→alias
+            # rename happens below — expose alias names ALONGSIDE the
+            # originals for evaluation so both resolve
+            ev = out.copy()
+            for it2 in plan["items"]:
+                c2, a2 = it2["col"], it2["alias"]
+                if (c2 and not it2["agg"] and a2 != c2
+                        and c2 in ev.columns and a2 not in ev.columns):
+                    ev[a2] = ev[c2]
+        for it in _post_items:
+            t_ = pa.Table.from_pandas(ev, preserve_index=False)
+            v = _eval_expr(it["post_expr"], t_)
+            if isinstance(v, (int, float, str)):
+                out[it["alias"]] = v
+            else:
+                out[it["alias"]] = v.to_pandas()
+            ev[it["alias"]] = out[it["alias"]]
+            if it["nd"] is not None:
+                out[it["alias"]] = out[it["alias"]].astype(float) \
+                    .pipe(_sql_round, it["nd"])
         out = out.rename(columns={it["col"]: it["alias"]
                                   for it in plan["items"]
                                   if it["col"] and not it["agg"]})

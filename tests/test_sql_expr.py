@@ -414,3 +414,43 @@ def test_order_expr_with_distinct_rejected(ray_session):
     with pytest.raises(ValueError, match="DISTINCT"):
         run_sql(SF, "SELECT DISTINCT lang FROM documents "
                     "ORDER BY LENGTH(lang)")
+
+
+# ---------------------------------------- aggregates inside scalar fns
+# (round-3 fix: _extract_aggrefs/_contains_aggref walk 'fn' arg tuples)
+
+FN_AGG_CASES = [
+    ("SELECT FLOOR(AVG(o_totalprice)) AS a FROM orders", ("orders",)),
+    ("SELECT ABS(SUM(l_discount) - 100.0) AS d FROM lineitem",
+     ("lineitem",)),
+    ("SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+     "GROUP BY o_orderstatus HAVING FLOOR(COUNT(*) / 10) > 10 "
+     "ORDER BY o_orderstatus", ("orders",)),
+    ("SELECT o_orderpriority, FLOOR(SUM(o_totalprice)) AS s FROM orders "
+     "GROUP BY o_orderpriority ORDER BY FLOOR(SUM(o_totalprice)) DESC",
+     ("orders",)),
+]
+
+
+@pytest.mark.parametrize("sql,tables", FN_AGG_CASES)
+def test_aggref_inside_scalar_fn_matches_duckdb(ray_session, sql, tables):
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, *tables).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
+
+
+def test_order_by_expr_over_select_alias(ray_session):
+    # ORDER BY expression referencing a SELECT alias of a group key
+    # (round-3 fix: post_expr evaluated with alias names exposed)
+    sql = ("SELECT lang AS l, COUNT(*) AS n FROM documents "
+           "GROUP BY lang ORDER BY LENGTH(l), l")
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, "documents").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
+
+
+def test_left_join_broadcast_cap(ray_session, monkeypatch):
+    monkeypatch.setenv("HOWARD_SQL_BROADCAST_CAP_MB", "0")
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        run_sql(SF, "SELECT c_custkey, o_orderkey FROM customer "
+                    "LEFT JOIN orders ON c_custkey = o_custkey LIMIT 5")
