@@ -93,13 +93,21 @@ def bucketed_lookup(ds: ray.data.Dataset, key: str,
             cols[f"__v_{c}"] = batch[c]
         return pa.table(cols)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema([(c, ds_types[c]) for c in keep]
+                           + [(c, lk_types[c]) for c in value_cols])
+
+    def merge(g: pd.DataFrame):
         left = g[g["__side"] == 0]
         right = g[g["__side"] == 1]
         vmap = right[[key] + [f"__v_{c}" for c in value_cols]]
         m = left[keep].merge(vmap, on=key, how=how)
         out = m.rename(columns={f"__v_{c}": c for c in value_cols})
-        return out[keep + value_cols]
+        # emit Arrow with the EXPLICIT schema: per-group pandas→Arrow type
+        # inference diverges on nested/empty groups (a list<int64> column
+        # infers list<double> or null in a group with NaN/empty rows) and
+        # the downstream concat then fails on the type mismatch
+        return pa.Table.from_pandas(out[keep + value_cols],
+                                    schema=out_schema, preserve_index=False)
 
     # union needs one schema; left rows carry null value slots, lookup
     # rows carry nulls for the non-key ds columns (string placeholder is

@@ -245,3 +245,53 @@ def test_minhash_candidate_recall(ray_session):
     missing = [p for p in zip(high["doc_a"], high["doc_b"])
                if p not in cand_pairs]
     assert not missing, f"LSH missed high-Jaccard pairs: {missing[:5]}"
+
+
+def test_jaccard_prefix_filter_bound():
+    """Prefix filtering (round-3): the join input per doc is bounded by
+    floor((1-tau)*n)+1 — the positional prefix — and the filtered chain
+    still returns the exact pair set (oracle equality is asserted in
+    test_ops_oracle; here we assert the bound itself)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from howard_ray.ops.dedup import (JACCARD_THRESHOLD, _distinct_per_doc,
+                                      _prefix_len, _shingle_hash_arrays)
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["text"])
+    texts = t["text"].to_pylist()
+    d, g = _distinct_per_doc(*_shingle_hash_arrays(texts))
+    sizes = np.bincount(d, minlength=len(texts))
+    p = _prefix_len(sizes)
+    bound = np.floor((1 - JACCARD_THRESHOLD) * sizes).astype(np.int64) + 1
+    assert (p <= bound).all()
+    assert (p[sizes > 0] >= 1).all()
+    # the prefix materially shrinks the join input on real data
+    assert p.sum() < 0.55 * sizes.sum()
+
+
+def test_shingle_hash_arrays_match_string_shingles():
+    """The vectorized width-seeded hash combine is set-equivalent to the
+    string shingles: per-doc distinct counts and pairwise intersections
+    agree with the Python-set reference on the fixture corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from howard_ray.ops.dedup import (_distinct_per_doc, _shingle_hash_arrays,
+                                      _shingles)
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["text"])
+    texts = t["text"].to_pylist()[:200] + ["", "one", "two words"]
+    d, g = _distinct_per_doc(*_shingle_hash_arrays(texts))
+    sizes = np.bincount(d, minlength=len(texts))
+    ref = [set(_shingles(tx.split(" "))) for tx in texts]
+    assert sizes.tolist() == [len(s) for s in ref]
+    starts = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    # spot-check intersections on consecutive doc pairs
+    for i in range(0, len(texts) - 1, 7):
+        a = g[starts[i]:starts[i] + sizes[i]]
+        b = g[starts[i + 1]:starts[i + 1] + sizes[i + 1]]
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        assert inter == len(ref[i] & ref[i + 1])
