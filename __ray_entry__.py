@@ -154,8 +154,10 @@ def oracle_sql() -> dict[str, str]:
     # two SQL twins (media_features, hgvs_context) read /tmp fixture parquet
     # files; materialize them NOW so DuckDB can evaluate the oracle before —
     # or without — running the corresponding Ray query on a fresh machine
+    from howard_ray.ops.hgvs import ensure_tx_models
     from howard_ray.ops.multimodal import ensure_media_fixture
     from howard_ray.ops.vfix import ensure_genome
     ensure_media_fixture()
     ensure_genome()
+    ensure_tx_models()
     return dict(all_oracle_sql())

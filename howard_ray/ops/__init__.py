@@ -4,16 +4,16 @@
 """
 
 from . import (attach, cluster, components, curate, dedup, engine_queries,
-               external, genotype, lm, mixture, multimodal, nomen, process,
-               relational, relational2, rules, rules2, sampling, similarity, sql_surface,
-               text, token_ids, tokens, variants, variants2, vcf_ops, vfix,
-               windows)
+               external, genotype, hgvs, lm, mixture, multimodal, nomen,
+               process, relational, relational2, rules, rules2, sampling,
+               similarity, sql_surface, text, token_ids, tokens, variants,
+               variants2, vcf_ops, vfix, windows)
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
            rules2, sql_surface, external, multimodal, tokens, sampling, lm,
            token_ids, components, cluster, mixture, curate, attach,
-           relational2]
+           relational2, hgvs]
 
 
 def all_queries():
@@ -98,6 +98,8 @@ def all_queries():
         "annotate_update": variants2.annotate_update,
         "hgvs_transcript": variants2.hgvs_transcript,
         "hgvs_context": variants2.hgvs_context,
+        "hgvs_cdna": hgvs.hgvs_cdna,
+        "hgvs_protein": hgvs.hgvs_protein,
         "transcripts_to_json": variants2.transcripts_to_json,
         # composite flagship pipeline (howard process analog)
         "process_pipeline": process.process_pipeline,

@@ -1,0 +1,612 @@
+"""HGVS c./n./p. naming — the reference's naming algebra
+(``howard/objects/hgvs.py:1-1391``, ``transcript.py:174-346``,
+``cdna.py:1-126``, ``functions/utils.py:586-865``) rebuilt Ray-Data-first
+over the deterministic vfix fixture (round-2 verdict item #3: the repo had
+g.-notation, transcript lookup and genome context; this adds the cDNA /
+protein naming algebra on top).
+
+Semantics implemented (pyhgvs-style, as the reference uses):
+
+- multi-exon transcript model with strand-aware spliced-coordinate
+  projection: exonic positions map to the spliced cDNA coordinate;
+  intronic positions anchor to the NEAREST exon boundary with a signed
+  offset on the coding strand (``c.76+5``, ``c.77-12``);
+- coding transcripts adjust against the CDS: positions 5' of the start
+  codon are negative (``c.-4``), positions 3' of the stop codon carry the
+  ``*`` landmark (``c.*6``); non-coding transcripts use ``n.``;
+- alleles are reported on the TRANSCRIPT strand (reverse-complemented for
+  '-' transcripts); SNV / del / ins / delins forms with two-coordinate
+  ranges ordered in transcript orientation;
+- protein names for coding exonic SNVs translate the SPLICED codon
+  (junction-spanning codons are projected base-by-base through the exon
+  model — the genome actor supplies the bases), 3-letter amino acids,
+  ``p.Aaa123Bbb`` / synonymous ``p.Aaa123=``.
+
+Differences from the reference, by design: the reference's protein stage
+reads the codon from UNSPLICED genomic context around the variant
+(``utils.py:650-655``) — an approximation that breaks on junction codons;
+here the codon comes from the spliced transcript (correct), and dup/ext
+classification (which needs genome-context scanning) is left to the
+``delins`` form. Both sides of every claim are exactly twinned in DuckDB
+SQL over the same closed-form fixture, so the driver hash-checks the whole
+algebra.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .vfix import (CHROMS, GENOME_PATH, V_WITH, ensure_genome,
+                   gen_genome_chrom, gen_regions, variants_ds)
+
+SQL: dict[str, str] = {}
+
+TXM_PATH = os.path.join(os.path.dirname(GENOME_PATH), "tx_models_v1.parquet")
+
+_COMP = str.maketrans("ACGT", "TGCA")
+
+# standard genetic code, 3-letter amino acids (Ter = stop)
+_CODON_AA = {
+    "TTT": "Phe", "TTC": "Phe", "TTA": "Leu", "TTG": "Leu",
+    "CTT": "Leu", "CTC": "Leu", "CTA": "Leu", "CTG": "Leu",
+    "ATT": "Ile", "ATC": "Ile", "ATA": "Ile", "ATG": "Met",
+    "GTT": "Val", "GTC": "Val", "GTA": "Val", "GTG": "Val",
+    "TCT": "Ser", "TCC": "Ser", "TCA": "Ser", "TCG": "Ser",
+    "CCT": "Pro", "CCC": "Pro", "CCA": "Pro", "CCG": "Pro",
+    "ACT": "Thr", "ACC": "Thr", "ACA": "Thr", "ACG": "Thr",
+    "GCT": "Ala", "GCC": "Ala", "GCA": "Ala", "GCG": "Ala",
+    "TAT": "Tyr", "TAC": "Tyr", "TAA": "Ter", "TAG": "Ter",
+    "CAT": "His", "CAC": "His", "CAA": "Gln", "CAG": "Gln",
+    "AAT": "Asn", "AAC": "Asn", "AAA": "Lys", "AAG": "Lys",
+    "GAT": "Asp", "GAC": "Asp", "GAA": "Glu", "GAG": "Glu",
+    "TGT": "Cys", "TGC": "Cys", "TGA": "Ter", "TGG": "Trp",
+    "CGT": "Arg", "CGC": "Arg", "CGA": "Arg", "CGG": "Arg",
+    "AGT": "Ser", "AGC": "Ser", "AGA": "Arg", "AGG": "Arg",
+    "GGT": "Gly", "GGC": "Gly", "GGA": "Gly", "GGG": "Gly",
+}
+
+
+# ---------------------------------------------------------------------------
+# deterministic transcript model (exons + CDS) — closed form from gene idx g
+# ---------------------------------------------------------------------------
+
+def gen_tx_models() -> pd.DataFrame:
+    """One row per exon. From gene index g: n_exons = 1 + g%3 (all NM_
+    transcripts are multi-exon, so junctions are exercised); the tx span
+    splits into 2·n_ex−1 equal slots alternating exon/intron, last exon
+    absorbing the remainder; CDS (coding tx only): utr5 = 10 + g%40 cDNA
+    bases, cds_len = 3·⌊(n_ex·slot − utr5 − 10)/6⌋ (incl. stop codon,
+    ≈ half the spliced length). ``cum`` is the
+    1-based spliced-cDNA coordinate of the exon's FIRST transcript-order
+    base ('+': genomic exon start; '-': genomic exon end)."""
+    reg = gen_regions()
+    g = np.arange(len(reg), dtype=np.int64)
+    tx_start = reg["start"].to_numpy()
+    tx_end = reg["end"].to_numpy()
+    n_ex = 1 + (g % 3)
+    prefix = np.where(g % 3 == 0, "NR_", "NM_")
+    tx_id = np.array([f"{p}{i:06d}" for p, i in zip(prefix, g)])
+    strand = np.where(g % 2 == 0, "+", "-")
+    coding = (g % 3 != 0)
+    utr5 = np.where(coding, 10 + g % 40, 0)
+
+    L = tx_end - tx_start + 1
+    slot = L // (2 * n_ex - 1)
+    # CDS ≈ half the spliced length (n_ex·slot lower-bounds it), so
+    # mid-CDS and junction-codon paths get real coverage
+    cds_len = np.where(coding, 3 * ((n_ex * slot - utr5 - 10) // 6), 0)
+    rows = []
+    for i in range(len(g)):
+        ne = int(n_ex[i])
+        exs, exe = [], []
+        for k in range(ne):
+            s = int(tx_start[i] + 2 * k * slot[i])
+            e = int(s + slot[i] - 1) if k < ne - 1 else int(tx_end[i])
+            exs.append(s)
+            exe.append(e)
+        lens = [e - s + 1 for s, e in zip(exs, exe)]
+        if strand[i] == "+":
+            cums = np.concatenate(([0], np.cumsum(lens)[:-1])) + 1
+        else:
+            cums = (np.concatenate(([0], np.cumsum(lens[::-1])[:-1]))[::-1]
+                    + 1)
+        for k in range(ne):
+            rows.append((tx_id[i], reg["chrom"].iloc[i], strand[i],
+                         int(coding[i]), int(tx_start[i]), int(tx_end[i]),
+                         int(utr5[i]), int(cds_len[i]), k, exs[k], exe[k],
+                         lens[k], int(cums[k])))
+    return pd.DataFrame(rows, columns=[
+        "tx_id", "chrom", "strand", "coding", "tx_start", "tx_end",
+        "utr5", "cds_len", "exon_idx", "ex_start", "ex_end", "ex_len",
+        "cum"])
+
+
+def ensure_tx_models() -> str:
+    """Write the exon-model parquet twin once (atomic); the SQL oracles
+    read it (same discipline as ``ensure_genome``)."""
+    import pyarrow.parquet as pq
+    os.makedirs(os.path.dirname(TXM_PATH), exist_ok=True)
+    if not os.path.exists(TXM_PATH):
+        t = pa.Table.from_pandas(gen_tx_models(), preserve_index=False)
+        pq.write_table(t, TXM_PATH + ".tmp")
+        os.replace(TXM_PATH + ".tmp", TXM_PATH)
+    return TXM_PATH
+
+
+def _model_arrays() -> dict:
+    """Per-chromosome packed arrays for the broadcast index: transcripts
+    sorted by (tx_start, tx_end, tx_id) with prefix-max-end for the window
+    scan, exon matrices padded to 3 columns."""
+    df = gen_tx_models()
+    out = {}
+    for c, grp in df.groupby("chrom"):
+        txg = (grp.groupby(["tx_id", "strand", "coding", "tx_start",
+                            "tx_end", "utr5", "cds_len"], as_index=False)
+               .size().sort_values(["tx_start", "tx_end", "tx_id"])
+               .reset_index(drop=True))
+        n = len(txg)
+        exs = np.full((n, 3), np.int64(1 << 60))
+        exe = np.full((n, 3), -np.int64(1 << 60))
+        cum = np.zeros((n, 3), dtype=np.int64)
+        order = {t: i for i, t in enumerate(txg["tx_id"])}
+        for _, r in grp.iterrows():
+            i = order[r["tx_id"]]
+            k = int(r["exon_idx"])
+            exs[i, k] = r["ex_start"]
+            exe[i, k] = r["ex_end"]
+            cum[i, k] = r["cum"]
+        ends = txg["tx_end"].to_numpy()
+        out[c] = {
+            "tx_start": txg["tx_start"].to_numpy(),
+            "tx_end": ends,
+            "pmax_end": np.maximum.accumulate(ends),
+            "tx_id": txg["tx_id"].to_numpy(),
+            "plus": (txg["strand"] == "+").to_numpy(),
+            "coding": txg["coding"].to_numpy().astype(bool),
+            "utr5": txg["utr5"].to_numpy(),
+            "cds_len": txg["cds_len"].to_numpy(),
+            "n_ex": txg["size"].to_numpy(),
+            "ex_start": exs, "ex_end": exe, "cum": cum,
+        }
+    return out
+
+
+def _best_tx(entry: dict, pos_c: np.ndarray):
+    """(variant_row_subidx, tx_subidx) of the best covering transcript per
+    position: NM_ before NR_, then tx_id — same precedence as
+    hgvs_transcript / the reference (commons.py:655-667)."""
+    starts = entry["tx_start"]
+    hi = np.searchsorted(starts, pos_c, side="right")
+    lo = np.minimum(np.searchsorted(entry["pmax_end"], pos_c, "left"), hi)
+    counts = hi - lo
+    if counts.sum() == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    cand = (np.arange(counts.sum()) - np.repeat(offs, counts)
+            + np.repeat(lo, counts))
+    rows_rep = np.repeat(np.arange(len(pos_c)), counts)
+    keep = entry["tx_end"][cand] >= np.repeat(pos_c, counts)
+    rows_k, cand_k = rows_rep[keep], cand[keep]
+    if not len(rows_k):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ids = entry["tx_id"][cand_k]
+    prio = np.where(np.char.startswith(ids.astype(str), "NM_"), 0, 1)
+    cdf = pd.DataFrame({"row": rows_k, "prio": prio, "tx_id": ids,
+                        "t": cand_k}).sort_values(["row", "prio", "tx_id"])
+    best = cdf.groupby("row", as_index=False).head(1)
+    return best["row"].to_numpy(), best["t"].to_numpy()
+
+
+def _project(entry: dict, t: np.ndarray, p: np.ndarray):
+    """Genomic position → (spliced cDNA coord s, signed intron offset) for
+    the transcripts at indices ``t``. Anchor = nearest exon boundary
+    (ties → lowest exon_idx); offset sign follows the coding strand."""
+    exs, exe, cum = (entry["ex_start"][t], entry["ex_end"][t],
+                     entry["cum"][t])
+    valid = np.arange(3)[None, :] < entry["n_ex"][t][:, None]
+    P = p[:, None]
+    dist = np.where((exs <= P) & (P <= exe), 0,
+                    np.where(P < exs, exs - P, P - exe))
+    dist = np.where(valid, dist, np.int64(1 << 60))
+    k = dist.argmin(axis=1)
+    rows = np.arange(len(p))
+    es, ee, cu = exs[rows, k], exe[rows, k], cum[rows, k]
+    anchor = np.clip(p, es, ee)
+    plus = entry["plus"][t]
+    s = np.where(plus, cu + (anchor - es), cu + (ee - anchor))
+    off = np.where(plus, p - anchor, anchor - p)
+    return s, off
+
+
+def _coord_str(entry: dict, t: np.ndarray, s: np.ndarray,
+               off: np.ndarray) -> np.ndarray:
+    """Spliced coord → HGVS coordinate string with CDS landmarks."""
+    utr5 = entry["utr5"][t]
+    cds_len = entry["cds_len"][t]
+    coding = entry["coding"][t]
+    before = coding & (s <= utr5)
+    after = coding & (s > utr5 + cds_len)
+    coord = np.where(~coding, s,
+                     np.where(before, s - utr5 - 1,
+                              np.where(after, s - utr5 - cds_len,
+                                       s - utr5)))
+    base = np.where(after, np.char.add("*", coord.astype("U12")),
+                    coord.astype("U12"))
+    osfx = np.where(off == 0, "",
+                    np.where(off > 0,
+                             np.char.add("+", off.astype("U12")),
+                             np.char.add("-", np.abs(off).astype("U12"))))
+    return np.char.add(base, osfx)
+
+
+def _revcomp_series(s: pd.Series) -> pd.Series:
+    return s.str.slice(step=-1).str.translate(_COMP)
+
+
+# ---------------------------------------------------------------------------
+# hgvs_cdna — full c./n. naming
+# ---------------------------------------------------------------------------
+
+def hgvs_cdna(sf_dir: str):
+    """Full cDNA naming for every variant: ``{tx}:c.{coord}{±off}{form}``
+    over the best covering transcript (empty for intergenic variants).
+    Broadcast exon-model index (ray.put once), actor-pool map_batches —
+    no shuffle; the projection is vectorized over the batch."""
+    model_ref = ray.put(_model_arrays())
+
+    class CdnaNamer:
+        def __init__(self):
+            self.model = ray.get(model_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            n = len(batch)
+            tx_out = np.full(n, "", dtype=object)
+            name_out = np.full(n, "", dtype=object)
+            pos = batch["pos"].to_numpy()
+            refs = batch["ref"].to_numpy()
+            alts = batch["alt"].to_numpy()
+            chroms = batch["chrom"].to_numpy()
+            for c in np.unique(chroms):
+                entry = self.model.get(c)
+                if entry is None:
+                    continue
+                m = np.flatnonzero(chroms == c)
+                sub, t = _best_tx(entry, pos[m])
+                if not len(sub):
+                    continue
+                r = m[sub]                      # batch row indices
+                p = pos[r]
+                ref_s = pd.Series(refs[r]).astype(str)
+                alt_s = pd.Series(alts[r]).astype(str)
+                lr = ref_s.str.len().to_numpy()
+                la = alt_s.str.len().to_numpy()
+                plus = entry["plus"][t]
+                # transcript-strand alleles
+                ref_t = np.where(plus, ref_s, _revcomp_series(ref_s))
+                alt_t = np.where(plus, alt_s, _revcomp_series(alt_s))
+                snv = (lr == 1) & (la == 1)
+                is_del = (lr > la) & (alt_s.str[0] == ref_s.str[0]).to_numpy()
+                is_ins = (la > lr) & (alt_s.str[0] == ref_s.str[0]).to_numpy()
+                # variant span endpoints in genomic space
+                g1 = np.where(is_del, p + 1, p)
+                g2 = np.where(is_ins, p + 1,
+                              np.where(la > lr, p, p + lr - 1))
+                two = ~snv & (g2 != g1)
+                c1 = _coord_str(entry, t, *_project(entry, t, g1))
+                c2 = _coord_str(entry, t, *_project(entry, t, g2))
+                lo = np.where(plus, c1, c2)
+                hi = np.where(plus, c2, c1)
+                coords = np.where(two, np.char.add(np.char.add(lo, "_"), hi),
+                                  c1)
+                payload = np.where(is_ins,
+                                   np.where(plus, alt_s.str[1:],
+                                            _revcomp_series(alt_s.str[1:])),
+                                   alt_t)
+                form = np.where(
+                    snv, np.char.add(np.char.add(
+                        ref_t.astype("U8"), ">"), alt_t.astype("U8")),
+                    np.where(is_del, "del",
+                             np.where(is_ins,
+                                      np.char.add("ins",
+                                                  payload.astype("U8")),
+                                      np.char.add("delins",
+                                                  payload.astype("U8")))))
+                kind = np.where(entry["coding"][t], "c.", "n.")
+                ids = entry["tx_id"][t].astype(str)
+                tx_out[r] = ids
+                name_out[r] = (np.char.add(np.char.add(np.char.add(
+                    ids, ":"), kind), np.char.add(coords, form)))
+            return pd.DataFrame({
+                "chrom": batch["chrom"], "pos": batch["pos"],
+                "ref": batch["ref"], "alt": batch["alt"],
+                "tx_id": tx_out.astype(str),
+                "hgvs_c": name_out.astype(str)})
+
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
+    out = (ds.map_batches(CdnaNamer, batch_format="pandas",
+                          concurrency=(1, 4))
+           .to_pandas())
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# hgvs_protein — p. naming for coding exonic SNVs (spliced codons)
+# ---------------------------------------------------------------------------
+
+def hgvs_protein(sf_dir: str):
+    """Protein naming for coding exonic SNVs inside the CDS: the codon is
+    read from the SPLICED transcript (each codon base projected through
+    the exon model to the genome — junction codons handled correctly),
+    translated with the standard code, synonymous → ``p.Aaa123=``. Each
+    actor holds genome + model (built once in ``__init__``)."""
+    model_ref = ray.put(_model_arrays())
+
+    class ProteinNamer:
+        def __init__(self):
+            self.model = ray.get(model_ref)
+            self.genome = {CHROMS[c]: np.frombuffer(
+                gen_genome_chrom(c).encode(), dtype=np.uint8)
+                for c in range(len(CHROMS))}
+            comp = np.arange(256, dtype=np.uint8)
+            for a, b in zip(b"ACGT", b"TGCA"):
+                comp[a] = b
+            self.comp = comp
+
+        def _spliced_to_genomic(self, entry, t, s):
+            """spliced cDNA coord (1-based, guaranteed exonic) → genomic"""
+            cum, exs, exe = entry["cum"][t], entry["ex_start"][t], \
+                entry["ex_end"][t]
+            ex_len = exe - exs + 1
+            valid = np.arange(3)[None, :] < entry["n_ex"][t][:, None]
+            S = s[:, None]
+            hit = valid & (cum <= S) & (S <= cum + ex_len - 1)
+            k = hit.argmax(axis=1)
+            rows = np.arange(len(s))
+            d = s - cum[rows, k]
+            return np.where(entry["plus"][t], exs[rows, k] + d,
+                            exe[rows, k] - d)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out_rows = []
+            pos = batch["pos"].to_numpy()
+            refs = batch["ref"].to_numpy()
+            alts = batch["alt"].to_numpy()
+            chroms = batch["chrom"].to_numpy()
+            lr = pd.Series(refs).astype(str).str.len().to_numpy()
+            la = pd.Series(alts).astype(str).str.len().to_numpy()
+            snv_all = (lr == 1) & (la == 1)
+            for c in np.unique(chroms):
+                entry = self.model.get(c)
+                if entry is None:
+                    continue
+                m = np.flatnonzero((chroms == c) & snv_all)
+                if not len(m):
+                    continue
+                sub, t = _best_tx(entry, pos[m])
+                if not len(sub):
+                    continue
+                r = m[sub]
+                p = pos[r]
+                s, off = _project(entry, t, p)
+                utr5 = entry["utr5"][t]
+                cds_len = entry["cds_len"][t]
+                keep = (entry["coding"][t] & (off == 0)
+                        & (s > utr5) & (s <= utr5 + cds_len))
+                if not keep.any():
+                    continue
+                r, t, p, s, utr5 = (r[keep], t[keep], p[keep], s[keep],
+                                    utr5[keep])
+                ccoord = s - utr5                      # 1-based CDS coord
+                aa_pos = (ccoord - 1) // 3 + 1
+                phase = (ccoord - 1) % 3
+                cc0 = utr5 + 3 * (aa_pos - 1) + 1      # codon start (spliced)
+                seq = self.genome[c]
+                plus = entry["plus"][t]
+                codon = np.empty((len(r), 3), dtype=np.uint8)
+                for k in range(3):
+                    gp = self._spliced_to_genomic(entry, t, cc0 + k)
+                    b = seq[gp - 1]
+                    codon[:, k] = np.where(plus, b, self.comp[b])
+                codon_ref = np.ascontiguousarray(codon).view("S3") \
+                    .ravel().astype("U3")
+                alt_b = np.frombuffer(
+                    "".join(alts[r].astype(str)).encode(), dtype=np.uint8)
+                alt_t = np.where(plus, alt_b, self.comp[alt_b])
+                codon_alt_b = codon.copy()
+                codon_alt_b[np.arange(len(r)), phase] = alt_t
+                codon_alt = np.ascontiguousarray(codon_alt_b).view("S3") \
+                    .ravel().astype("U3")
+                aa_ref = pd.Series(codon_ref).map(_CODON_AA).to_numpy()
+                aa_alt = pd.Series(codon_alt).map(_CODON_AA).to_numpy()
+                ids = entry["tx_id"][t].astype(str)
+                hgvs_p = np.char.add(np.char.add(ids, ":p."), np.char.add(
+                    np.char.add(aa_ref.astype("U3"), aa_pos.astype("U10")),
+                    np.where(aa_ref == aa_alt, "=", aa_alt).astype("U3")))
+                out_rows.append(pd.DataFrame({
+                    "chrom": np.full(len(r), c, dtype=object),
+                    "pos": p, "ref": refs[r], "alt": alts[r],
+                    "tx_id": ids, "aa_pos": aa_pos.astype("int64"),
+                    "codon_ref": codon_ref, "codon_alt": codon_alt,
+                    "hgvs_p": hgvs_p}))
+            if not out_rows:
+                return pd.DataFrame({
+                    "chrom": pd.Series([], dtype=object),
+                    "pos": pd.Series([], dtype="int64"),
+                    "ref": pd.Series([], dtype=object),
+                    "alt": pd.Series([], dtype=object),
+                    "tx_id": pd.Series([], dtype=object),
+                    "aa_pos": pd.Series([], dtype="int64"),
+                    "codon_ref": pd.Series([], dtype=object),
+                    "codon_alt": pd.Series([], dtype=object),
+                    "hgvs_p": pd.Series([], dtype=object)})
+            return pd.concat(out_rows, ignore_index=True)
+
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
+    out = (ds.map_batches(ProteinNamer, batch_format="pandas",
+                          concurrency=(1, 4))
+           .to_pandas())
+    return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SQL twins — the whole naming algebra re-expressed over the same fixture
+# (exon model parquet written by ensure_tx_models, genome parquet by
+# ensure_genome), so the driver hash-checks projection, landmarks, strand
+# handling and codon translation end-to-end.
+# ---------------------------------------------------------------------------
+
+def _codon_values() -> str:
+    return ", ".join(f"('{c}', '{a}')" for c, a in _CODON_AA.items())
+
+
+_BEST_SQL = f"""
+v2 AS (SELECT *, row_number() OVER () AS rid FROM v),
+txm AS (SELECT * FROM read_parquet('{TXM_PATH}')),
+tx AS (SELECT DISTINCT tx_id, chrom, strand, coding, tx_start, tx_end,
+              utr5, cds_len FROM txm),
+best AS (
+  SELECT v2.rid, v2.chrom, v2.pos, v2.ref, v2.alt,
+         t.tx_id, t.strand, t.coding, t.utr5, t.cds_len,
+         length(v2.ref) AS lr, length(v2.alt) AS la
+  FROM v2 LEFT JOIN tx t
+    ON v2.chrom = t.chrom AND t.tx_start <= v2.pos AND v2.pos <= t.tx_end
+  QUALIFY row_number() OVER (PARTITION BY v2.rid
+    ORDER BY CASE WHEN t.tx_id IS NULL THEN 2
+                  WHEN t.tx_id LIKE 'NM%' THEN 0 ELSE 1 END, t.tx_id) = 1),
+cls AS (
+  SELECT b.*,
+         (b.lr = 1 AND b.la = 1) AS snv,
+         (b.lr > b.la AND substr(b.alt,1,1) = substr(b.ref,1,1)) AS isdel,
+         (b.la > b.lr AND substr(b.alt,1,1) = substr(b.ref,1,1)) AS isins
+  FROM best b),
+pts0 AS (
+  SELECT c.*,
+         CASE WHEN c.isdel THEN c.pos + 1 ELSE c.pos END AS g1,
+         CASE WHEN c.isins THEN c.pos + 1
+              WHEN c.la > c.lr THEN c.pos
+              ELSE c.pos + c.lr - 1 END AS g2
+  FROM cls c),
+pts AS (
+  SELECT p.rid, w.which, p.tx_id, p.strand, p.coding, p.utr5, p.cds_len,
+         CASE WHEN w.which = 1 THEN p.g1 ELSE p.g2 END AS gp
+  FROM pts0 p CROSS JOIN (VALUES (1),(2)) w(which)
+  WHERE p.tx_id IS NOT NULL
+    AND (w.which = 1 OR (NOT p.snv AND p.g1 != p.g2))),
+anch AS (
+  SELECT p.*, e.ex_start, e.ex_end, e.cum
+  FROM pts p JOIN txm e ON e.tx_id = p.tx_id
+  QUALIFY row_number() OVER (PARTITION BY p.rid, p.which
+    ORDER BY CASE WHEN p.gp BETWEEN e.ex_start AND e.ex_end THEN 0
+                  WHEN p.gp < e.ex_start THEN e.ex_start - p.gp
+                  ELSE p.gp - e.ex_end END, e.exon_idx) = 1),
+proj AS (
+  SELECT a.rid, a.which, a.coding, a.utr5, a.cds_len,
+         CASE WHEN a.strand = '+'
+              THEN a.cum + greatest(a.ex_start, least(a.gp, a.ex_end))
+                   - a.ex_start
+              ELSE a.cum + a.ex_end
+                   - greatest(a.ex_start, least(a.gp, a.ex_end)) END AS s,
+         CASE WHEN a.strand = '+'
+              THEN a.gp - greatest(a.ex_start, least(a.gp, a.ex_end))
+              ELSE greatest(a.ex_start, least(a.gp, a.ex_end)) - a.gp
+              END AS off
+  FROM anch a),
+cstr AS (
+  SELECT rid, which,
+    (CASE WHEN coding = 0 THEN CAST(s AS VARCHAR)
+          WHEN s <= utr5 THEN CAST(s - utr5 - 1 AS VARCHAR)
+          WHEN s > utr5 + cds_len
+            THEN '*' || CAST(s - utr5 - cds_len AS VARCHAR)
+          ELSE CAST(s - utr5 AS VARCHAR) END)
+    || (CASE WHEN off = 0 THEN ''
+             WHEN off > 0 THEN '+' || CAST(off AS VARCHAR)
+             ELSE '-' || CAST(-off AS VARCHAR) END) AS cs
+  FROM proj)
+"""
+
+SQL["hgvs_cdna"] = f"""{V_WITH},
+{_BEST_SQL}
+SELECT p.chrom, p.pos, p.ref, p.alt,
+       COALESCE(p.tx_id, '') AS tx_id,
+       COALESCE(p.tx_id || ':'
+         || CASE WHEN p.coding = 1 THEN 'c.' ELSE 'n.' END
+         || CASE WHEN NOT p.snv AND p.g1 != p.g2
+                 THEN (CASE WHEN p.strand = '+' THEN c1.cs ELSE c2.cs END)
+                      || '_'
+                      || (CASE WHEN p.strand = '+' THEN c2.cs ELSE c1.cs END)
+                 ELSE c1.cs END
+         || CASE WHEN p.snv THEN
+                   (CASE WHEN p.strand = '+' THEN p.ref
+                         ELSE translate(reverse(p.ref),'ACGT','TGCA') END)
+                   || '>'
+                   || (CASE WHEN p.strand = '+' THEN p.alt
+                            ELSE translate(reverse(p.alt),'ACGT','TGCA') END)
+                 WHEN p.isdel THEN 'del'
+                 WHEN p.isins THEN 'ins'
+                   || (CASE WHEN p.strand = '+' THEN substr(p.alt, 2)
+                            ELSE translate(reverse(substr(p.alt, 2)),
+                                           'ACGT','TGCA') END)
+                 ELSE 'delins'
+                   || (CASE WHEN p.strand = '+' THEN p.alt
+                            ELSE translate(reverse(p.alt),'ACGT','TGCA') END)
+            END, '') AS hgvs_c
+FROM pts0 p
+LEFT JOIN cstr c1 ON c1.rid = p.rid AND c1.which = 1
+LEFT JOIN cstr c2 ON c2.rid = p.rid AND c2.which = 2
+ORDER BY p.chrom, p.pos, p.ref, p.alt
+"""
+
+SQL["hgvs_protein"] = f"""{V_WITH},
+{_BEST_SQL},
+pe AS (
+  SELECT p0.rid, p0.chrom, p0.pos, p0.ref, p0.alt, p0.tx_id, p0.strand,
+         p0.utr5, p0.cds_len, pr.s
+  FROM pts0 p0 JOIN proj pr ON pr.rid = p0.rid AND pr.which = 1
+  WHERE p0.snv AND p0.coding = 1 AND pr.off = 0
+    AND pr.s > p0.utr5 AND pr.s <= p0.utr5 + p0.cds_len),
+cod AS (
+  SELECT pe.*,
+         ((pe.s - pe.utr5) - 1) // 3 + 1 AS aa_pos,
+         ((pe.s - pe.utr5) - 1) % 3 AS phase,
+         pe.utr5 + 3 * (((pe.s - pe.utr5) - 1) // 3) + 1 AS cc0,
+         CASE WHEN pe.strand = '+' THEN pe.alt
+              ELSE translate(pe.alt,'ACGT','TGCA') END AS alt_t
+  FROM pe),
+bases AS (
+  SELECT c.rid, k.k,
+    CASE WHEN c.strand = '+'
+         THEN substr(g.seq,
+                     CAST(e.ex_start + (c.cc0 + k.k - e.cum) AS BIGINT), 1)
+         ELSE translate(substr(g.seq,
+                     CAST(e.ex_end - (c.cc0 + k.k - e.cum) AS BIGINT), 1),
+                     'ACGT','TGCA') END AS base
+  FROM cod c
+  CROSS JOIN (VALUES (0),(1),(2)) k(k)
+  JOIN txm e ON e.tx_id = c.tx_id
+            AND e.cum <= c.cc0 + k.k
+            AND c.cc0 + k.k <= e.cum + e.ex_len - 1
+  JOIN read_parquet('{GENOME_PATH}') g ON g.chrom = c.chrom),
+codons AS (
+  SELECT c.rid,
+         string_agg(b.base, '' ORDER BY b.k) AS codon_ref,
+         string_agg(CASE WHEN b.k = c.phase THEN c.alt_t ELSE b.base END,
+                    '' ORDER BY b.k) AS codon_alt
+  FROM cod c JOIN bases b ON b.rid = c.rid
+  GROUP BY c.rid),
+aa AS (SELECT * FROM (VALUES {_codon_values()}) t(codon, aa3))
+SELECT c.chrom, c.pos, c.ref, c.alt, c.tx_id,
+       CAST(c.aa_pos AS BIGINT) AS aa_pos,
+       cd.codon_ref, cd.codon_alt,
+       c.tx_id || ':p.' || ar.aa3 || CAST(c.aa_pos AS VARCHAR)
+         || (CASE WHEN ar.aa3 = al.aa3 THEN '=' ELSE al.aa3 END) AS hgvs_p
+FROM cod c
+JOIN codons cd ON cd.rid = c.rid
+JOIN aa ar ON ar.codon = cd.codon_ref
+JOIN aa al ON al.codon = cd.codon_alt
+ORDER BY c.chrom, c.pos, c.ref, c.alt
+"""

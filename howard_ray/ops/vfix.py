@@ -204,10 +204,13 @@ def gen_transcripts() -> pd.DataFrame:
 # BASES[(j*GA + cid*GB + GC) % 4]. sf-INDEPENDENT, so the parquet twin the
 # SQL oracle reads lives at a static path — the stand-in for the FASTA the
 # reference's HGVS stage holds per worker (variants.py:7821-8202, :8128).
-GENOME_LEN = 3_000_010
+# covers the variant position domain (pos = 1 + i%2999999) AND the full
+# transcript span (max tx_end = 2,900,000 + 5,000 + 195,000 — exons of the
+# HGVS model reach past the variant domain)
+GENOME_LEN = 3_100_010
 GENOME_CONST = (48271, 16807, 7)
 GENOME_PATH = os.path.join(tempfile.gettempdir(), "howard_ray_cache",
-                           "genome_v2.parquet")
+                           "genome_v3.parquet")
 
 
 def gen_genome_chrom(cid: int) -> str:
