@@ -100,6 +100,7 @@ def all_queries():
         "hgvs_context": variants2.hgvs_context,
         "hgvs_cdna": hgvs.hgvs_cdna,
         "hgvs_protein": hgvs.hgvs_protein,
+        "extann_join": hgvs.extann_join,
         "transcripts_to_json": variants2.transcripts_to_json,
         # composite flagship pipeline (howard process analog)
         "process_pipeline": process.process_pipeline,

@@ -610,3 +610,150 @@ JOIN aa ar ON ar.codon = cd.codon_ref
 JOIN aa al ON al.codon = cd.codon_alt
 ORDER BY c.chrom, c.pos, c.ref, c.alt
 """
+
+
+# ---------------------------------------------------------------------------
+# extann gene-level join (longest / all / chosen transcript modes) —
+# reference: howard/functions/from_extann.py:190-298 (get_longest_transcript,
+# get_all_transcript, get_chosen_transcript, get_gene_coordinate)
+# ---------------------------------------------------------------------------
+
+N_SYMBOLS = -(-1840 // 3)  # gene symbols group 3 consecutive transcripts
+
+
+def _extann_fixture():
+    """Closed-form extann fixture: refgene (gene symbol → transcripts with
+    coordinates, 3 tx per symbol from the HGVS model), a gene-level
+    annotation table, and a chosen-transcript mapping (even symbols choose
+    the middle transcript; every 10th chooses a transcript absent from
+    refgene → longest fallback, the reference's IndexError path)."""
+    txm = gen_tx_models()
+    tx = (txm.groupby("tx_id", as_index=False)
+          .agg(chrom=("chrom", "first"), start=("tx_start", "first"),
+               end=("tx_end", "first")))
+    # gene index g is the numeric suffix of tx_id; symbol = g // 3
+    gnum = tx["tx_id"].str[3:].astype(int)
+    tx["gene"] = "GENE" + (gnum // 3).astype(str)
+    k = np.arange(N_SYMBOLS, dtype=np.int64)
+    extann = pd.DataFrame({
+        "gene": "GENE" + pd.Series(k).astype(str),
+        "score": ((k * 7919 + 3) % 1000) / 10.0,
+        "category": "cat" + pd.Series(k % 5).astype(str),
+    })
+    chosen_k = k[k % 2 == 0]
+    chosen = pd.DataFrame({
+        "gene": "GENE" + pd.Series(chosen_k).astype(str),
+        "transcript": np.where(
+            chosen_k % 10 == 4, "NM_999999",
+            pd.Series([f"{'NR_' if (3*int(x)+1) % 3 == 0 else 'NM_'}"
+                       f"{3*int(x)+1:06d}" for x in chosen_k])),
+    })
+    return tx, extann, chosen
+
+
+def extann_join(sf_dir: str):
+    """Gene-level annotation join in the reference's three transcript
+    modes, unioned with a ``mode`` column:
+
+    - ``all``: one output row per transcript of the gene;
+    - ``longest``: the single longest transcript (end − start; tie →
+      smallest tx_id);
+    - ``chosen``: the per-gene chosen transcript where the mapping
+      provides one that exists in refgene, else the longest (the
+      reference's missing-gene and IndexError fallbacks).
+
+    Deviation from the reference (documented): single-transcript genes are
+    annotated too (``from_extann.py:292`` drops them via the
+    ``len(match) > 1`` guard). Shape: extann rows stream through
+    ``map_batches`` with the (small) refgene + chosen tables broadcast via
+    ``ray.put`` — one task-side vectorized merge, no shuffle."""
+    tx, extann, chosen = _extann_fixture()
+    # precompute per-gene longest and chosen resolutions ONCE (broadcast),
+    # so the per-batch work is a plain merge
+    longest = (tx.sort_values(["gene", "tx_id"])
+               .assign(length=lambda d: d["end"] - d["start"])
+               .sort_values(["gene", "length", "tx_id"],
+                            ascending=[True, False, True])
+               .groupby("gene", as_index=False).head(1))
+    ch = chosen.merge(tx, left_on=["gene", "transcript"],
+                      right_on=["gene", "tx_id"], how="inner")
+    ch_genes = set(ch["gene"])
+    chosen_res = pd.concat(
+        [ch[["gene", "tx_id", "chrom", "start", "end"]],
+         longest[~longest["gene"].isin(ch_genes)][
+             ["gene", "tx_id", "chrom", "start", "end"]]],
+        ignore_index=True)
+    ref = ray.put((tx, longest, chosen_res))
+
+    def join_modes(batch: pd.DataFrame) -> pd.DataFrame:
+        tx_, longest_, chosen_ = ray.get(ref)
+        outs = []
+        for mode, side in (("all", tx_), ("longest", longest_),
+                           ("chosen", chosen_)):
+            m = batch.merge(side, on="gene", how="inner")
+            outs.append(pd.DataFrame({
+                "mode": mode, "gene": m["gene"],
+                "transcript": m["tx_id"], "chrom": m["chrom"],
+                "start": m["start"].astype("int64"),
+                "end": m["end"].astype("int64"),
+                "score": m["score"], "category": m["category"]}))
+        return pd.concat(outs, ignore_index=True)
+
+    ds = ray.data.from_pandas(extann).map_batches(
+        join_modes, batch_format="pandas")
+    out = ds.to_pandas()
+    return (out.sort_values(["mode", "gene", "transcript"])
+            .reset_index(drop=True))
+
+
+_EXTANN_TX_SQL = f"""
+  SELECT (CASE WHEN g%3 = 0 THEN 'NR_' ELSE 'NM_' END)
+           || lpad(CAST(g AS VARCHAR), 6, '0') AS tx_id,
+         (CASE WHEN g%23 < 22 THEN 'chr' || CAST(g%23+1 AS VARCHAR)
+               ELSE 'chrX' END) AS chrom,
+         1 + (g*97003+13)%2900000 AS start,
+         1 + (g*97003+13)%2900000 + 5000 + (g*57301+7)%195000 AS "end",
+         'GENE' || CAST(g//3 AS VARCHAR) AS gene
+  FROM (SELECT range AS g FROM range(1840))
+"""
+
+SQL["extann_join"] = f"""
+WITH tx AS ({_EXTANN_TX_SQL}),
+extann AS (
+  SELECT 'GENE' || CAST(k AS VARCHAR) AS gene,
+         ((k*7919+3)%1000) / 10.0 AS score,
+         'cat' || CAST(k%5 AS VARCHAR) AS category
+  FROM (SELECT range AS k FROM range({N_SYMBOLS}))),
+chosen AS (
+  SELECT 'GENE' || CAST(k AS VARCHAR) AS gene,
+         CASE WHEN k%10 = 4 THEN 'NM_999999'
+              ELSE (CASE WHEN (3*k+1)%3 = 0 THEN 'NR_' ELSE 'NM_' END)
+                   || lpad(CAST(3*k+1 AS VARCHAR), 6, '0') END AS transcript
+  FROM (SELECT range AS k FROM range({N_SYMBOLS})) WHERE k%2 = 0),
+longest AS (
+  SELECT gene, tx_id, chrom, start, "end" FROM tx
+  QUALIFY row_number() OVER (PARTITION BY gene
+    ORDER BY "end" - start DESC, tx_id) = 1),
+chosen_hit AS (
+  SELECT c.gene, t.tx_id, t.chrom, t.start, t."end"
+  FROM chosen c JOIN tx t ON t.gene = c.gene AND t.tx_id = c.transcript),
+chosen_res AS (
+  SELECT * FROM chosen_hit
+  UNION ALL
+  SELECT l.* FROM longest l
+  WHERE l.gene NOT IN (SELECT gene FROM chosen_hit)),
+modes AS (
+  SELECT 'all' AS mode, t.gene, t.tx_id AS transcript, t.chrom,
+         t.start, t."end" FROM tx t
+  UNION ALL
+  SELECT 'longest', l.gene, l.tx_id, l.chrom, l.start, l."end"
+  FROM longest l
+  UNION ALL
+  SELECT 'chosen', c.gene, c.tx_id, c.chrom, c.start, c."end"
+  FROM chosen_res c)
+SELECT m.mode, m.gene, m.transcript, m.chrom,
+       CAST(m.start AS BIGINT) AS start, CAST(m."end" AS BIGINT) AS "end",
+       e.score, e.category
+FROM modes m JOIN extann e ON e.gene = m.gene
+ORDER BY m.mode, m.gene, m.transcript
+"""

@@ -162,3 +162,21 @@ def test_cdna_forms(ray_session):
     assert named.str.contains(r":c\.\d+-\d+[ACGT]>[ACGT]$").any()    # intron -
     assert named.str.contains("delins").any()
     assert named.str.contains(r":n\.\d+").any()                      # non-coding
+
+
+def test_extann_join_modes(ray_session):
+    out = H.extann_join(SF)
+    ora = duckdb.sql(H.SQL["extann_join"]).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), ora,
+                                  check_dtype=False)
+    # mode semantics: longest/chosen emit exactly one row per gene
+    assert (out[out["mode"] == "longest"].groupby("gene").size() == 1).all()
+    assert (out[out["mode"] == "chosen"].groupby("gene").size() == 1).all()
+    # chosen: even symbols (not %10==4) picked the middle transcript
+    ch = out[out["mode"] == "chosen"].set_index("gene")["transcript"]
+    assert ch.loc["GENE2"] == "NM_000007"
+    # %10==4 symbols chose a missing transcript -> longest fallback
+    lg = out[out["mode"] == "longest"].set_index("gene")["transcript"]
+    assert ch.loc["GENE4"] == lg.loc["GENE4"]
+    # odd symbols absent from the chosen map -> longest fallback
+    assert ch.loc["GENE1"] == lg.loc["GENE1"]
