@@ -245,23 +245,26 @@ def write_block_file(path: str, file_bytes: bytes) -> None:
     right size is a completed write' (manifest.completed_blocks) — without
     it a power loss after the rename could leave a right-sized file of
     unwritten pages that resume would skip forever."""
+    from . import storeio as sio
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
+    with sio.sopen(tmp, "wb") as f:
         f.write(file_bytes)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, path)
+    sio.replace(tmp, path)
 
 
 def read_block_file(path: str, columns: list[str] | None = None) -> pa.Table:
-    with open(path, "rb") as f:
+    from . import storeio as sio
+    with sio.sopen(path, "rb") as f:
         return decode_block(f.read(), columns)
 
 
 def read_block_meta_path(path: str) -> dict:
     """Block meta from the file HEADER only (no payload read) — the cheap
     driver-side probe for schema/type discovery."""
-    with open(path, "rb") as f:
+    from . import storeio as sio
+    with sio.sopen(path, "rb") as f:
         head = f.read(8)
         if head[:4] != MAGIC:
             raise ValueError("bad block magic")

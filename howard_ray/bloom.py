@@ -112,5 +112,6 @@ def maybe_contains(data: bytes, values) -> bool:
 
 
 def probe_file(path: str, values) -> bool:
-    with open(path, "rb") as f:
+    from . import storeio as sio
+    with sio.sopen(path, "rb") as f:
         return maybe_contains(f.read(), values)

@@ -21,6 +21,8 @@ import json
 import os
 from typing import Iterable
 
+from . import storeio as sio
+
 
 def store_paths(store_dir: str) -> tuple[str, str, str]:
     return (os.path.join(store_dir, "blocks"),
@@ -30,7 +32,7 @@ def store_paths(store_dir: str) -> tuple[str, str, str]:
 
 def init_store(store_dir: str) -> None:
     blocks, _, _ = store_paths(store_dir)
-    os.makedirs(blocks, exist_ok=True)
+    sio.makedirs(blocks, exist_ok=True)
 
 
 def block_path(store_dir: str, block_id: str) -> str:
@@ -43,16 +45,16 @@ def append_lineage(store_dir: str, record: dict) -> None:
     load)."""
     _, manifest, _ = store_paths(store_dir)
     line = json.dumps(record, separators=(",", ":")) + "\n"
-    with open(manifest, "a") as f:
+    with sio.sopen(manifest, "a") as f:
         f.write(line)
 
 
 def load_manifest(store_dir: str) -> list[dict]:
     _, manifest, _ = store_paths(store_dir)
-    if not os.path.exists(manifest):
+    if not sio.exists(manifest):
         return []
     records = []
-    with open(manifest) as f:
+    with sio.sopen(manifest) as f:
         for line in f:
             line = line.strip()
             if not line:
@@ -78,10 +80,10 @@ def completed_blocks(store_dir: str, verify: bool = False) -> dict[str, dict]:
     for rec in load_manifest(store_dir):
         path = block_path(store_dir, rec["block_id"])
         try:
-            if os.path.getsize(path) != rec["encoded_bytes"]:
+            if sio.getsize(path) != rec["encoded_bytes"]:
                 continue
             if verify and "crc32" in rec:
-                with open(path, "rb") as f:
+                with sio.sopen(path, "rb") as f:
                     if zlib.crc32(f.read()) != rec["crc32"]:
                         continue
             done[rec["block_id"]] = rec
@@ -133,11 +135,11 @@ def _atomic_json(path: str, obj) -> None:
     so an un-synced footer rename that loses a power race against those
     deletes would leave the old footer pointing at unlinked blocks."""
     tmp = path + ".tmp"
-    with open(tmp, "w") as f:
+    with sio.sopen(tmp, "w") as f:
         json.dump(obj, f, separators=(",", ":"))
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, path)
+    sio.replace(tmp, path)
 
 
 def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = None) -> dict:
@@ -183,7 +185,7 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
              if k not in ("snapshot_id", "ts")} or None
     snap_id = 1
     try:  # monotone snapshot counter survives every footer rewrite
-        with open(footer_path) as f:
+        with sio.sopen(footer_path) as f:
             snap_id = int(json.load(f).get("snapshot_id", 0)) + 1
     except (OSError, ValueError):
         pass
@@ -193,9 +195,9 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
         # footer nor a retained snapshot are garbage
         keep = keep | _snapshot_shard_refs(store_dir)
         try:
-            for f in os.listdir(shard_dir):
+            for f in sio.listdir(shard_dir):
                 if f not in keep and not f.endswith(".tmp"):
-                    os.remove(os.path.join(shard_dir, f))
+                    sio.remove(os.path.join(shard_dir, f))
         except OSError:
             pass
 
@@ -208,11 +210,11 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
         _write_snapshot(store_dir, footer)
         _clean_stale(set())
         return footer
-    os.makedirs(shard_dir, exist_ok=True)
+    sio.makedirs(shard_dir, exist_ok=True)
     gen = 0
     try:  # next unused generation: old footer's shards stay untouched
         import re as _re
-        for f in os.listdir(shard_dir):
+        for f in sio.listdir(shard_dir):
             m = _re.match(r"shard-(\d+)-", f)
             if m:
                 gen = max(gen, int(m.group(1)) + 1)
@@ -271,13 +273,13 @@ def _now_iso() -> str:
 
 def _write_snapshot(store_dir: str, footer: dict) -> None:
     snap_dir = os.path.join(store_dir, "snapshots")
-    os.makedirs(snap_dir, exist_ok=True)
+    sio.makedirs(snap_dir, exist_ok=True)
     _atomic_json(snapshot_path(store_dir, footer["snapshot_id"]), footer)
     keep = _snapshot_retain()
     ids = sorted(list_snapshot_ids(store_dir))
     for sid in ids[:-keep] if len(ids) > keep else []:
         try:
-            os.remove(snapshot_path(store_dir, sid))
+            sio.remove(snapshot_path(store_dir, sid))
         except OSError:
             pass
 
@@ -286,7 +288,7 @@ def list_snapshot_ids(store_dir: str) -> list[int]:
     snap_dir = os.path.join(store_dir, "snapshots")
     out = []
     try:
-        for f in os.listdir(snap_dir):
+        for f in sio.listdir(snap_dir):
             if f.startswith("footer-") and f.endswith(".json"):
                 try:
                     out.append(int(f[len("footer-"):-len(".json")]))
@@ -302,7 +304,7 @@ def list_snapshots(store_dir: str) -> list[dict]:
     rows = []
     for sid in list_snapshot_ids(store_dir):
         try:
-            with open(snapshot_path(store_dir, sid)) as f:
+            with sio.sopen(snapshot_path(store_dir, sid)) as f:
                 s = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
@@ -318,7 +320,7 @@ def _snapshot_shard_refs(store_dir: str) -> set:
     refs: set = set()
     for sid in list_snapshot_ids(store_dir):
         try:
-            with open(snapshot_path(store_dir, sid)) as f:
+            with sio.sopen(snapshot_path(store_dir, sid)) as f:
                 s = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
@@ -338,7 +340,7 @@ def expire_snapshots(store_dir: str, removed_block_ids: set) -> int:
     live_sid = None
     try:
         _, _, footer_path = store_paths(store_dir)
-        with open(footer_path) as f:
+        with sio.sopen(footer_path) as f:
             live_sid = json.load(f).get("snapshot_id")
     except (OSError, ValueError):
         pass
@@ -347,13 +349,13 @@ def expire_snapshots(store_dir: str, removed_block_ids: set) -> int:
         if sid == live_sid:
             continue
         try:
-            with open(snapshot_path(store_dir, sid)) as f:
+            with sio.sopen(snapshot_path(store_dir, sid)) as f:
                 s = json.load(f)
             if s.get("sharded"):
                 blocks = []
                 shard_dir = os.path.join(store_dir, "footer_shards")
                 for sh in s["shards"]:
-                    with open(os.path.join(shard_dir, sh["file"])) as g:
+                    with sio.sopen(os.path.join(shard_dir, sh["file"])) as g:
                         blocks.extend(json.load(g))
             else:
                 blocks = s["blocks"]
@@ -362,7 +364,7 @@ def expire_snapshots(store_dir: str, removed_block_ids: set) -> int:
             dead = True  # unreadable snapshot is already expired
         if dead:
             try:
-                os.remove(snapshot_path(store_dir, sid))
+                sio.remove(snapshot_path(store_dir, sid))
                 n += 1
             except OSError:
                 pass
@@ -378,14 +380,14 @@ def load_footer(store_dir: str, as_of: int | None = None) -> dict:
     (time travel; raises ``FileNotFoundError`` for an expired/unknown id)."""
     if as_of is not None:
         path = snapshot_path(store_dir, as_of)
-        if not os.path.exists(path):
+        if not sio.exists(path):
             raise FileNotFoundError(
                 f"snapshot {as_of} not found in {store_dir} (expired by "
                 f"maintenance or never written); retained: "
                 f"{list_snapshot_ids(store_dir)}")
     else:
         _, _, path = store_paths(store_dir)
-    with open(path) as f:
+    with sio.sopen(path) as f:
         footer = json.load(f)
     if footer.get("sharded"):
         footer["blocks"] = load_blocks(store_dir, footer=footer)
@@ -416,13 +418,13 @@ def load_blocks(store_dir: str, zones: dict | None = None,
     if footer is None:
         if as_of is not None:
             path = snapshot_path(store_dir, as_of)
-            if not os.path.exists(path):
+            if not sio.exists(path):
                 raise FileNotFoundError(
                     f"snapshot {as_of} not found in {store_dir}; retained: "
                     f"{list_snapshot_ids(store_dir)}")
         else:
             _, _, path = store_paths(store_dir)
-        with open(path) as f:
+        with sio.sopen(path) as f:
             footer = json.load(f)
     zones = zones or {}
     if footer.get("sharded"):
@@ -434,7 +436,7 @@ def load_blocks(store_dir: str, zones: dict | None = None,
                     lambda c: ({"min": zone[c][0], "max": zone[c][1]}
                                if c in zone else None), zones):
                 continue
-            with open(os.path.join(shard_dir, sh["file"])) as f:
+            with sio.sopen(os.path.join(shard_dir, sh["file"])) as f:
                 blocks.extend(json.load(f))
     else:
         blocks = footer["blocks"]
@@ -472,16 +474,16 @@ def write_tombstone(store_dir: str, block_id: str, indices) -> None:
 
     idx = np.asarray(sorted(set(int(i) for i in indices)), dtype=np.uint32)
     path = tombstone_path(store_dir, block_id)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    sio.makedirs(os.path.dirname(path), exist_ok=True)
     body = idx.tobytes()
     payload = (_TOMB_MAGIC + len(idx).to_bytes(8, "little") + body
                + zlib.crc32(body).to_bytes(4, "little"))
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
+    with sio.sopen(tmp, "wb") as f:
         f.write(payload)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, path)
+    sio.replace(tmp, path)
 
 
 def load_tombstone(store_dir: str, block_id: str):
@@ -494,7 +496,7 @@ def load_tombstone(store_dir: str, block_id: str):
 
     path = tombstone_path(store_dir, block_id)
     try:
-        with open(path, "rb") as f:
+        with sio.sopen(path, "rb") as f:
             data = f.read()
     except FileNotFoundError:
         return None
@@ -512,7 +514,7 @@ def list_tombstones(store_dir: str) -> dict:
     """block_id -> tombstone path for every tombstone present."""
     d = os.path.join(store_dir, "tombstones")
     try:
-        return {f[:-4]: os.path.join(d, f) for f in os.listdir(d)
+        return {f[:-4]: os.path.join(d, f) for f in sio.listdir(d)
                 if f.endswith(".tmb")}
     except OSError:
         return {}

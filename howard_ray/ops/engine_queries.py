@@ -262,11 +262,14 @@ def running_total(sf_dir: str):
 
     ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def add_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+    def add_bucket(batch):
         # bounded bucket key (user count scales); grouped cumsum inside the
-        # bucket is one vectorized pass over all of its users
-        g["b"] = (g["user_id"] * 2654435761) % 64
-        return g
+        # bucket is one vectorized pass over all of its users. Arrow-native
+        # full-data pass — no pandas detour on the hot path
+        import numpy as _np
+        import pyarrow as _pa
+        b = (batch["user_id"].to_numpy() * _np.int64(2654435761)) % 64
+        return batch.append_column("b", _pa.array(b))
 
     def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -275,7 +278,7 @@ def running_total(sf_dir: str):
             "running_value": g.groupby("user_id")["value"].cumsum().round(2),
         })
 
-    out = (ds.map_batches(add_bucket, batch_format="pandas")
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
              .groupby("b").map_groups(per_bucket, batch_format="pandas")
              .to_pandas())
     return out.sort_values("event_id").reset_index(drop=True)

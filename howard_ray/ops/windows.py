@@ -59,12 +59,14 @@ def asof_prev_event(sf_dir: str):
     merge_asof/map_groups pattern; oracle: lag() window fn)."""
     ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def add_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(batch: pa.Table) -> pa.Table:
         # user count scales with the data: shuffle on a BOUNDED bucket key
         # (all of a user's rows co-located) and diff all users of a bucket
-        # in one vectorized grouped pass — not one Python call per user
-        g["b"] = (g["user_id"] * 2654435761) % 64
-        return g
+        # in one vectorized grouped pass — not one Python call per user.
+        # Arrow-native full-data pass (round-2 verdict item #8): the bucket
+        # key is numpy over the zero-copy int64 column, no pandas detour
+        b = (batch["user_id"].to_numpy() * np.int64(2654435761)) % 64
+        return batch.append_column("b", pa.array(b))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -75,7 +77,7 @@ def asof_prev_event(sf_dir: str):
             "gap_us": gap.fillna(-1).astype("int64"),
         })
 
-    out = (ds.map_batches(add_bucket, batch_format="pandas")
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
              .groupby("b").map_groups(per_bucket, batch_format="pandas")
              .to_pandas())
     return out.sort_values("event_id").reset_index(drop=True)
@@ -95,9 +97,9 @@ def sessionize(sf_dir: str):
     engine's windowed extension, per-partition sequential with pandas)."""
     ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def add_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g["b"] = (g["user_id"] * 2654435761) % 64
-        return g
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["user_id"].to_numpy() * np.int64(2654435761)) % 64
+        return batch.append_column("b", pa.array(b))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # all users of the bucket sessionized in ONE vectorized pass:
@@ -118,7 +120,7 @@ def sessionize(sf_dir: str):
             max_session_events=("sess_size", "max"))
         return out
 
-    out = (ds.map_batches(add_bucket, batch_format="pandas")
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
              .groupby("b").map_groups(per_bucket, batch_format="pandas")
              .to_pandas())
     for c in out.columns:
@@ -214,10 +216,12 @@ def funnel_steps(sf_dir: str):
 
     ds = tbl(sf_dir, "events", ["user_id", "event_type", "ts"])
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[batch["event_type"].isin(FUNNEL_STEPS)].copy()
-        b["b"] = (b["user_id"].to_numpy(np.int64) % 64)
-        return b
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(FUNNEL_STEPS))
+        b = batch.filter(keep)
+        key = b["user_id"].to_numpy() % 64
+        return b.append_column("b", pa.array(key))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         v = (g[g["event_type"] == FUNNEL_STEPS[0]]
@@ -232,7 +236,7 @@ def funnel_steps(sf_dir: str):
                              "step_click": [len(c)],
                              "step_purchase": [len(p)]})
 
-    parts = (ds.map_batches(bucketize, batch_format="pandas")
+    parts = (ds.map_batches(bucketize, batch_format="pyarrow")
                .groupby("b").map_groups(fold, batch_format="pandas")
                .to_pandas())
     return pd.DataFrame({
@@ -267,15 +271,16 @@ def retention_hourly(sf_dir: str):
 
     ds = tbl(sf_dir, "events", ["user_id", "ts"])
 
-    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+    def pairs(batch: pa.Table) -> pa.Table:
         # unit-safe hour id: parquet timestamps may arrive as ns OR us
-        h = (np.asarray(batch["ts"], dtype="datetime64[s]")
+        h = (batch["ts"].to_numpy().astype("datetime64[s]")
              .astype(np.int64) // 3600)
-        d = (pd.DataFrame({"user_id": batch["user_id"].to_numpy(np.int64),
-                           "h": h})
-             .drop_duplicates())
-        d["b"] = d["user_id"].to_numpy() % 64
-        return d
+        t = pa.table({"user_id": batch["user_id"], "h": pa.array(h)})
+        # per-batch (user, hour) dedup shrinks the shuffle; the bucket fold
+        # re-dedups globally
+        t = t.group_by(["user_id", "h"]).aggregate([])
+        key = t["user_id"].to_numpy() % 64
+        return t.append_column("b", pa.array(key))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["user_id", "h"]).sort_values(["user_id", "h"])
@@ -291,7 +296,7 @@ def retention_hourly(sf_dir: str):
                              "retained": vc.to_numpy(np.int64)})
 
     from ray.data.aggregate import Sum
-    out = (ds.map_batches(pairs, batch_format="pandas")
+    out = (ds.map_batches(pairs, batch_format="pyarrow")
              .groupby("b").map_groups(fold, batch_format="pandas")
              .groupby("hour_id")
              .aggregate(Sum("retained", alias_name="retained"))

@@ -46,6 +46,7 @@ from .block import (
     read_block_file,
     write_block_file,
 )
+from . import storeio as sio
 from .manifest import (
     append_lineage,
     block_path,
@@ -832,7 +833,7 @@ def _read_logical_block(store_dir: str, block_id: str, rmap: dict,
     ren = rmap.get("ren") or {}
     drops = set(rmap.get("drop") or ())
     if columns is None:
-        with open(block_path(store_dir, block_id), "rb") as f:
+        with sio.sopen(block_path(store_dir, block_id), "rb") as f:
             data = f.read()
         base_phys = [c for c in read_block_meta(data)["columns"]
                      if c not in drops]
@@ -848,7 +849,7 @@ def _read_logical_block(store_dir: str, block_id: str, rmap: dict,
     base_logical = [c for c in columns if c not in ext]
     t, missing = None, []
     if base_logical:
-        with open(block_path(store_dir, block_id), "rb") as f:
+        with sio.sopen(block_path(store_dir, block_id), "rb") as f:
             data = f.read()
         if fills:
             meta_cols = read_block_meta(data)["columns"]
@@ -991,7 +992,7 @@ def build_bloom_index(store_dir: str, column: str,
     todo = [b for b in blocks if column not in (b.get("blooms") or {})]
     if not todo:
         return {"n_blocks_indexed": 0, "bloom_bytes": 0}
-    os.makedirs(os.path.join(store_dir, "blooms"), exist_ok=True)
+    sio.makedirs(os.path.join(store_dir, "blooms"))
     items = [{"block_id": b["block_id"],
               "rmap": json.dumps(_block_rmap(b))} for b in todo]
 
@@ -1159,37 +1160,37 @@ def vacuum_store(store_dir: str) -> dict:
         live_ids.add(rec["block_id"])
     removed = freed = 0
     bdir = os.path.join(store_dir, "blocks")
-    for fn in sorted(os.listdir(bdir)):
+    for fn in sorted(sio.listdir(bdir)):
         if fn.endswith(".tmp") or fn in refs:
             continue
         p = os.path.join(bdir, fn)
         try:
-            freed += os.path.getsize(p)
-            os.remove(p)
+            freed += sio.getsize(p)
+            sio.remove(p)
             removed += 1
         except OSError:
             pass
     tdir = os.path.join(store_dir, "tombstones")
-    if os.path.isdir(tdir):
-        for fn in sorted(os.listdir(tdir)):
+    if os.path.isdir(sio.resolve(tdir)):
+        for fn in sorted(sio.listdir(tdir)):
             if fn.endswith(".tmp") or fn[:-len(".tmb")] in live_ids:
                 continue
             p = os.path.join(tdir, fn)
             try:
-                freed += os.path.getsize(p)
-                os.remove(p)
+                freed += sio.getsize(p)
+                sio.remove(p)
                 removed += 1
             except OSError:
                 pass
     gdir = os.path.join(store_dir, "blooms")
-    if os.path.isdir(gdir):
-        for fn in sorted(os.listdir(gdir)):
+    if os.path.isdir(sio.resolve(gdir)):
+        for fn in sorted(sio.listdir(gdir)):
             if fn.endswith(".tmp") or fn in bloom_refs:
                 continue
             p = os.path.join(gdir, fn)
             try:
-                freed += os.path.getsize(p)
-                os.remove(p)
+                freed += sio.getsize(p)
+                sio.remove(p)
                 removed += 1
             except OSError:
                 pass
@@ -1229,7 +1230,7 @@ def scrub_store(store_dir: str, deep: bool = True) -> dict:
             errs = []
             path = block_path(store_dir, bid)
             try:
-                if os.path.getsize(path) != eb_a.as_py():
+                if sio.getsize(path) != eb_a.as_py():
                     errs.append("size mismatch vs footer")
             except OSError:
                 errs.append("block file missing")
@@ -1557,7 +1558,7 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
                         os.path.join(store_dir, "blocks",
                                      ext[col])).column(0)
                 if data is None:
-                    with open(p.as_py(), "rb") as f:
+                    with sio.sopen(p.as_py(), "rb") as f:
                         data = f.read()
                 # predicates name LOGICAL columns; decode the in-file name
                 return decode_block(data, [inv.get(col, col)]).column(0)
@@ -1592,7 +1593,7 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
                 names = eff_columns
             else:
                 if data is None:
-                    with open(p.as_py(), "rb") as f:
+                    with sio.sopen(p.as_py(), "rb") as f:
                         data = f.read()
                 # full logical schema: base columns (renamed, minus dropped)
                 # then every derived sidecar column
@@ -1798,7 +1799,7 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
                      *(os.path.join(store_dir, "blooms", f)
                        for f in (m.get("blooms") or {}).values())):
             try:
-                os.remove(path)
+                sio.remove(path)
             except OSError:
                 pass
     return {"n_blocks_before": before["n_blocks"],
@@ -1923,7 +1924,7 @@ def recluster_store(store_dir: str, by: "str | list[str]", *,
                      *(os.path.join(store_dir, "blooms", f)
                        for f in (b.get("blooms") or {}).values())):
             try:
-                os.remove(path)
+                sio.remove(path)
             except OSError:
                 pass
     return {"n_blocks_before": len(old),
@@ -2059,7 +2060,7 @@ def recluster_incremental(store_dir: str, by: str, *,
                      *(os.path.join(store_dir, "blooms", f)
                        for f in (b.get("blooms") or {}).values())):
             try:
-                os.remove(path)
+                sio.remove(path)
             except OSError:
                 pass
     return {"n_blocks_before": len(old),
@@ -2100,7 +2101,7 @@ def export_sorted(store_dir: str, by: str, out_dir: str, *,
                 f"store is not clustered on {by!r} (blocks overlap); run "
                 f"recluster_store / recluster_incremental first")
         cur_hi = stats[i]["max"]
-    os.makedirs(out_dir, exist_ok=True)
+    sio.makedirs(out_dir)
     tombs = list_tombstones(store_dir)
     cols = (sorted(set(columns) | {by}) if columns is not None else None)
     items = [{"rank": r, "block_id": blocks[i]["block_id"],
@@ -2125,8 +2126,9 @@ def export_sorted(store_dir: str, by: str, out_dir: str, *,
             t = t.sort_by(by)
             path = os.path.join(out_dir,
                                 f"part-{rank_a.as_py():05d}.parquet")
-            pq_mod.write_table(t, path + ".tmp", compression="zstd")
-            os.replace(path + ".tmp", path)
+            pq_mod.write_table(t, sio.resolve(path) + ".tmp",
+                               compression="zstd")
+            sio.replace(path + ".tmp", path)
             out_rows.append(t.num_rows)
         return pa.table({"rows": pa.array(out_rows, type=pa.int64())})
 
@@ -2264,7 +2266,7 @@ def purge_deletes(store_dir: str, profile: str = "standard") -> dict:
                      *(os.path.join(store_dir, "blooms", f)
                        for f in (d.get("blooms") or {}).values())):
             try:
-                os.remove(path)
+                sio.remove(path)
             except OSError:
                 pass
     return {"n_blocks_rewritten": len(doomed_ids),
@@ -2277,9 +2279,7 @@ def store_total_bytes(store_dir: str) -> int:
     """Total on-disk size of blocks + manifest + footer (the honest number
     compared against Parquet+zstd in the size gate)."""
     total = 0
-    for root, _, files in os.walk(store_dir):
-        for f in files:
-            if f.endswith(".tmp"):
-                continue
-            total += os.path.getsize(os.path.join(root, f))
+    for path in sio.walk_files(store_dir):
+        if not path.endswith(".tmp"):
+            total += os.path.getsize(path)
     return total
