@@ -310,8 +310,9 @@ def main(argv=None) -> int:
     e = sub.add_parser("encode")
     e.add_argument("input")
     e.add_argument("store")
-    e.add_argument("--mode", choices=["stream", "cluster", "cluster-exchange"],
-                   default="cluster")
+    e.add_argument("--mode",
+                   choices=["auto", "stream", "cluster", "cluster-exchange"],
+                   default="auto")
     e.add_argument("--target-rows", type=int, default=None)
     e.add_argument("--no-resume", action="store_true")
     e.set_defaults(fn=cmd_encode)
@@ -320,7 +321,8 @@ def main(argv=None) -> int:
                         "into an existing store as a fresh append epoch")
     ap.add_argument("store")
     ap.add_argument("input")
-    ap.add_argument("--mode", choices=["stream", "cluster", "cluster-exchange"],
+    ap.add_argument("--mode",
+                   choices=["auto", "stream", "cluster", "cluster-exchange"],
                     default="cluster")
     ap.add_argument("--target-rows", type=int, default=None)
     ap.set_defaults(fn=cmd_append)

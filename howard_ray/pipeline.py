@@ -277,7 +277,7 @@ def _parquet_files(input_path: str | list[str]) -> list[str]:
     return files
 
 
-def _input_meta(input_path: str | list[str]) -> tuple[int, pa.DataType | None]:
+def _input_meta(input_path: str | list[str]) -> tuple[int, pa.DataType | None, float]:
     """ONE driver-side parquet-footer sweep (each file's metadata opened
     once — this sits on the serial critical path before the exchange, so it
     must not scale with anything but file count) returning:
@@ -286,17 +286,24 @@ def _input_meta(input_path: str | list[str]) -> tuple[int, pa.DataType | None]:
     - the metadata-PROVEN narrow token type (uint16/uint8 list) if column
       statistics bound every tokens value — the salted shuffle then moves
       half (or a quarter) of the token bytes. None when stats are missing
-      or the range doesn't fit (optimization skipped, never unsound).
+      or the range doesn't fit (optimization skipped, never unsound);
+    - the average UNCOMPRESSED bytes/row (row-group total_byte_size over
+      rows) — the auto mode chooser's signal for whether the all-to-all is
+      volume-priced (wide token rows) or row-priced.
     """
     import pyarrow.parquet as pq
 
     n_groups = 0
     lo, hi = None, None
+    tot_bytes = tot_rows = 0
     stats_ok = True
     try:
         for f in _parquet_files(input_path):
             md = pq.ParquetFile(f).metadata
             n_groups += md.num_row_groups
+            tot_rows += md.num_rows
+            for g in range(md.num_row_groups):
+                tot_bytes += md.row_group(g).total_byte_size
             if not stats_ok or md.num_row_groups == 0:
                 stats_ok = stats_ok and md.num_row_groups > 0
                 continue
@@ -315,14 +322,14 @@ def _input_meta(input_path: str | list[str]) -> tuple[int, pa.DataType | None]:
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
     except OSError:
-        return 0, None
+        return 0, None, 0.0
     narrow = None
     if stats_ok and lo is not None and lo >= 0:
         if hi < 2**8:
             narrow = pa.list_(pa.uint8())
         elif hi < 2**16:
             narrow = pa.list_(pa.uint16())
-    return n_groups, narrow
+    return n_groups, narrow, tot_bytes / max(1, tot_rows)
 
 
 _NULL_SRC = "\x00"  # shuffle-key sentinel for source=NULL rows (cannot
@@ -460,7 +467,7 @@ def encode_dataset(
     input_path: str | list[str],
     store_dir: str,
     *,
-    mode: str = "cluster",
+    mode: str = "auto",
     profile: str = "standard",
     target_rows: int | None = None,
     concurrency: int | None = None,
@@ -506,6 +513,18 @@ def encode_dataset(
         ctx.use_push_based_shuffle = True
     t0 = time.perf_counter()
 
+    input_meta = None
+    mode_requested = mode
+    if mode == "auto":
+        # resolved from parquet metadata: wide rows (token arrays) make the
+        # all-to-all VOLUME-priced, where the compressed-exchange mode's
+        # ~3.6x smaller shuffle wins on any real network; narrow rows keep
+        # the plain salted shuffle (no double-encode). Threshold in
+        # uncompressed bytes/row (HOWARD_EXCHANGE_BYTES_PER_ROW).
+        input_meta = _input_meta(input_path)
+        thresh = int(os.environ.get("HOWARD_EXCHANGE_BYTES_PER_ROW", "512"))
+        mode = "cluster-exchange" if input_meta[2] >= thresh else "cluster"
+
     if mode == "stream":
         if use_actors:
             # classic actor-pool stage: BlockEncoder state (scratch buffers,
@@ -546,7 +565,7 @@ def encode_dataset(
         # uint16/uint8 before the all-to-all halves (or quarters) the bytes
         # moved; the group stage casts back before encoding. One footer
         # sweep also yields the row-group count for the partitioning gate.
-        n_row_groups, narrow = _input_meta(input_path)
+        n_row_groups, narrow, _ = input_meta or _input_meta(input_path)
         wide_type = None
         if narrow is not None:
             schema = ds.schema().base_schema
@@ -749,6 +768,7 @@ def encode_dataset(
         raw_bytes = sum(r["raw_bytes"] for r in records)
     extra = {
         "mode": mode,
+        **({"mode_requested": "auto"} if mode_requested == "auto" else {}),
         "profile": profile,
         "wall_sec": round(wall, 4),
         "raw_bytes": raw_bytes,
@@ -1262,7 +1282,7 @@ def scrub_store(store_dir: str, deep: bool = True) -> dict:
 
 
 def append_to_store(store_dir: str, input_path: str | list[str], *,
-                    mode: str = "cluster", profile: str = "standard",
+                    mode: str = "auto", profile: str = "standard",
                     target_rows: int | None = None,
                     concurrency: int | None = None) -> dict:
     """Incremental ingest: encode ``input_path`` into an EXISTING store as a

@@ -236,3 +236,31 @@ def test_corpus_chunked_construction_identical(monkeypatch):
     t2 = F.make_tokens_corpus(2000, seed=7)
     assert len(t2["tokens"].chunks) > 1
     assert t1.combine_chunks().equals(t2.combine_chunks())
+
+
+def test_auto_mode_resolves_by_bytes_per_row(ray_session, tmp_path):
+    """mode='auto' (the new default): wide token rows -> cluster-exchange
+    (volume-priced shuffle), narrow rows -> plain salted cluster."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from howard_ray.fixtures import write_corpus
+    from howard_ray.pipeline import encode_dataset
+
+    wide = str(tmp_path / "wide.parquet")
+    write_corpus(wide, 1500, seed=3)          # token arrays ~1.4 kB/row
+    f = encode_dataset(wide, str(tmp_path / "s1"), target_rows=500)
+    assert f["mode"] == "cluster-exchange"
+    assert f["mode_requested"] == "auto"
+
+    t = pq.read_table(wide)
+    narrow = str(tmp_path / "narrow.parquet")
+    pq.write_table(t.select(["doc_id", "source", "n_tok"]), narrow)
+    f2 = encode_dataset(narrow, str(tmp_path / "s2"), target_rows=500)
+    assert f2["mode"] == "cluster"
+    assert f2["mode_requested"] == "auto"
+
+    # explicit modes are never overridden
+    f3 = encode_dataset(wide, str(tmp_path / "s3"), mode="cluster",
+                        target_rows=500)
+    assert f3["mode"] == "cluster" and "mode_requested" not in f3
