@@ -8,12 +8,13 @@ from . import (attach, cluster, components, curate, dedup, engine_queries,
                process, relational, relational2, rules, rules2, sampling,
                similarity, sql_surface, text, token_ids, tokens, variants,
                variants2, vcf_ops, vfix, windows)
+from . import bigbin
 
 MODULES = [relational, text, windows, dedup, similarity, rules, variants,
            variants2, engine_queries, process, vcf_ops, genotype, nomen,
            rules2, sql_surface, external, multimodal, tokens, sampling, lm,
            token_ids, components, cluster, mixture, curate, attach,
-           relational2, hgvs]
+           relational2, hgvs, bigbin]
 
 
 def all_queries():
@@ -101,6 +102,7 @@ def all_queries():
         "hgvs_cdna": hgvs.hgvs_cdna,
         "hgvs_protein": hgvs.hgvs_protein,
         "extann_join": hgvs.extann_join,
+        "annotate_bigbin": bigbin.annotate_bigbin,
         "transcripts_to_json": variants2.transcripts_to_json,
         # composite flagship pipeline (howard process analog)
         "process_pipeline": process.process_pipeline,

@@ -180,3 +180,36 @@ def test_extann_join_modes(ray_session):
     assert ch.loc["GENE4"] == lg.loc["GENE4"]
     # odd symbols absent from the chosen map -> longest fallback
     assert ch.loc["GENE1"] == lg.loc["GENE1"]
+
+
+def test_hbb_random_access(tmp_path):
+    """The .hbb indexed-binary format: point queries read only covering
+    chunks (seek-based), values round-trip, uncovered positions are NaN."""
+    import numpy as np
+
+    from howard_ray.ops.bigbin import HbbReader, write_hbb
+
+    df = pd.DataFrame({
+        "chrom": ["chr1"] * 200 + ["chr2"] * 10,
+        "start": list(range(100, 20100, 100)) + list(range(50, 1050, 100)),
+        "end": [s + 49 for s in range(100, 20100, 100)]
+               + [s + 10 for s in range(50, 1050, 100)],
+        "value": [float(i) for i in range(210)],
+    })
+    path = str(tmp_path / "t.hbb")
+    write_hbb(df, path)
+    r = HbbReader(path, cache_chunks=2)
+    v = r.max_value_at("chr1", np.array([120, 175, 99, 20049]))
+    assert v[0] == 0.0 and np.isnan(v[1]) and np.isnan(v[2])
+    assert v[3] == 199.0
+    # only the needed chunks were decompressed (seek path, not full read)
+    assert len(r.cache) <= 2
+    assert np.isnan(r.max_value_at("chrX", np.array([5]))).all()
+    r.close()
+
+
+def test_annotate_bigbin_oracle(ray_session):
+    from howard_ray.ops import bigbin as B
+    mine = B.annotate_bigbin(SF).reset_index(drop=True)
+    ora = _oracle(B.SQL["annotate_bigbin"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
