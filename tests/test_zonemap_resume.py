@@ -509,3 +509,27 @@ def test_export_sorted(ray_session, tmp_path):
     encode_dataset(src, st2, mode="stream", target_rows=500)
     with pytest.raises(ValueError, match="not clustered"):
         export_sorted(st2, "n_tok", str(tmp_path / "x"))
+
+
+def test_ann_scale_derived_knobs_and_bucket_bounds(ray_session):
+    """Round-3: nlist/planes derive from corpus size, and per-bucket task
+    sizes stay bounded by the salting discipline at sf0.1."""
+    import numpy as np
+    import pandas as pd
+
+    from howard_ray.ops.similarity import (_ivf_params, _lsh_params,
+                                           IVF_BUCKET_CAP, LSH_BUCKET_CAP)
+
+    # knobs scale with N
+    n1, p1 = _ivf_params(500)[0], _lsh_params(500)[0]
+    n2, p2 = _ivf_params(500_000)[0], _lsh_params(500_000)[0]
+    assert n2 > n1 and p2 > p1
+    assert _ivf_params(1_000_000)[0] == 1000          # sqrt(N)
+    # expected bucket sizes bounded by the caps
+    for n in (10_000, 1_000_000, 100_000_000):
+        nlist, _ = _ivf_params(n)
+        n_salt = max(1, -(-(n // nlist) // IVF_BUCKET_CAP))
+        assert (n // nlist) / n_salt <= IVF_BUCKET_CAP
+        planes, _ = _lsh_params(n)
+        n_salt = max(1, -(-(n >> planes) // LSH_BUCKET_CAP))
+        assert (n >> planes) / n_salt <= LSH_BUCKET_CAP
