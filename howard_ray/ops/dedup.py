@@ -223,8 +223,13 @@ def _minhash_candidates_ds(sf_dir: str):
         batch["bucket"] = (batch["band_hash"].to_numpy() % n_buckets)
         return batch
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # drop singleton band groups vectorized, iterate only collisions
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        # drop singleton band groups vectorized, iterate only collisions.
+        # ARROW in/out with explicit schema (pandas-format map_groups
+        # emits pandas blocks, which flip downstream shuffles to the
+        # pandas builder, where int64 columns carrying nulls decay to
+        # float64 — DESIGN.md §13)
+        g = g.to_pandas()
         sizes = g.groupby(["band", "band_hash"])["doc_id"].transform("size")
         g = g[sizes > 1]
         out_a, out_b = [], []
@@ -235,26 +240,30 @@ def _minhash_candidates_ds(sf_dir: str):
                 out_a.append(ids[ii])
                 out_b.append(ids[jj])
         if not out_a:
-            # schema must match the pair-bearing groups (the next groupby
-            # shuffles on pbucket)
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "pbucket": pd.Series([], dtype="int64")})
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "pbucket": pa.array([], type=pa.int64())})
         df = pd.DataFrame({"doc_a": np.concatenate(out_a),
                            "doc_b": np.concatenate(out_b)})
         df["pbucket"] = ((df["doc_a"] * 2654435761 + df["doc_b"])
                          % n_buckets).astype(np.int64)
-        return df.drop_duplicates(["doc_a", "doc_b"])
+        df = df.drop_duplicates(["doc_a", "doc_b"])
+        return pa.table({"doc_a": pa.array(df["doc_a"].to_numpy()),
+                         "doc_b": pa.array(df["doc_b"].to_numpy()),
+                         "pbucket": pa.array(df["pbucket"].to_numpy())})
 
-    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+    def bucket_distinct(g: pa.Table) -> pa.Table:
+        d = g.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        return pa.table({
+            "doc_a": pa.array(d["doc_a"].to_numpy(), type=pa.int64()),
+            "doc_b": pa.array(d["doc_b"].to_numpy(), type=pa.int64())})
 
     return (ds.map_batches(MinHasher, batch_format="pandas", concurrency=(1, 4))
               .map_batches(add_bucket, batch_format="pandas")
               .groupby("bucket")
-              .map_groups(bucket_pairs, batch_format="pandas")
+              .map_groups(bucket_pairs, batch_format="pyarrow")
               .groupby("pbucket")
-              .map_groups(bucket_distinct, batch_format="pandas"))
+              .map_groups(bucket_distinct, batch_format="pyarrow"))
 
 
 def dedup_minhash_candidates(sf_dir: str):
@@ -293,66 +302,163 @@ def dedup_ngram_verified(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def _verify_pairs_ds(sf_dir: str, cand):
+def _hash_lists_ds(sf_dir: str):
+    """ONE shingling pass over the corpus: (doc_id, sh_set list<int64>)
+    with each doc's distinct shingle hashes sorted ascending (the global
+    prefix order). MATERIALIZED so the prefix emit and both verify lookups
+    reuse it instead of re-scanning + re-shingling the documents table —
+    the list volume is the same order as the shuffle already moves."""
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        d, g = _distinct_per_doc(*_shingle_hash_arrays(texts))
+        sizes = np.bincount(d, minlength=len(texts))
+        offsets = np.concatenate(([0], np.cumsum(sizes)))
+        arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(g.view(np.int64), type=pa.int64()))
+        return pa.table({"doc_id": batch["doc_id"], "sh_set": arr})
+
+    import os as _os
+    import ray as _ray
+    # bounded block count: the three downstream grouped shuffles each pay
+    # per-block sort/scheduling overhead, so 64 tiny doc blocks would
+    # triple-charge ~0.5s of pure stage constants per shuffle
+    nb = max(8, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    return (_ray.data.read_parquet(
+                _os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"], override_num_blocks=nb)
+            .map_batches(f, batch_format="pyarrow").materialize())
+
+
+def _verify_pairs_ds(sf_dir: str, cand, hl=None):
     """Shared verify stage: candidate (doc_a, doc_b) pairs ⋈ their two
-    texts via two bucketed co-shuffle lookups (``util.bucketed_lookup``,
-    join-free because a native-join output fed into a second native join
-    dies on Ray's schemaless empty partition blocks, DESIGN.md §13), then
-    the exact shingle-Jaccard kernel runs inside ``map_batches`` on the
-    co-shuffled (pair, text_a, text_b) rows — one vectorized hash pass
-    over the batch's texts, per-pair ``np.intersect1d`` on the sorted
-    unique hash slices. Lazy; only survivors of the threshold leave."""
-    from .util import bucketed_lookup
-
-    def _hash_lists(col_id: str, col_h: str):
-        # each doc's sorted distinct shingle-hash set as ONE list row —
-        # computed once per doc per side, not once per candidate pair
-        # (a doc in k candidates would otherwise be re-shingled k times)
-        def f(batch: pa.Table) -> pa.Table:
-            texts = batch["text"].to_pylist()
-            d, g = _distinct_per_doc(*_shingle_hash_arrays(texts))
-            sizes = np.bincount(d, minlength=len(texts))
-            offsets = np.concatenate(([0], np.cumsum(sizes)))
-            arr = pa.ListArray.from_arrays(
-                pa.array(offsets, type=pa.int32()),
-                pa.array(g.view(np.int64), type=pa.int64()))
-            return pa.table({col_id: batch["doc_id"], col_h: arr})
-        return f
-
-    docs_a = (tbl(sf_dir, "documents", ["doc_id", "text"])
-              .map_batches(_hash_lists("a_id", "sh_set_a"),
-                           batch_format="pyarrow"))
-    docs_b = (tbl(sf_dir, "documents", ["doc_id", "text"])
-              .map_batches(_hash_lists("b_id", "sh_set_b"),
-                           batch_format="pyarrow"))
-    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    docs' FULL shingle-hash sets via two Arrow-native bucketed co-shuffle
+    attaches (union + per-bucket argsort/searchsorted/list-take — the
+    join-free composable form, DESIGN.md §13, without bucketed_lookup's
+    pandas list materialization), then the exact Jaccard kernel counts
+    intersections for the whole batch in one lexsort pass over the raw
+    list buffers. Lazy; only survivors of the threshold leave."""
+    hl = hl if hl is not None else _hash_lists_ds(sf_dir)
     hset = pa.list_(pa.int64())
-    hs_schema = lambda i, h: pa.schema([(i, pa.int64()), (h, hset)])  # noqa: E731
-    with_a = bucketed_lookup(
-        cand, "doc_a", docs_a, "a_id", ["sh_set_a"],
-        ds_schema=pair_schema, lookup_schema=hs_schema("a_id", "sh_set_a"))
-    joined = bucketed_lookup(
-        with_a, "doc_b", docs_b, "b_id", ["sh_set_b"],
-        ds_schema=pair_schema.append(pa.field("sh_set_a", hset)),
-        lookup_schema=hs_schema("b_id", "sh_set_b"))
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        ha = batch["sh_set_a"].to_numpy()
-        hb = batch["sh_set_b"].to_numpy()
-        jac = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            a = np.asarray(ha[i], dtype=np.int64)
-            b = np.asarray(hb[i], dtype=np.int64)
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            denom = a.size + b.size - inter
-            jac[i] = inter / denom if denom else 0.0
-        out = pd.DataFrame({"doc_a": batch["doc_a"].astype("int64"),
-                            "doc_b": batch["doc_b"].astype("int64"),
-                            "jaccard": np.round(jac, 4)})
-        return out[jac >= JACCARD_THRESHOLD]
+    def _attach(ds, key: str, out_col: str, carry: list,
+                dedup_pairs: bool = False):
+        """Arrow-native bucketed attach (inner, unique lookup key): union
+        pairs + hash-list rows under a shared bucket, one ARROW merge per
+        bucket (argsort + searchsorted + list-column take) — the pandas
+        merge of bucketed_lookup materializes list cells as Python
+        objects, which dominated the verify stage's wall time."""
+        n_buckets = 64
+        carry_t = {"doc_a": pa.int64(), "doc_b": pa.int64(),
+                   "sh_set_a": hset}
 
-    return joined.map_batches(verify, batch_format="pandas")
+        def _empty_lists(n: int) -> pa.ListArray:
+            return pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, dtype=np.int32)),
+                pa.array([], type=pa.int64()))
+
+        # NULL-FREE union: empty schemaless pandas blocks from upstream
+        # groupbys can flip a reduce partition to the pandas builder, and
+        # a pandas round-trip decays int64-with-nulls to float64 — so the
+        # absent slots carry sentinel zeros / empty lists instead of nulls
+        # (merge only reads each side's own columns)
+        def tag_pairs(batch: pa.Table) -> pa.Table:
+            cols = {"__b": pa.array(batch[key].to_numpy() % n_buckets),
+                    "__side": pa.array(
+                        np.zeros(batch.num_rows, dtype=np.int8))}
+            for c in carry:
+                cols[c] = batch[c]
+            cols["__k"] = pa.array(
+                np.zeros(batch.num_rows, dtype=np.int64))
+            cols["__v"] = _empty_lists(batch.num_rows)
+            return pa.table(cols)
+
+        def tag_lists(batch: pa.Table) -> pa.Table:
+            k = batch["doc_id"].to_numpy()
+            cols = {"__b": pa.array(k % n_buckets),
+                    "__side": pa.array(
+                        np.ones(batch.num_rows, dtype=np.int8))}
+            for c in carry:
+                if carry_t[c] == hset:
+                    cols[c] = _empty_lists(batch.num_rows)
+                else:
+                    cols[c] = pa.array(
+                        np.zeros(batch.num_rows, dtype=np.int64))
+            cols["__k"] = batch["doc_id"]
+            cols["__v"] = batch["sh_set"]
+            return pa.table(cols)
+
+        import pyarrow.compute as pc
+
+        def merge(g: pa.Table) -> pa.Table:
+            left = g.filter(pc.equal(g["__side"], 0))
+            right = g.filter(pc.equal(g["__side"], 1))
+            if left.num_rows == 0:
+                cols = {c: pa.array([], type=carry_t[c]) for c in carry}
+                cols[out_col] = pa.array([], type=hset)
+                return pa.table(cols)
+            if dedup_pairs:
+                # candidates arrive once per shared prefix hash — dedup
+                # here, fused into the attach shuffle (doc_a co-locates
+                # every copy of a pair, so the dedup is exact)
+                da = left["doc_a"].to_numpy()
+                db = left["doc_b"].to_numpy()
+                o = np.lexsort((db, da))
+                da, db = da[o], db[o]
+                uniq = np.ones(len(da), dtype=bool)
+                uniq[1:] = (da[1:] != da[:-1]) | (db[1:] != db[:-1])
+                left = left.take(pa.array(o[uniq]))
+            lk = left[key].to_numpy()
+            rk = right["__k"].to_numpy()
+            order = np.argsort(rk, kind="stable")
+            pos = np.searchsorted(rk[order], lk)
+            idx = order[np.clip(pos, 0, max(0, len(order) - 1))]
+            vals = right["__v"].combine_chunks().take(pa.array(idx))
+            out = {c: left[c] for c in carry}
+            out[out_col] = vals
+            return pa.table(out)
+
+        tagged = (ds.map_batches(tag_pairs, batch_format="pyarrow")
+                  .union(hl.map_batches(tag_lists, batch_format="pyarrow")))
+        return tagged.groupby("__b").map_groups(
+            merge, batch_format="pyarrow")
+
+    with_a = _attach(cand, "doc_a", "sh_set_a", ["doc_a", "doc_b"],
+                     dedup_pairs=True)
+    joined = _attach(with_a, "doc_b", "sh_set_b",
+                     ["doc_a", "doc_b", "sh_set_a"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        # ONE vectorized pass for the whole batch of pairs: flatten both
+        # sides as (pair_id, hash) straight from the Arrow list buffers
+        # (zero-copy — no per-cell Python objects), lexsort, and count
+        # cross-side adjacent duplicates (each side is internally unique,
+        # so a duplicate == one intersection element)
+        n = batch.num_rows
+        la_col = batch["sh_set_a"].combine_chunks()
+        lb_col = batch["sh_set_b"].combine_chunks()
+        ha = la_col.values.to_numpy()
+        hb = lb_col.values.to_numpy()
+        la = np.diff(la_col.offsets.to_numpy().astype(np.int64))
+        lb = np.diff(lb_col.offsets.to_numpy().astype(np.int64))
+        pid = np.concatenate([np.repeat(np.arange(n), la),
+                              np.repeat(np.arange(n), lb)])
+        h = np.concatenate([ha, hb])
+        order = np.lexsort((h, pid))
+        pid, h = pid[order], h[order]
+        dup = (pid[1:] == pid[:-1]) & (h[1:] == h[:-1])
+        inter = np.bincount(pid[1:][dup], minlength=n)
+        denom = la + lb - inter
+        jac = np.where(denom > 0, inter / np.maximum(denom, 1), 0.0)
+        keep = jac >= JACCARD_THRESHOLD
+        return pa.table({
+            "doc_a": batch["doc_a"].combine_chunks().take(
+                pa.array(np.flatnonzero(keep))),
+            "doc_b": batch["doc_b"].combine_chunks().take(
+                pa.array(np.flatnonzero(keep))),
+            "jaccard": pa.array(np.round(jac[keep], 4))})
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 SQL["dedup_ngram_verified"] = None  # set below (shares dedup_jaccard_join's SQL)
@@ -370,66 +476,92 @@ def _prefix_len(sizes: np.ndarray, tau: float = None) -> np.ndarray:
     return np.clip(p, 0, sizes)
 
 
-def _prefix_candidates_ds(sf_dir: str):
+def _prefix_candidates_ds(sf_dir: str, hl=None):
     """Candidate pairs of the exact Jaccard join via positional prefix
     filtering (round-2 verdict item: kills the stop-shingle O(m²) term —
-    only each doc's ⌊(1−τ)·n⌋+1 SMALLEST shingle hashes enter the
-    self-join, so a shingle shared by m docs costs m² join rows only if
-    it is in m prefixes, and prefix density is (1−τ) ≈ 0.4 of the rarest
-    hashes, not the stop-shingles). Join → doc_a < doc_b → bucketed
-    pair-distinct, all streaming."""
-    docs = tbl(sf_dir, "documents", ["doc_id", "text"])
+    only each doc's ⌊(1−τ)·n⌉+1 SMALLEST shingle hashes enter the
+    self-pairing, so a shingle shared by m docs costs m² rows only if it
+    sits in m prefixes, and prefix density is (1−τ) ≈ 0.4 of the RAREST
+    hashes, not the stop-shingles).
 
-    def prefix_rows(sfx: str):
-        def f(batch: pd.DataFrame) -> pd.DataFrame:
-            texts = list(batch["text"].to_numpy())
-            d, g = _distinct_per_doc(*_shingle_hash_arrays(texts))
-            sizes = np.bincount(d, minlength=len(texts))
-            p = _prefix_len(sizes)
-            starts = np.concatenate(([0], np.cumsum(sizes)))[:-1]
-            posin = np.arange(len(d), dtype=np.int64) - starts[d]
-            keep = posin < p[d]
-            ids = batch["doc_id"].to_numpy().astype(np.int64)
-            return pd.DataFrame({f"sh_{sfx}": g[keep].view(np.int64),
-                                 f"doc_{sfx}": ids[d[keep]],
-                                 f"n{sfx}": sizes[d[keep]].astype(np.int64),
-                                 f"pos{sfx}": posin[keep]})
-        return f
-
-    sh_a = docs.map_batches(prefix_rows("a"), batch_format="pandas")
-    sh_b = docs.map_batches(prefix_rows("b"), batch_format="pandas")
-    joined = sh_a.join(sh_b, join_type="inner", num_partitions=8,
-                       on=("sh_a",), right_on=("sh_b",))
-    n_buckets = 64
+    ONE all-to-all: prefix rows (sh, doc, n, pos) shuffle on sh-hash
+    buckets and equal-hash runs expand to ordered pairs IN the bucket
+    (vectorized: size-2 runs direct, larger runs via triu), with the
+    length-ratio and PPJoin positional filters applied before anything
+    leaves — no native join, no second prefix emission. Pairs may repeat
+    (one per shared prefix hash); the verify stage's first attach shuffle
+    dedups them for free (same bucket key)."""
+    hl = hl if hl is not None else _hash_lists_ds(sf_dir)
+    n_buckets = 128
     tau = JACCARD_THRESHOLD
 
-    def ordered(batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy()
-        b = batch["doc_b"].to_numpy()
-        na = batch["na"].to_numpy()
-        nb = batch["nb"].to_numpy()
-        pa_ = batch["posa"].to_numpy()
-        pb_ = batch["posb"].to_numpy()
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        lists = batch["sh_set"].combine_chunks()
+        g = lists.values.to_numpy().view(np.uint64)
+        offsets = lists.offsets.to_numpy().astype(np.int64)
+        sizes = np.diff(offsets)
+        p = _prefix_len(sizes)
+        d = np.repeat(np.arange(len(sizes)), sizes)
+        posin = np.arange(len(g), dtype=np.int64) - offsets[:-1][d]
+        keep = posin < p[d]
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        sh = g[keep].view(np.int64)
+        return pa.table({
+            "sh": pa.array(sh),
+            "doc": pa.array(ids[d[keep]]),
+            "n": pa.array(sizes[d[keep]].astype(np.int64)),
+            "pos": pa.array(posin[keep]),
+            "sb": pa.array((sh.view(np.uint64) % n_buckets)
+                           .view(np.int64))})
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        sh = t["sh"].to_numpy()
+        doc = t["doc"].to_numpy()
+        n = t["n"].to_numpy()
+        pos = t["pos"].to_numpy()
+        order = np.argsort(sh, kind="stable")
+        sh, doc, n, pos = sh[order], doc[order], n[order], pos[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], sh[1:] != sh[:-1])))
+        ends = np.concatenate((bounds[1:], [len(sh)]))
+        rs = ends - bounds
+        ii_parts, jj_parts = [], []
+        two = bounds[rs == 2]
+        if len(two):
+            ii_parts.append(two)
+            jj_parts.append(two + 1)
+        for b, e in zip(bounds[rs > 2], ends[rs > 2]):
+            i2, j2 = np.triu_indices(int(e - b), k=1)
+            ii_parts.append(b + i2)
+            jj_parts.append(b + j2)
+        if not ii_parts:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
+        # orient each pair (doc_a < doc_b), swapping the carried stats
+        swap = doc[ii] > doc[jj]
+        a = np.where(swap, doc[jj], doc[ii])
+        b_ = np.where(swap, doc[ii], doc[jj])
+        na = np.where(swap, n[jj], n[ii])
+        nb = np.where(swap, n[ii], n[jj])
+        pa_ = np.where(swap, pos[jj], pos[ii])
+        pb_ = np.where(swap, pos[ii], pos[jj])
         # length filter: jac >= tau needs na >= tau*nb and nb >= tau*na;
         # positional filter (PPJoin): overlap from this common element on
-        # is <= 1 + min(remaining suffix lengths), and the pair's FIRST
-        # common prefix element has no common elements before it, so a
-        # qualifying pair always keeps at least that row
-        alpha = tau / (1.0 + tau) * (na + nb) - 1e-9  # required overlap
+        # is <= 1 + min(remaining suffix lengths); the pair's FIRST common
+        # prefix element has no common elements before it, so a qualifying
+        # pair always keeps at least that row
+        alpha = tau / (1.0 + tau) * (na + nb) - 1e-9
         ub = 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1)
-        keep = ((a < b) & (na >= tau * nb - 1e-9) & (nb >= tau * na - 1e-9)
-                & (ub >= alpha))
-        a, b = a[keep], b[keep]
-        bucket = ((a * np.int64(2654435761) + b) % n_buckets).astype(np.int64)
-        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
-                         "pbucket": pa.array(bucket)})
+        keep = ((a != b_) & (na >= tau * nb - 1e-9)
+                & (nb >= tau * na - 1e-9) & (ub >= alpha))
+        return pa.table({"doc_a": pa.array(a[keep]),
+                         "doc_b": pa.array(b_[keep])})
 
-    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
-
-    return (joined.map_batches(ordered, batch_format="pyarrow")
-              .groupby("pbucket")
-              .map_groups(bucket_distinct, batch_format="pandas"))
+    return (hl.map_batches(prefix_rows, batch_format="pyarrow")
+            .groupby("sb")
+            .map_groups(bucket_pairs, batch_format="pyarrow"))
 
 
 def jaccard_pairs_ds(sf_dir: str):
@@ -450,7 +582,8 @@ def jaccard_pairs_ds(sf_dir: str):
     One hash join + bounded co-shuffles, zero driver materialization; the
     result is identical to the unfiltered all-pairs join (the oracle SQL
     is the full O(n²) shingle join)."""
-    return _verify_pairs_ds(sf_dir, _prefix_candidates_ds(sf_dir))
+    hl = _hash_lists_ds(sf_dir)  # one shingling pass feeds BOTH stages
+    return _verify_pairs_ds(sf_dir, _prefix_candidates_ds(sf_dir, hl), hl)
 
 
 def dedup_jaccard_join(sf_dir: str):
