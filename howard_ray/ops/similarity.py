@@ -300,6 +300,16 @@ def _bucket_probe_topk(sf_dir: str, assign_fn, bucket2q: dict):
 IVF_BUCKET_CAP = 4096  # target max rows per per-bucket scoring task
 
 
+def _corpus_count(sf_dir: str) -> int:
+    """Row count from parquet METADATA (one footer read — no Ray job; the
+    same number SQL's count(*) sees)."""
+    import os
+
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+
+
 def _ivf_params(n: int) -> tuple[int, int]:
     """Scale-derived IVF knobs (round-2 verdict item: no fixed demo
     constants): nlist ∝ √N keeps both the centroid table and the average
@@ -332,7 +342,7 @@ def ann_ivf_topk(sf_dir: str, nlist: int | None = None,
     4. the driver merges nprobe × k candidates per query.
 
     nlist scales ∝ √N (``_ivf_params``); per-task memory is O(bucket cap)."""
-    n = tbl(sf_dir, "embeddings", ["vec_id"]).count()
+    n = _corpus_count(sf_dir)  # metadata, no scan
     d_nlist, d_nprobe = _ivf_params(n)
     nlist = nlist if nlist is not None else d_nlist
     nprobe = nprobe if nprobe is not None else d_nprobe
@@ -342,14 +352,21 @@ def ann_ivf_topk(sf_dir: str, nlist: int | None = None,
 
     cent_ids = [i * stride for i in range(nlist) if i * stride < n]
 
-    def pick_cent(batch, _ids=tuple(cent_ids)):
-        keep = pc.is_in(batch["vec_id"],
-                        value_set=pa.array(_ids, type=pa.int64()))
+    # ONE bounded fetch for centroids AND query vectors (both are small
+    # is_in/range picks; two separate scans were pure overhead)
+    def pick_small(batch, _ids=tuple(cent_ids)):
+        keep = pc.or_(
+            pc.less(batch["vec_id"], N_QUERIES),
+            pc.is_in(batch["vec_id"],
+                     value_set=pa.array(_ids, type=pa.int64())))
         return batch.filter(keep)
 
-    cent_df = (tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-               .map_batches(pick_cent, batch_format="pyarrow")
-               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    small = (tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+             .map_batches(pick_small, batch_format="pyarrow")
+             .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    cent_df = (small[small["vec_id"].isin(cent_ids)]
+               .reset_index(drop=True))
+    q_df = small[small["vec_id"] < N_QUERIES].reset_index(drop=True)
     cn = _embed_matrix(cent_df)
     cn /= np.linalg.norm(cn, axis=1, keepdims=True)
     cent_ref = ray.put(cn)
@@ -368,7 +385,9 @@ def ann_ivf_topk(sf_dir: str, nlist: int | None = None,
                              "embedding": batch["embedding"],
                              "bucket": bucket})
 
-    q_ids, qm = _query_vectors(sf_dir)
+    q_ids = q_df["vec_id"].to_numpy().astype(np.int64)
+    qm = _embed_matrix(q_df)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     bucket2q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     probes = np.argsort(-(qm @ cn.T), axis=1)[:, :nprobe]
     for c in np.unique(probes):
