@@ -164,6 +164,24 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "sql_order_by_expr": """SELECT o_orderpriority, COUNT(*) AS n
 FROM orders GROUP BY o_orderpriority
 ORDER BY SUM(o_totalprice) / COUNT(*) DESC, o_orderpriority LIMIT 4""",
+    # window functions (round 3): ONE bucketed shuffle on the shared
+    # PARTITION BY key, per-bucket vectorized pandas window pass —
+    # ROW_NUMBER / LAG / running SUM with DuckDB's RANGE-peer frame
+    "sql_window_rownum": """SELECT event_id,
+ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events ORDER BY event_id""",
+    "sql_window_lag": """SELECT event_id,
+LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt2
+FROM events ORDER BY event_id""",
+    "sql_window_running": """SELECT event_id,
+ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS run_v,
+COUNT(*) OVER (PARTITION BY user_id) AS n_events
+FROM events WHERE value >= 5 ORDER BY event_id""",
+    "sql_window_rank": """SELECT o_orderkey,
+RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS r,
+MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS top_p
+FROM orders WHERE o_totalprice >= 400000 ORDER BY o_orderkey""",
 }
 
 

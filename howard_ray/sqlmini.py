@@ -1064,6 +1064,67 @@ def _parse_bool(text: str, what: str) -> list[list[dict]]:
     return _BoolParser(text, what).parse()
 
 
+_WINDOW_CORE = (
+    r"(?P<fn>ROW_NUMBER|RANK|LAG|LEAD|SUM|COUNT|AVG|MIN|MAX)\s*\(\s*"
+    r"(?P<warg>\*|[A-Za-z_]\w*)?\s*(?:,\s*(?P<off>\d+)\s*)?\)\s*"
+    r"OVER\s*\(\s*PARTITION\s+BY\s+"
+    r"(?P<part>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)"
+    r"(?:\s+ORDER\s+BY\s+(?P<word>[^)]+?))?\s*\)")
+_WINDOW_RE = re.compile(
+    r"^" + _WINDOW_CORE + r"\s*(?:AS\s+)?(?P<alias>[A-Za-z_]\w*)$",
+    re.IGNORECASE)
+_WINDOW_ROUND_RE = re.compile(
+    r"^ROUND\s*\(\s*" + _WINDOW_CORE + r"\s*,\s*(?P<nd>\d+)\s*\)"
+    r"\s*(?:AS\s+)?(?P<alias>[A-Za-z_]\w*)$", re.IGNORECASE)
+
+
+def _parse_window_item(raw: str) -> dict | None:
+    """``FN(arg) OVER (PARTITION BY p[, q] [ORDER BY k [DESC][, ...]])
+    AS alias`` → window item, or None when the text is not a window call.
+
+    Supported: ROW_NUMBER / RANK (need ORDER BY), LAG / LEAD (column arg,
+    optional offset, need ORDER BY), SUM / COUNT / AVG / MIN / MAX —
+    running with ORDER BY (DuckDB's default RANGE frame: peer rows with
+    equal order keys share the value) or partition-wide without."""
+    m = _WINDOW_RE.match(raw.strip())
+    nd = None
+    if not m:
+        m = _WINDOW_ROUND_RE.match(raw.strip())
+        if not m:
+            return None
+        nd = int(m.group("nd"))
+    fn = m.group("fn").upper()
+    warg = m.group("warg")
+    order = []
+    if m.group("word"):
+        for part in _split_commas(m.group("word")):
+            txt = part.strip()
+            om = re.search(r"\s+(ASC|DESC)\s*$", txt, re.IGNORECASE)
+            desc = False
+            if om:
+                desc = om.group(1).upper() == "DESC"
+                txt = txt[:om.start()].strip()
+            if not re.fullmatch(r"[A-Za-z_]\w*", txt):
+                raise ValueError(
+                    f"window ORDER BY must be plain columns: {part!r}")
+            order.append((txt, desc))
+    if fn in ("ROW_NUMBER", "RANK") and (warg or not order):
+        raise ValueError(f"{fn}() takes no argument and needs ORDER BY")
+    if fn in ("LAG", "LEAD") and (not warg or warg == "*" or not order):
+        raise ValueError(f"{fn}(col) needs a column and ORDER BY")
+    if fn in ("SUM", "AVG", "MIN", "MAX") and (not warg or warg == "*"):
+        raise ValueError(f"window {fn} needs a column argument")
+    if fn == "COUNT" and warg not in (None, "*"):
+        raise ValueError("window COUNT supports only COUNT(*)")
+    return {"agg": None, "arg": None, "col": None, "distinct": False,
+            "nd": nd, "alias": m.group("alias"),
+            "window": {"fn": fn, "arg": None if warg == "*" else warg,
+                       "off": int(m.group("off") or 1),
+                       "part": [c.strip() for c in
+                                m.group("part").split(",")],
+                       "order": order}}
+
+
 def parse(sql: str) -> dict:
     m = _SQL_RE.match(sql)
     if not m:
@@ -1076,6 +1137,10 @@ def parse(sql: str) -> dict:
         sel = sel[dm.end():]
     star = sel == "*"
     for raw in ([] if star else _split_commas(sel)):
+        wit = _parse_window_item(raw)
+        if wit is not None:
+            items.append(wit)
+            continue
         im = _ITEM_RE.match(raw.strip())
         if not im:
             # compound arithmetic item: expr / AGG(expr) / ROUND(..., nd)
@@ -1147,6 +1212,18 @@ def parse(sql: str) -> dict:
         if any(it["agg"] for it in items) or group:
             raise ValueError(
                 "SELECT DISTINCT with aggregates/GROUP BY is unsupported")
+    wins = [it for it in items if it.get("window")]
+    if wins:
+        if group or any(it["agg"] for it in items) or select_distinct \
+                or joins:
+            raise ValueError(
+                "window functions combine only with plain items, WHERE, "
+                "ORDER BY and LIMIT (no GROUP BY/aggregates/DISTINCT/JOIN)")
+        parts = {tuple(w["window"]["part"]) for w in wins}
+        if len(parts) > 1:
+            raise ValueError(
+                "all window functions in one query must share the same "
+                "PARTITION BY (the partitioning IS the shuffle key)")
     return {"items": items, "star": star, "table": table, "joins": joins,
             "select_distinct": select_distinct,
             "conds": conds, "or_branches": or_branches,
@@ -1188,7 +1265,13 @@ def _expand_star(sf_dir: str, plan: dict,
 def _needed_columns(plan: dict) -> list[str]:
     cols = set()
     for it in plan["items"]:
-        if it.get("expr"):
+        if it.get("window"):
+            w = it["window"]
+            if w["arg"]:
+                cols.add(w["arg"])
+            cols.update(w["part"])
+            cols.update(c for c, _ in w["order"])
+        elif it.get("expr"):
             cols |= _expr_cols(it["expr"])
         elif it["col"]:
             cols.add(it["col"])
@@ -2162,6 +2245,105 @@ def explain_sql(sf_dir: str, sql: str,
     return out
 
 
+
+
+def _run_windowed(plan: dict, ds) -> pd.DataFrame:
+    """Window-function execution: ONE bucketed shuffle on the shared
+    PARTITION BY key (every row of a partition co-locates; bucket count
+    bounds per-task memory), then each bucket computes every window column
+    in a vectorized pandas pass — per-window stable sort by
+    (partition, window order), grouped transforms, values scattered back
+    by row id. Running aggregates follow DuckDB's default RANGE frame
+    (peer rows with equal order keys share the value). ROW_NUMBER / LAG /
+    LEAD are ROWS-based: with non-unique order keys their tie order is
+    engine-defined, exactly as in SQL."""
+    wins = [it for it in plan["items"] if it.get("window")]
+    part = wins[0]["window"]["part"]
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in part:
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(1099511628211) + pd.util.hash_array(
+                    np.asarray(batch[c].to_pandas()), categorize=False)
+        return batch.append_column(
+            "__wb", pa.array((h % n_buckets).view(np.int64)))
+
+    out_specs = [(it["alias"], it.get("window"), it.get("col"))
+                 for it in plan["items"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__wb"]).reset_index(drop=True)
+        res = {}
+        for alias, win, col in out_specs:
+            if win is None:
+                res[alias] = g[col]
+                continue
+            okeys = win["order"]
+            srt = g.sort_values(
+                part + [c for c, _ in okeys],
+                ascending=[True] * len(part) + [not d for _, d in okeys],
+                kind="mergesort")
+            grp = srt.groupby(part, dropna=False, sort=False)
+            fn, arg, off = win["fn"], win["arg"], win["off"]
+            if fn == "ROW_NUMBER":
+                v = grp.cumcount() + 1
+            elif fn == "RANK":
+                # rank = 1 + rows strictly before the peer group: first
+                # in-partition index of each (partition, order-keys) peer
+                idx = grp.cumcount()
+                peers = srt.groupby(part + [c for c, _ in okeys],
+                                    dropna=False, sort=False)
+                v = idx.groupby(peers.ngroup()).transform("first") + 1
+            elif fn in ("LAG", "LEAD"):
+                v = grp[arg].shift(off if fn == "LAG" else -off)
+            elif okeys:
+                # running aggregate, RANGE frame: ROWS-cumulative in
+                # sorted order, then peers take the group's LAST value
+                if fn == "SUM":
+                    run = grp[arg].cumsum()
+                elif fn == "COUNT":
+                    run = grp.cumcount() + 1
+                elif fn == "AVG":
+                    run = grp[arg].cumsum() / (grp.cumcount() + 1)
+                elif fn == "MIN":
+                    run = grp[arg].cummin()
+                else:
+                    run = grp[arg].cummax()
+                peers = srt.groupby(part + [c for c, _ in okeys],
+                                    dropna=False, sort=False)
+                v = run.groupby(peers.ngroup()).transform("last")
+            else:  # partition-wide aggregate duplicated on every row
+                if fn == "COUNT":
+                    v = grp[part[0]].transform("size")
+                else:
+                    v = grp[arg].transform(
+                        {"AVG": "mean"}.get(fn, fn.lower()))
+            # v carries the ORIGINAL row labels (sort_values keeps the
+            # index) — sorting by index restores input row order
+            v = v.sort_index()
+            nd = next(it["nd"] for it in plan["items"]
+                      if it["alias"] == alias)
+            if nd is not None:
+                v = v.astype(float).pipe(_sql_round, nd)
+            res[alias] = v
+        return pd.DataFrame(res)
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("__wb").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    if plan["order"]:
+        out = out.sort_values([c for c, _ in plan["order"]],
+                              ascending=[not d for _, d in plan["order"]])
+    if plan["limit"] is not None:
+        out = out.head(plan["limit"])
+    hid = [it["alias"] for it in plan["items"]
+           if it.get("hidden") and it["alias"] in out.columns]
+    if hid:
+        out = out.drop(columns=hid)
+    return out.reset_index(drop=True)
+
 def run_sql(sf_dir: str, sql: str,
             tables_dir: str | None = None,
             as_of: int | None = None) -> pd.DataFrame:
@@ -2306,6 +2488,9 @@ def run_sql(sf_dir: str, sql: str,
             return b.filter(pc.fill_null(mk, False))
 
         ds = ds.map_batches(_wmask, batch_format="pyarrow")
+
+    if any(it.get("window") for it in plan["items"]):
+        return _run_windowed(plan, ds)
 
     if _has_expr(plan):
         # Materialize every expression item as a real column in ONE

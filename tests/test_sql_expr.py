@@ -454,3 +454,50 @@ def test_left_join_broadcast_cap(ray_session, monkeypatch):
     with pytest.raises(ValueError, match="too large to broadcast"):
         run_sql(SF, "SELECT c_custkey, o_orderkey FROM customer "
                     "LEFT JOIN orders ON c_custkey = o_custkey LIMIT 5")
+
+
+# ------------------------------------------------------- window functions
+
+WIN_CASES = [
+    ("SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id "
+     "ORDER BY ts, event_id) AS rn FROM events ORDER BY event_id",
+     ("events",)),
+    ("SELECT event_id, LAG(value) OVER (PARTITION BY user_id "
+     "ORDER BY ts, event_id) AS pv, LEAD(value, 3) OVER (PARTITION BY "
+     "user_id ORDER BY ts, event_id) AS nv FROM events ORDER BY event_id",
+     ("events",)),
+    # RANGE-peer running sum + rank with DESC order + partition-wide agg
+    ("SELECT o_orderkey, RANK() OVER (PARTITION BY o_orderpriority "
+     "ORDER BY o_totalprice DESC) AS r, ROUND(AVG(o_totalprice) OVER "
+     "(PARTITION BY o_orderpriority), 2) AS ap FROM orders "
+     "WHERE o_totalprice >= 420000 ORDER BY o_orderkey", ("orders",)),
+    ("SELECT l_orderkey, l_linenumber, ROUND(SUM(l_quantity) OVER "
+     "(PARTITION BY l_orderkey ORDER BY l_linenumber), 2) AS rq "
+     "FROM lineitem WHERE l_orderkey <= 800 "
+     "ORDER BY l_orderkey, l_linenumber", ("lineitem",)),
+    # WHERE + LIMIT compose with windows
+    ("SELECT event_id, COUNT(*) OVER (PARTITION BY user_id) AS n "
+     "FROM events WHERE value >= 50 ORDER BY event_id LIMIT 200",
+     ("events",)),
+]
+
+
+@pytest.mark.parametrize("sql,tables", WIN_CASES)
+def test_window_functions_match_duckdb(ray_session, sql, tables):
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, *tables).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
+
+
+def test_window_rejects_aggregate_mix(ray_session):
+    with pytest.raises(ValueError, match="window functions combine"):
+        run_sql(SF, "SELECT user_id, COUNT(*) AS n, ROW_NUMBER() OVER "
+                    "(PARTITION BY user_id ORDER BY ts) AS rn "
+                    "FROM events GROUP BY user_id")
+
+
+def test_window_rejects_mixed_partitions(ray_session):
+    with pytest.raises(ValueError, match="share the same"):
+        run_sql(SF, "SELECT ROW_NUMBER() OVER (PARTITION BY user_id "
+                    "ORDER BY ts) AS a, ROW_NUMBER() OVER (PARTITION BY "
+                    "event_type ORDER BY ts) AS b FROM events")
