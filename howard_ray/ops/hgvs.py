@@ -255,13 +255,17 @@ def _revcomp_series(s: pd.Series) -> pd.Series:
 def hgvs_cdna(sf_dir: str):
     """Full cDNA naming for every variant: ``{tx}:c.{coord}{±off}{form}``
     over the best covering transcript (empty for intergenic variants).
-    Broadcast exon-model index (ray.put once), actor-pool map_batches —
-    no shuffle; the projection is vectorized over the batch."""
+    Broadcast exon-model index (ray.put once) read zero-copy per task —
+    a TASK pool, not actors: the per-task "setup" is one plasma ray.get
+    of the small model (µs), so actor-process spin-up would cost more
+    than it amortizes (the ann_cosine_topk rule); the projection is
+    vectorized over the batch."""
     model_ref = ray.put(_model_arrays())
 
     class CdnaNamer:
         def __init__(self):
-            self.model = ray.get(model_ref)
+            from ..pipeline import _cached_get
+            self.model = _cached_get(model_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             n = len(batch)
@@ -328,8 +332,7 @@ def hgvs_cdna(sf_dir: str):
                 "hgvs_c": name_out.astype(str)})
 
     ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
-    out = (ds.map_batches(CdnaNamer, batch_format="pandas",
-                          concurrency=(1, 4))
+    out = (ds.map_batches(lambda b: CdnaNamer()(b), batch_format="pandas")
            .to_pandas())
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
@@ -349,13 +352,23 @@ def hgvs_protein(sf_dir: str):
     class ProteinNamer:
         def __init__(self):
             self.model = ray.get(model_ref)
-            self.genome = {CHROMS[c]: np.frombuffer(
-                gen_genome_chrom(c).encode(), dtype=np.uint8)
-                for c in range(len(CHROMS))}
+            # genome chromosomes build LAZILY on first touch (an actor
+            # sees only the chroms its batches carry; eagerly generating
+            # all 23 x 3.1 Mb up front serializes pool spin-up)
+            self._genome: dict[str, np.ndarray] = {}
             comp = np.arange(256, dtype=np.uint8)
             for a, b in zip(b"ACGT", b"TGCA"):
                 comp[a] = b
             self.comp = comp
+
+        def _chrom_seq(self, c: str) -> np.ndarray:
+            seq = self._genome.get(c)
+            if seq is None:
+                seq = np.frombuffer(
+                    gen_genome_chrom(CHROMS.index(c)).encode(),
+                    dtype=np.uint8)
+                self._genome[c] = seq
+            return seq
 
         def _spliced_to_genomic(self, entry, t, s):
             """spliced cDNA coord (1-based, guaranteed exonic) → genomic"""
@@ -405,7 +418,7 @@ def hgvs_protein(sf_dir: str):
                 aa_pos = (ccoord - 1) // 3 + 1
                 phase = (ccoord - 1) % 3
                 cc0 = utr5 + 3 * (aa_pos - 1) + 1      # codon start (spliced)
-                seq = self.genome[c]
+                seq = self._chrom_seq(c)
                 plus = entry["plus"][t]
                 codon = np.empty((len(r), 3), dtype=np.uint8)
                 for k in range(3):
@@ -447,8 +460,10 @@ def hgvs_protein(sf_dir: str):
             return pd.concat(out_rows, ignore_index=True)
 
     ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
+    # genuine actor pool: each worker builds the 23-chromosome genome once
+    # in __init__ (the expensive state the task path would rebuild)
     out = (ds.map_batches(ProteinNamer, batch_format="pandas",
-                          concurrency=(1, 4))
+                          concurrency=(2, 8))
            .to_pandas())
     return out.sort_values(["chrom", "pos", "ref", "alt"]).reset_index(drop=True)
 
