@@ -182,6 +182,21 @@ FROM events WHERE value >= 5 ORDER BY event_id""",
 RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS r,
 MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS top_p
 FROM orders WHERE o_totalprice >= 400000 ORDER BY o_orderkey""",
+    # WITH clause (round 3): materialized CTE composition — each CTE runs
+    # through the full compiler and later levels reference it like a base
+    # table (CTE names shadow base tables, SQL scoping)
+    "sql_with_cte": """WITH big AS (SELECT o_custkey, COUNT(*) AS n,
+ROUND(SUM(o_totalprice), 2) AS rev FROM orders
+GROUP BY o_custkey HAVING n >= 8)
+SELECT c_mktsegment, COUNT(*) AS n_cust, ROUND(SUM(rev), 2) AS seg_rev
+FROM big JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "sql_with_chain": """WITH a AS (SELECT l_returnflag, l_linestatus,
+COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty FROM lineitem
+GROUP BY l_returnflag, l_linestatus),
+b AS (SELECT l_returnflag, COUNT(*) AS n_status, ROUND(SUM(qty), 2) AS tot
+FROM a GROUP BY l_returnflag)
+SELECT l_returnflag, n_status, tot FROM b ORDER BY l_returnflag""",
 }
 
 

@@ -2344,6 +2344,76 @@ def _run_windowed(plan: dict, ds) -> pd.DataFrame:
         out = out.drop(columns=hid)
     return out.reset_index(drop=True)
 
+def _split_ctes(sql: str):
+    """Parse ``WITH name AS ( body )[, name2 AS ( body2 )] <main>`` with a
+    balanced-paren scan. Returns ([(name, body), ...], main_sql)."""
+    m = re.match(r"^\s*WITH\s+", sql, re.IGNORECASE)
+    if not m:
+        return [], sql
+    i = m.end()
+    ctes = []
+    while True:
+        nm = re.match(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", sql[i:],
+                      re.IGNORECASE)
+        if not nm:
+            raise ValueError(f"malformed WITH clause near: {sql[i:i+40]!r}")
+        name = nm.group(1)
+        j = i + nm.end()          # position after the opening paren
+        depth = 1
+        k = j
+        while depth:
+            if k >= len(sql):
+                raise ValueError(f"unbalanced parens in CTE {name!r}")
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        ctes.append((name, sql[j:k - 1].strip()))
+        i = k
+        cm = re.match(r"\s*,", sql[i:])
+        if cm:
+            i += cm.end()
+            continue
+        break
+    return ctes, sql[i:].strip()
+
+
+def _run_with_ctes(sf_dir: str, sql: str,
+                   tables_dir: str | None) -> pd.DataFrame:
+    """WITH-clause execution by MATERIALIZED composition: each CTE body
+    runs through the ordinary compiler against a scratch dir seeded with
+    symlinks to the base tables, and its (small, by SQL-result contract)
+    result lands there as ``<name>.parquet`` — so later CTEs and the main
+    query reference earlier ones exactly like base tables, CTE names
+    shadow base tables (SQL scoping), and the whole existing machinery
+    (pruned reads, pushdown, grouping, windows, joins) applies unchanged
+    at every level. The scale contract matches the engine's result
+    convention: a CTE's materialized result is a query RESULT (bounded),
+    not a relabeled 100-TB input."""
+    import shutil
+    import tempfile
+
+    ctes, main = _split_ctes(sql)
+    scratch = tempfile.mkdtemp(prefix="howard_sql_cte_")
+    try:
+        for f in os.listdir(sf_dir):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(sf_dir, f),
+                           os.path.join(scratch, f))
+        for name, body in ctes:
+            res = run_sql(scratch, body, tables_dir=tables_dir)
+            import pyarrow.parquet as pq_mod
+            dst = os.path.join(scratch, f"{name}.parquet")
+            if os.path.islink(dst) or os.path.exists(dst):
+                os.unlink(dst)  # CTE shadows a base table of the same name
+            pq_mod.write_table(
+                pa.Table.from_pandas(res, preserve_index=False), dst)
+        return run_sql(scratch, main, tables_dir=tables_dir)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def run_sql(sf_dir: str, sql: str,
             tables_dir: str | None = None,
             as_of: int | None = None) -> pd.DataFrame:
@@ -2362,6 +2432,11 @@ def run_sql(sf_dir: str, sql: str,
     from ray.data.aggregate import Count, Max, Min, Sum
 
     from .ops.util import tbl
+
+    if re.match(r"^\s*WITH\s+", sql, re.IGNORECASE):
+        if as_of is not None:
+            raise ValueError("as_of does not combine with WITH")
+        return _run_with_ctes(sf_dir, sql, tables_dir)
 
     plan = parse(sql)
     if as_of is not None and (plan["table"] != "store" or plan["joins"]):

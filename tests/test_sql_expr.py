@@ -501,3 +501,40 @@ def test_window_rejects_mixed_partitions(ray_session):
         run_sql(SF, "SELECT ROW_NUMBER() OVER (PARTITION BY user_id "
                     "ORDER BY ts) AS a, ROW_NUMBER() OVER (PARTITION BY "
                     "event_type ORDER BY ts) AS b FROM events")
+
+
+# ----------------------------------------------------------- WITH / CTEs
+
+CTE_CASES = [
+    ("WITH big AS (SELECT o_custkey, COUNT(*) AS n, "
+     "ROUND(SUM(o_totalprice), 2) AS rev FROM orders GROUP BY o_custkey "
+     "HAVING n >= 8) SELECT c_mktsegment, COUNT(*) AS n_cust, "
+     "ROUND(SUM(rev), 2) AS seg_rev FROM big JOIN customer "
+     "ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+     ("orders", "customer")),
+    # chained CTEs: b reads a
+    ("WITH a AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+     "GROUP BY l_returnflag), b AS (SELECT l_returnflag, n FROM a "
+     "WHERE n >= 100) SELECT l_returnflag, n FROM b ORDER BY l_returnflag",
+     ("lineitem",)),
+    # CTE + window function downstream
+    ("WITH ev AS (SELECT user_id, event_id, value FROM events "
+     "WHERE value >= 20) SELECT event_id, ROW_NUMBER() OVER "
+     "(PARTITION BY user_id ORDER BY event_id) AS rn FROM ev "
+     "ORDER BY event_id LIMIT 500", ("events",)),
+]
+
+
+@pytest.mark.parametrize("sql,tables", CTE_CASES)
+def test_with_cte_matches_duckdb(ray_session, sql, tables):
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, *tables).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
+
+
+def test_cte_shadows_base_table(ray_session):
+    # a CTE named like a base table shadows it for the main query
+    out = run_sql(SF, "WITH nation AS (SELECT n_nationkey FROM nation "
+                      "WHERE n_nationkey < 3) SELECT COUNT(*) AS n "
+                      "FROM nation")
+    assert out["n"].iloc[0] == 3
