@@ -197,6 +197,17 @@ GROUP BY l_returnflag, l_linestatus),
 b AS (SELECT l_returnflag, COUNT(*) AS n_status, ROUND(SUM(qty), 2) AS tot
 FROM a GROUP BY l_returnflag)
 SELECT l_returnflag, n_status, tot FROM b ORDER BY l_returnflag""",
+    # UNION [ALL] (round 3): top-level split + composition; the trailing
+    # ORDER BY/LIMIT belongs to the whole union, UNION dedups
+    "sql_union_all": """SELECT 'high' AS band, COUNT(*) AS n,
+ROUND(SUM(o_totalprice), 2) AS rev FROM orders WHERE o_totalprice >= 300000
+UNION ALL SELECT 'low' AS band, COUNT(*) AS n,
+ROUND(SUM(o_totalprice), 2) AS rev FROM orders WHERE o_totalprice < 300000
+ORDER BY band""",
+    "sql_union_distinct": """SELECT o_orderpriority AS k FROM orders
+WHERE o_totalprice >= 480000
+UNION SELECT o_orderpriority AS k FROM orders
+WHERE o_orderpriority = '1-URGENT' ORDER BY k""",
 }
 
 

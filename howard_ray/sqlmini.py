@@ -836,9 +836,13 @@ def _parse_item_expr(raw: str) -> dict:
         return dict(base, agg=agg, expr=arg)
     if _contains_aggref(ast):
         return dict(base, postagg=ast)
-    if ast[0] in ("col", "lit"):
-        # a bare column/literal is not an "expression item" — the plain
-        # item paths (and their fast paths) own those
+    if ast[0] == "lit":
+        # constant item ('TOTAL' AS tag, 1 AS one) — UNION tag columns
+        # etc.; materialized like any expression column
+        return dict(base, expr=ast)
+    if ast[0] == "col":
+        # a bare column is not an "expression item" — the plain item
+        # paths (and their fast paths) own those
         raise ValueError(f"not a compound expression: {text!r}")
     return dict(base, expr=ast)
 
@@ -1475,6 +1479,7 @@ def _joined_dataset(sf_dir: str, plan: dict, tables_dir: str | None = None):
         raise ValueError("a store can only be the FROM (fact) side of a join")
     dims_root = tables_dir or sf_dir
     schemas = {}
+    schemas_full: dict[str, "pa.Schema | None"] = {}
     for t in tables:
         if t == "store":
             from .manifest import load_footer
@@ -1482,9 +1487,12 @@ def _joined_dataset(sf_dir: str, plan: dict, tables_dir: str | None = None):
             if not blocks:
                 raise ValueError(f"empty store {sf_dir!r}")
             schemas[t] = list((blocks[0].get("columns") or {}).keys())
+            schemas_full[t] = None
         else:
-            schemas[t] = list(pq_mod.read_schema(
-                os.path.join(dims_root, f"{t}.parquet")).names)
+            sch = pq_mod.read_schema(
+                os.path.join(dims_root, f"{t}.parquet"))
+            schemas[t] = list(sch.names)
+            schemas_full[t] = sch
 
     def owner(col: str) -> str:
         owners = [t for t in tables if col in schemas[t]]
@@ -1570,10 +1578,27 @@ def _joined_dataset(sf_dir: str, plan: dict, tables_dir: str | None = None):
 
         how = "left outer" if j.get("how") == "left" else "inner"
 
-        def bjoin(batch: pa.Table, _ref=ref, _lk=lk, _rk=rk,
-                  _how=how) -> pa.Table:
+        _rschema = schemas_full[j["table"]]
+        _rcols = cols_by[j["table"]]
+
+        def bjoin(batch: pa.Table, _ref=ref, _lk=lk, _rk=rk, _how=how,
+                  _rs=_rschema, _rc=tuple(_rcols)) -> pa.Table:
             from .pipeline import _cached_get
             right = _cached_get(_ref)
+            if _rk not in right.column_names and _rs is not None:
+                # an EMPTY dim (e.g. a CTE that matched nothing) comes
+                # back as a schemaless block — rebuild it typed from the
+                # dim's parquet schema so the join still runs
+                right = pa.table({c: pa.array([], type=_rs.field(c).type)
+                                  for c in _rc})
+            # defensive key-type alignment: a dim materialized through an
+            # empty intermediate can carry a widened key type, and Arrow's
+            # join refuses mismatched key fields
+            lt = batch.schema.field(_lk).type
+            ri = right.schema.get_field_index(_rk)
+            if right.schema.field(ri).type != lt:
+                right = right.set_column(
+                    ri, _rk, right[_rk].cast(lt))
             return batch.join(right, keys=_lk, right_keys=_rk,
                               join_type=_how)
 
@@ -2344,6 +2369,83 @@ def _run_windowed(plan: dict, ds) -> pd.DataFrame:
         out = out.drop(columns=hid)
     return out.reset_index(drop=True)
 
+def _split_union(sql: str):
+    """Top-level ``UNION [ALL]`` split (paren-depth 0). Returns
+    (parts, all_flags) — all_flags[i] is True when part i+1 joined via
+    UNION ALL — or ([sql], []) when no union present."""
+    parts, flags = [], []
+    depth = start = 0
+    i = 0
+    up = sql.upper()
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and up.startswith("UNION", i) \
+                and (i == 0 or not sql[i - 1].isalnum()) \
+                and not (sql[i + 5:i + 6].isalnum()):
+            m = re.match(r"UNION(\s+ALL)?\s", up[i:])
+            if m:
+                parts.append(sql[start:i].strip())
+                flags.append(bool(m.group(1)))
+                i += m.end()
+                start = i
+                continue
+        i += 1
+    parts.append(sql[start:].strip())
+    return parts, flags
+
+
+def _run_union(sf_dir: str, parts: list[str], flags: list[bool],
+               tables_dir: str | None) -> pd.DataFrame:
+    """UNION [ALL] by composition: the last part's trailing ORDER BY /
+    LIMIT belongs to the WHOLE union (standard SQL); each side runs
+    through the full compiler; UNION (without ALL) dedups the combined
+    rows. Column names come from the FIRST side (SQL positional-union
+    semantics; sides must be column-compatible)."""
+    tail = parts[-1]
+    order_txt = limit_n = None
+    lm = re.search(r"\sLIMIT\s+(\d+)\s*$", tail, re.IGNORECASE)
+    if lm:
+        limit_n = int(lm.group(1))
+        tail = tail[:lm.start()].rstrip()
+    om = re.search(r"\sORDER\s+BY\s+([^()]+)$", tail, re.IGNORECASE)
+    if om:
+        order_txt = om.group(1).strip()
+        tail = tail[:om.start()].rstrip()
+    parts = parts[:-1] + [tail]
+    frames = [run_sql(sf_dir, p, tables_dir=tables_dir) for p in parts]
+    cols = list(frames[0].columns)
+    aligned = [frames[0]]
+    for f in frames[1:]:
+        if len(f.columns) != len(cols):
+            raise ValueError("UNION sides have different column counts")
+        aligned.append(f.set_axis(cols, axis=1))
+    out = pd.concat(aligned, ignore_index=True)
+    if not all(flags):
+        if not any(flags):
+            out = out.drop_duplicates().reset_index(drop=True)
+        else:
+            raise ValueError("mixing UNION and UNION ALL is unsupported")
+    if order_txt:
+        keys, asc = [], []
+        for raw in _split_commas(order_txt):
+            txt = raw.strip()
+            dm = re.search(r"\s+(ASC|DESC)\s*$", txt, re.IGNORECASE)
+            desc = False
+            if dm:
+                desc = dm.group(1).upper() == "DESC"
+                txt = txt[:dm.start()].strip()
+            keys.append(txt)
+            asc.append(not desc)
+        out = out.sort_values(keys, ascending=asc)
+    if limit_n is not None:
+        out = out.head(limit_n)
+    return out.reset_index(drop=True)
+
+
 def _split_ctes(sql: str):
     """Parse ``WITH name AS ( body )[, name2 AS ( body2 )] <main>`` with a
     balanced-paren scan. Returns ([(name, body), ...], main_sql)."""
@@ -2437,6 +2539,11 @@ def run_sql(sf_dir: str, sql: str,
         if as_of is not None:
             raise ValueError("as_of does not combine with WITH")
         return _run_with_ctes(sf_dir, sql, tables_dir)
+    uparts, uflags = _split_union(sql)
+    if len(uparts) > 1:
+        if as_of is not None:
+            raise ValueError("as_of does not combine with UNION")
+        return _run_union(sf_dir, uparts, uflags, tables_dir)
 
     plan = parse(sql)
     if as_of is not None and (plan["table"] != "store" or plan["joins"]):
@@ -2579,9 +2686,14 @@ def run_sql(sf_dir: str, sql: str,
         # aggregate result, as in SQL.
         specs: list[tuple[str, tuple, int | None]] = []
         new_items = [dict(it) for it in plan["items"]]
+        lit_backfill: dict[str, object] = {}
         for i, it in enumerate(new_items):
             if not it.get("expr"):
                 continue
+            if not it["agg"] and it["expr"][0] == "lit":
+                # remembered so an EMPTY input (whose map stage never
+                # runs) can still backfill the constant after aggregation
+                lit_backfill[it["alias"]] = it["expr"][1]
             tgt = f"__x{i}" if it["agg"] else it["alias"]
             specs.append((tgt, it["expr"], None if it["agg"] else it["nd"]))
             if it["agg"]:
@@ -2594,7 +2706,7 @@ def run_sql(sf_dir: str, sql: str,
         def _compute(b: pa.Table, _specs=specs) -> pa.Table:
             for tgt, ast, nd in _specs:
                 v = _eval_expr(ast, b)
-                if isinstance(v, (int, float)):  # constant expression
+                if isinstance(v, (int, float, str)):  # constant expression
                     v = pa.array([v] * b.num_rows)
                 if nd is not None:
                     v = pa.array(_sql_round(
@@ -2603,7 +2715,7 @@ def run_sql(sf_dir: str, sql: str,
             return b
 
         ds = ds.map_batches(_compute, batch_format="pyarrow")
-        plan = dict(plan, items=new_items)
+        plan = dict(plan, items=new_items, _lit_backfill=lit_backfill)
 
     if any(it["agg"] for it in plan["items"]):
         # SQL keeps NULL as its own group; Ray's groupby DROPS null keys.
@@ -2787,6 +2899,9 @@ def run_sql(sf_dir: str, sql: str,
                 if isinstance(mk, pa.ChunkedArray):
                     mk = mk.combine_chunks()
                 out = out[pc.fill_null(mk, False).to_pandas().to_numpy()]
+        for a, v in (plan.get("_lit_backfill") or {}).items():
+            if a not in out.columns:
+                out[a] = v
         order_keys = {c for c, _ in plan["order"]}
         cols = [it["alias"] for it in plan["items"]
                 if not it.get("hidden")]
@@ -2837,7 +2952,28 @@ def run_sql(sf_dir: str, sql: str,
             ds = ds.limit(plan["limit"])
         out = ds.to_pandas()
         if out.empty:  # empty Datasets lose their schema through to_pandas
-            out = pd.DataFrame({it["col"]: [] for it in plan["items"]})
+            # rebuild with the SOURCE dtypes (a float64/object empty frame
+            # would poison downstream composition — a CTE materialized
+            # empty must still join on int64 keys)
+            cols = {}
+            try:
+                import pyarrow.parquet as pq_mod
+                sch = pq_mod.read_schema(
+                    os.path.join(sf_dir, plan["table"] + ".parquet")) \
+                    if plan["table"] != "store" else None
+            except OSError:
+                sch = None
+            for it in plan["items"]:
+                c = it["col"]
+                dt = None
+                if sch is not None and c and sch.get_field_index(c) >= 0:
+                    try:
+                        dt = sch.field(c).type.to_pandas_dtype()
+                    except (NotImplementedError, KeyError):
+                        dt = None
+                cols[c] = pd.Series([], dtype=dt) if dt is not None \
+                    else pd.Series([], dtype=object)
+            out = pd.DataFrame(cols)
         out = out.rename(columns={it["col"]: it["alias"]
                                   for it in plan["items"] if it["col"]})
         out = out[[it["alias"] for it in plan["items"]]]

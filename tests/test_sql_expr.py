@@ -538,3 +538,35 @@ def test_cte_shadows_base_table(ray_session):
                       "WHERE n_nationkey < 3) SELECT COUNT(*) AS n "
                       "FROM nation")
     assert out["n"].iloc[0] == 3
+
+
+# ------------------------------------------------------- UNION [ALL]
+
+UNION_CASES = [
+    ("SELECT 'high' AS band, COUNT(*) AS n FROM orders "
+     "WHERE o_totalprice >= 300000 UNION ALL "
+     "SELECT 'low' AS band, COUNT(*) AS n FROM orders "
+     "WHERE o_totalprice < 300000 ORDER BY band", ("orders",)),
+    ("SELECT o_orderpriority AS k FROM orders WHERE o_totalprice >= 480000 "
+     "UNION SELECT o_orderpriority AS k FROM orders "
+     "WHERE o_orderpriority = '1-URGENT' ORDER BY k", ("orders",)),
+]
+
+
+@pytest.mark.parametrize("sql,tables", UNION_CASES)
+def test_union_matches_duckdb(ray_session, sql, tables):
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, *tables).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
+
+
+def test_union_with_empty_cte_side(ray_session):
+    # empty CTE keeps key dtypes, joins still run, literal+COUNT backfills
+    sql = ("WITH hi AS (SELECT o_custkey FROM orders "
+           "WHERE o_totalprice >= 99999999) "
+           "SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer "
+           "JOIN hi ON c_custkey = o_custkey GROUP BY c_mktsegment "
+           "UNION ALL SELECT 'TOTAL' AS seg, COUNT(*) AS n FROM hi "
+           "ORDER BY seg")
+    out = run_sql(SF, sql)
+    assert out.to_dict("records") == [{"seg": "TOTAL", "n": 0}]
