@@ -208,6 +208,12 @@ ORDER BY band""",
 WHERE o_totalprice >= 480000
 UNION SELECT o_orderpriority AS k FROM orders
 WHERE o_orderpriority = '1-URGENT' ORDER BY k""",
+    # derived table (round 3): FROM (SELECT …) alias rides the CTE path
+    "sql_derived_table": """SELECT c_mktsegment, COUNT(*) AS n_cust,
+ROUND(SUM(rev), 2) AS seg_rev FROM (SELECT o_custkey,
+ROUND(SUM(o_totalprice), 2) AS rev FROM orders GROUP BY o_custkey) r
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 }
 
 

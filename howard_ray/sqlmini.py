@@ -2481,6 +2481,37 @@ def _split_ctes(sql: str):
     return ctes, sql[i:].strip()
 
 
+def _rewrite_derived_tables(sql: str) -> str:
+    """``FROM (SELECT …) alias`` → ``WITH alias AS (SELECT …) … FROM
+    alias`` — derived tables ride the CTE machinery (one rewrite, full
+    compiler underneath). Repeats until no derived table remains; the
+    alias is REQUIRED (both engines must agree on the table name)."""
+    while True:
+        m = re.search(r"\bFROM\s*\(", sql, re.IGNORECASE)
+        if not m:
+            return sql
+        j = m.end()
+        depth = 1
+        k = j
+        while depth:
+            if k >= len(sql):
+                raise ValueError("unbalanced parens in derived table")
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        body = sql[j:k - 1].strip()
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", sql[k:])
+        if not am:
+            raise ValueError(
+                "derived tables need an alias: FROM (SELECT …) name")
+        alias = am.group(1)
+        rest = sql[k + am.end():]
+        main = sql[:m.start()] + f"FROM {alias}" + rest
+        sql = f"WITH {alias} AS ({body}) {main}"
+
+
 def _run_with_ctes(sf_dir: str, sql: str,
                    tables_dir: str | None) -> pd.DataFrame:
     """WITH-clause execution by MATERIALIZED composition: each CTE body
@@ -2535,6 +2566,8 @@ def run_sql(sf_dir: str, sql: str,
 
     from .ops.util import tbl
 
+    if re.search(r"\bFROM\s*\(", sql, re.IGNORECASE):
+        sql = _rewrite_derived_tables(sql)
     if re.match(r"^\s*WITH\s+", sql, re.IGNORECASE):
         if as_of is not None:
             raise ValueError("as_of does not combine with WITH")

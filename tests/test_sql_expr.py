@@ -570,3 +570,20 @@ def test_union_with_empty_cte_side(ray_session):
            "ORDER BY seg")
     out = run_sql(SF, sql)
     assert out.to_dict("records") == [{"seg": "TOTAL", "n": 0}]
+
+
+def test_derived_table_matches_duckdb(ray_session):
+    sql = ("SELECT c_mktsegment, COUNT(*) AS n_cust, "
+           "ROUND(SUM(rev), 2) AS seg_rev FROM (SELECT o_custkey, "
+           "ROUND(SUM(o_totalprice), 2) AS rev FROM orders "
+           "GROUP BY o_custkey) r JOIN customer ON o_custkey = c_custkey "
+           "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, "orders", "customer").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
+
+
+def test_derived_table_requires_alias(ray_session):
+    with pytest.raises(ValueError, match="alias"):
+        run_sql(SF, "SELECT COUNT(*) AS n FROM "
+                    "(SELECT o_custkey FROM orders)")
