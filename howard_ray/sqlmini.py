@@ -1266,6 +1266,31 @@ def _expand_star(sf_dir: str, plan: dict,
     return plan
 
 
+def _needed_columns_runtime(sf_dir: str, plan: dict) -> list[str]:
+    """_needed_columns plus a WITNESS column when the plan runs any map
+    stage (expression/window materialization) over an otherwise
+    column-free read: a 0-column Arrow batch reports num_rows == 0, so
+    ``SELECT 'x' AS t, COUNT(*) FROM tbl`` would count nothing."""
+    cols = _needed_columns(plan)
+    needs_rows = (_has_expr(plan)
+                  or any(it.get("window") for it in plan["items"]))
+    if cols or not needs_rows:
+        return cols
+    try:
+        if plan["table"] == "store":
+            from .manifest import load_footer
+            for b in load_footer(sf_dir)["blocks"]:
+                for c in (b.get("columns") or {}):
+                    return [c]
+            return cols
+        import pyarrow.parquet as pq_mod
+        names = pq_mod.read_schema(
+            os.path.join(sf_dir, plan["table"] + ".parquet")).names
+        return [names[0]] if names else cols
+    except OSError:
+        return cols
+
+
 def _needed_columns(plan: dict) -> list[str]:
     cols = set()
     for it in plan["items"]:
@@ -2666,7 +2691,8 @@ def run_sql(sf_dir: str, sql: str,
             # the residual Kleene-OR mask below is the filter
             keep = _or_zone_block_ids(sf_dir, plan["or_branches"],
                                       as_of=as_of)
-            ds = decode_store(sf_dir, columns=_needed_columns(plan),
+            ds = decode_store(sf_dir,
+                              columns=_needed_columns_runtime(sf_dir, plan),
                               block_ids=keep, as_of=as_of)
         else:
             # every range/IN condition contributes to zone pruning (blocks
@@ -2674,12 +2700,14 @@ def run_sql(sf_dir: str, sql: str,
             # the full pushable conjunction additionally rides into the
             # block scan (IN preferred: it consults Bloom sidecars)
             zones = _store_zones(plan["conds"])
-            ds = decode_store(sf_dir, columns=_needed_columns(plan),
+            ds = decode_store(sf_dir,
+                              columns=_needed_columns_runtime(sf_dir, plan),
                               zone_filter=zones or None,
                               predicate=_pushable_all(plan["conds"]) or None,
                               as_of=as_of)
     else:
-        ds = tbl(sf_dir, plan["table"], _needed_columns(plan))
+        ds = tbl(sf_dir, plan["table"],
+                 _needed_columns_runtime(sf_dir, plan))
     if plan.get("or_branches"):
         brs = plan["or_branches"]
         ds = ds.map_batches(lambda b: _predicate_dnf(b, brs),

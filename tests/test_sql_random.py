@@ -1,0 +1,78 @@
+"""Randomized cross-engine equivalence trials for the round-3 SQL surface
+(windows / CTEs / UNION / derived tables): deterministic seeds generate
+small random tables with nulls, skew and ties; the same SQL text runs
+through sqlmini and DuckDB and must hash-match. Catches semantics drift
+the curated fixtures can't (tie layouts, empty partitions, null keys)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from howard_ray.sqlmini import run_sql
+
+
+@pytest.fixture(scope="module")
+def rand_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sqlrand")
+    dirs = {}
+    for seed in (11, 23, 47):
+        d = root / f"s{seed}"
+        d.mkdir()
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(200, 600))
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 12, n)),
+            # ts has heavy TIES (small domain) to stress peer frames
+            "ts": pa.array(rng.integers(0, 40, n)),
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(np.round(rng.normal(50, 20, n), 2)),
+            "tag": pa.array(rng.choice(["a", "b", "c"], n)),
+        })
+        pq.write_table(t, str(d / "events.parquet"))
+        dirs[seed] = str(d)
+    return dirs
+
+
+def _both(sf_dir: str, sql: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, 'events.parquet')}'")
+    ora = con.execute(sql).df().reset_index(drop=True)
+    mine = run_sql(sf_dir, sql).reset_index(drop=True)
+    return mine, ora
+
+
+SQLS = [
+    # running aggregates under heavy order-key ties (RANGE peers)
+    """SELECT rid, ROUND(SUM(v) OVER (PARTITION BY k ORDER BY ts, rid), 2)
+AS rv, RANK() OVER (PARTITION BY k ORDER BY ts) AS r
+FROM events ORDER BY rid""",
+    # lag/lead across small partitions (some have 1 row)
+    """SELECT rid, LAG(v) OVER (PARTITION BY k ORDER BY ts, rid) AS pv,
+LEAD(tag) OVER (PARTITION BY k ORDER BY ts, rid) AS nt
+FROM events ORDER BY rid""",
+    # CTE + derived table + union over the same random data
+    """WITH agg AS (SELECT k, COUNT(*) AS n, ROUND(SUM(v), 2) AS sv
+FROM events GROUP BY k)
+SELECT 'agg' AS src, COUNT(*) AS n FROM agg
+UNION ALL SELECT 'raw' AS src, COUNT(*) AS n FROM events ORDER BY src""",
+    """SELECT tag, COUNT(*) AS n, ROUND(SUM(sv), 2) AS tot FROM
+(SELECT k, tag, ROUND(SUM(v), 2) AS sv FROM events GROUP BY k, tag) x
+GROUP BY tag ORDER BY tag""",
+    # partition-wide aggregates + WHERE composition
+    """SELECT rid, COUNT(*) OVER (PARTITION BY tag) AS nt,
+ROUND(MIN(v) OVER (PARTITION BY tag), 2) AS mn
+FROM events WHERE v >= 30 ORDER BY rid""",
+]
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize("qi", range(len(SQLS)))
+def test_random_tables_match_duckdb(ray_session, rand_dir, seed, qi):
+    mine, ora = _both(rand_dir[seed], SQLS[qi])
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
