@@ -2555,10 +2555,12 @@ def _run_with_ctes(sf_dir: str, sql: str,
     ctes, main = _split_ctes(sql)
     scratch = tempfile.mkdtemp(prefix="howard_sql_cte_")
     try:
+        # mirror EVERYTHING (parquet tables AND the encoded-store layout —
+        # blocks/, footer.json, manifest.jsonl, snapshots/ … — so WITH
+        # bodies and the main query can say FROM store too); CTE results
+        # overwrite their own names below
         for f in os.listdir(sf_dir):
-            if f.endswith(".parquet"):
-                os.symlink(os.path.join(sf_dir, f),
-                           os.path.join(scratch, f))
+            os.symlink(os.path.join(sf_dir, f), os.path.join(scratch, f))
         for name, body in ctes:
             res = run_sql(scratch, body, tables_dir=tables_dir)
             import pyarrow.parquet as pq_mod

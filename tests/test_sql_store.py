@@ -385,3 +385,28 @@ def test_sql_group_by_null_keys(ray_session, tmp_path):
     assert got["n"].tolist() == exp["n"].tolist()
     assert got["ns"].tolist() == exp["ns"].tolist()
     assert got["s"].tolist() == [int(x) for x in exp["s"]]
+
+
+def test_cte_over_store(ray_session, tmp_path):
+    """WITH bodies can read FROM store: the CTE scratch dir mirrors the
+    full store layout (round-3 verify-drive catch)."""
+    from howard_ray.fixtures import write_corpus
+    from howard_ray.pipeline import encode_dataset
+    from howard_ray.sqlmini import run_sql
+
+    src = str(tmp_path / "c.parquet")
+    write_corpus(src, 1200, seed=5)
+    store = str(tmp_path / "st")
+    encode_dataset(src, store, mode="stream", target_rows=400)
+    out = run_sql(store, "WITH s AS (SELECT source, n_tok FROM store) "
+                         "SELECT source, COUNT(*) AS n, "
+                         "ROUND(SUM(n_tok), 2) AS tok FROM s "
+                         "GROUP BY source ORDER BY source")
+    import duckdb
+    want = duckdb.sql(
+        f"SELECT source, COUNT(*) AS n, ROUND(SUM(n_tok), 2) AS tok "
+        f"FROM '{src}' GROUP BY source ORDER BY source").df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
