@@ -76,3 +76,53 @@ FROM events WHERE v >= 30 ORDER BY rid""",
 def test_random_tables_match_duckdb(ray_session, rand_dir, seed, qi):
     mine, ora = _both(rand_dir[seed], SQLS[qi])
     pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
+
+
+@pytest.fixture(scope="module")
+def null_dir(tmp_path_factory):
+    """Tables with NULLs in group keys, aggregate inputs and strings."""
+    root = tmp_path_factory.mktemp("sqlnull")
+    dirs = {}
+    for seed in (5, 19):
+        d = root / f"s{seed}"
+        d.mkdir()
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(300, 700))
+        k = rng.integers(0, 6, n).astype(float)
+        k[rng.random(n) < 0.15] = np.nan
+        v = np.round(rng.normal(10, 5, n), 2)
+        v[rng.random(n) < 0.2] = np.nan
+        tag = rng.choice(["x", "y", None], n, p=[0.45, 0.45, 0.10])
+        t = pa.table({
+            "k": pa.array([None if np.isnan(x) else int(x) for x in k],
+                          type=pa.int64()),
+            "v": pa.array([None if np.isnan(x) else float(x) for x in v]),
+            "tag": pa.array(list(tag)),
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        pq.write_table(t, str(d / "events.parquet"))
+        dirs[seed] = str(d)
+    return dirs
+
+
+NULL_SQLS = [
+    # NULL group keys form their own group (SQL semantics)
+    """SELECT k, COUNT(*) AS n, COUNT(v) AS nv, ROUND(SUM(v), 2) AS sv
+FROM events GROUP BY k ORDER BY k""",
+    # NULL string key + HAVING
+    """SELECT tag, COUNT(*) AS n FROM events GROUP BY tag
+HAVING COUNT(*) >= 10 ORDER BY tag""",
+    # WHERE drops NULL comparisons (Kleene), aggregates skip NULL inputs
+    """SELECT tag, ROUND(AVG(v), 4) AS av FROM events
+WHERE v >= 5 GROUP BY tag ORDER BY tag""",
+    # two-key grouping with NULLs in both keys
+    """SELECT k, tag, COUNT(*) AS n FROM events GROUP BY k, tag
+ORDER BY k, tag""",
+]
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+@pytest.mark.parametrize("qi", range(len(NULL_SQLS)))
+def test_null_heavy_tables_match_duckdb(ray_session, null_dir, seed, qi):
+    mine, ora = _both(null_dir[seed], NULL_SQLS[qi])
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
