@@ -250,7 +250,7 @@ def write_block_file(path: str, file_bytes: bytes) -> None:
     with sio.sopen(tmp, "wb") as f:
         f.write(file_bytes)
         f.flush()
-        os.fsync(f.fileno())
+        sio.fsync(f)
     sio.replace(tmp, path)
 
 

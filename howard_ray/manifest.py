@@ -138,7 +138,7 @@ def _atomic_json(path: str, obj) -> None:
     with sio.sopen(tmp, "w") as f:
         json.dump(obj, f, separators=(",", ":"))
         f.flush()
-        os.fsync(f.fileno())
+        sio.fsync(f)
     sio.replace(tmp, path)
 
 
@@ -482,7 +482,7 @@ def write_tombstone(store_dir: str, block_id: str, indices) -> None:
     with sio.sopen(tmp, "wb") as f:
         f.write(payload)
         f.flush()
-        os.fsync(f.fileno())
+        sio.fsync(f)
     sio.replace(tmp, path)
 
 

@@ -1191,7 +1191,7 @@ def vacuum_store(store_dir: str) -> dict:
         except OSError:
             pass
     tdir = os.path.join(store_dir, "tombstones")
-    if os.path.isdir(sio.resolve(tdir)):
+    if sio.isdir(tdir):
         for fn in sorted(sio.listdir(tdir)):
             if fn.endswith(".tmp") or fn[:-len(".tmb")] in live_ids:
                 continue
@@ -1203,7 +1203,7 @@ def vacuum_store(store_dir: str) -> dict:
             except OSError:
                 pass
     gdir = os.path.join(store_dir, "blooms")
-    if os.path.isdir(sio.resolve(gdir)):
+    if sio.isdir(gdir):
         for fn in sorted(sio.listdir(gdir)):
             if fn.endswith(".tmp") or fn in bloom_refs:
                 continue
@@ -2146,8 +2146,15 @@ def export_sorted(store_dir: str, by: str, out_dir: str, *,
             t = t.sort_by(by)
             path = os.path.join(out_dir,
                                 f"part-{rank_a.as_py():05d}.parquet")
-            pq_mod.write_table(t, sio.resolve(path) + ".tmp",
-                               compression="zstd")
+            lp = sio.local_path(path)
+            if lp is not None:
+                pq_mod.write_table(t, lp + ".tmp", compression="zstd")
+            else:
+                import io as _io
+                buf = _io.BytesIO()
+                pq_mod.write_table(t, buf, compression="zstd")
+                with sio.sopen(path + ".tmp", "wb") as f:
+                    f.write(buf.getvalue())
             sio.replace(path + ".tmp", path)
             out_rows.append(t.num_rows)
         return pa.table({"rows": pa.array(out_rows, type=pa.int64())})
@@ -2301,5 +2308,5 @@ def store_total_bytes(store_dir: str) -> int:
     total = 0
     for path in sio.walk_files(store_dir):
         if not path.endswith(".tmp"):
-            total += os.path.getsize(path)
+            total += sio.getsize(path)
     return total

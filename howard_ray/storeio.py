@@ -1,31 +1,44 @@
-"""Pluggable block/metadata I/O for the encoded store (round-2 verdict
-item #6): every store path operation routes through this URI layer, so the
-store works on object storage — the actual 100-TB multi-node requirement
-(workers on different nodes share no local filesystem; blocks and footers
-must live behind a URI scheme).
+"""Pluggable block/metadata I/O for the encoded store: every store path
+operation routes through this URI layer, so the store works on object
+storage — the actual 100-TB multi-node requirement (workers on different
+nodes share no local filesystem; blocks and footers must live behind a
+URI scheme).
 
 Plain paths (no ``scheme://``) dispatch straight to ``os``/builtins — the
 single-node fast path, zero overhead. URI paths resolve through a scheme
-registry. Two schemes ship built-in:
+registry of HANDLER OBJECTS implementing the nine store calls
+(open/exists/isdir/listdir/makedirs/replace/remove/getsize/walk_files).
+Three schemes ship built-in:
 
 - ``shim://name/...`` → ``$HOWARD_SHIM_ROOT｜/tmp/howard_shim/name/...`` —
-  a test double proving no code path bypasses the layer (a bypassed
-  ``os.makedirs('shim://x')`` would create a literal ``shim:`` directory
-  in the CWD, which the pytest asserts against). Registered structurally
-  (not per-process state) so Ray worker processes resolve it identically.
+  a path-mappable test double proving no code path bypasses the layer (a
+  bypassed ``os.makedirs('shim://x')`` would create a literal ``shim:``
+  directory in the CWD, which the pytest asserts against).
 - ``file://`` → the local filesystem.
+- ``mem://...`` → an in-memory store held by a NAMED RAY ACTOR — not
+  path-mappable by construction (no local path exists for any key), and
+  shared across Ray worker processes via ``ray.get_actor``. It declares
+  ``supports_replace = False``, so the atomic temp+rename publish
+  degrades to the object-store shape: one atomic whole-object PUT of the
+  final key, then delete of the temp (S3 semantics — readers see either
+  no object or the complete object, never a partial one; durability of
+  the publish is carried by the manifest commit, not the rename).
 
-A real deployment registers ``s3://`` / ``gs://`` here via fsspec-style
-backends implementing the same seven calls. The layer is deliberately
-call-compatible with ``os`` so the store code reads unchanged.
+All three are registered STRUCTURALLY (module-level, not per-process
+mutable state) so Ray worker processes resolve them identically. A real
+deployment registers ``s3://`` / ``gs://`` here via ``register_handler``
+with an fsspec-style backend implementing the same calls.
 """
 
 from __future__ import annotations
 
+import io
 import os
-from typing import Callable
+from typing import Callable, Iterator
 
 _SHIM_ROOT = os.environ.get("HOWARD_SHIM_ROOT", "/tmp/howard_shim")
+_MEM_ACTOR_NAME = "howard_memstore"
+_MEM_NAMESPACE = "howard_storeio"
 
 
 def _split(path: str):
@@ -36,28 +49,258 @@ def _split(path: str):
     return path[:i], path[i + 3:]
 
 
-# scheme -> resolver(rest) returning a LOCAL path the os calls act on.
-# Backends that are not path-mappable (true object stores) would instead
-# register a handler object; everything in this sandbox is path-mappable.
-_RESOLVERS: dict[str, Callable[[str], str]] = {
-    "file": lambda rest: "/" + rest.lstrip("/"),
-    "shim": lambda rest: os.path.join(_SHIM_ROOT, rest),
+class LocalHandler:
+    """Path-mappable backend: a resolver maps rest → local path and every
+    call dispatches to ``os``/builtins. ``file://``, ``shim://`` and any
+    legacy ``register_scheme(resolver)`` registration use this."""
+
+    supports_replace = True
+
+    def __init__(self, resolver: Callable[[str], str]):
+        self._resolver = resolver
+
+    def local_path(self, rest: str) -> str | None:
+        return self._resolver(rest)
+
+    def open(self, rest: str, mode: str = "r"):
+        return open(self._resolver(rest), mode)
+
+    def exists(self, rest: str) -> bool:
+        return os.path.exists(self._resolver(rest))
+
+    def isdir(self, rest: str) -> bool:
+        return os.path.isdir(self._resolver(rest))
+
+    def listdir(self, rest: str) -> list[str]:
+        return os.listdir(self._resolver(rest))
+
+    def makedirs(self, rest: str, exist_ok: bool = True) -> None:
+        os.makedirs(self._resolver(rest), exist_ok=exist_ok)
+
+    def replace(self, src_rest: str, dst_rest: str) -> None:
+        os.replace(self._resolver(src_rest), self._resolver(dst_rest))
+
+    def remove(self, rest: str) -> None:
+        os.remove(self._resolver(rest))
+
+    def getsize(self, rest: str) -> int:
+        return os.path.getsize(self._resolver(rest))
+
+    def walk_files(self, rest: str) -> Iterator[str]:
+        base = self._resolver(rest)
+        for root, _, files in os.walk(base):
+            for f in files:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, base)
+                yield os.path.join(rest, rel) if rel != "." else rest
+
+
+def _mem_actor():
+    """Create-or-connect the named mem-store actor. Named + namespaced so
+    every Ray worker process resolves the SAME actor (module state does
+    not propagate to workers; the actor name does)."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class _MemStoreActor:
+        """Single-threaded key→bytes store; each method is one atomic
+        message, which is what gives mem:// its atomic-PUT semantics.
+        Methods return sentinels instead of raising so the handler can
+        re-raise REAL OSErrors client-side (a raise here would surface
+        as RayTaskError and break ``except OSError`` in store code)."""
+
+        def __init__(self):
+            self._files: dict[str, bytes] = {}
+            self._dirs: set[str] = {""}
+
+        def _mkparents(self, key: str) -> None:
+            d = os.path.dirname(key)
+            while d and d not in self._dirs:
+                self._dirs.add(d)
+                d = os.path.dirname(d)
+
+        def put(self, key: str, data: bytes) -> None:
+            self._mkparents(key)
+            self._files[key] = bytes(data)
+
+        def append(self, key: str, data: bytes) -> None:
+            self._mkparents(key)
+            self._files[key] = self._files.get(key, b"") + bytes(data)
+
+        def get(self, key: str):
+            return self._files.get(key)
+
+        def exists(self, key: str) -> bool:
+            return key in self._files or key in self._dirs
+
+        def isdir(self, key: str) -> bool:
+            return key in self._dirs
+
+        def listdir(self, key: str):
+            if key not in self._dirs:
+                return None
+            pre = key + "/" if key else ""
+            out = set()
+            for k in list(self._files) + list(self._dirs):
+                if k != key and k.startswith(pre):
+                    out.add(k[len(pre):].split("/", 1)[0])
+            return sorted(out)
+
+        def makedirs(self, key: str) -> None:
+            self._dirs.add(key)
+            self._mkparents(key + "/x")
+
+        def remove(self, key: str) -> bool:
+            return self._files.pop(key, None) is not None
+
+        def getsize(self, key: str) -> int:
+            f = self._files.get(key)
+            return -1 if f is None else len(f)
+
+        def walk_files(self, key: str):
+            pre = key + "/" if key else ""
+            return sorted(k for k in self._files if k.startswith(pre))
+
+    return _MemStoreActor.options(
+        name=_MEM_ACTOR_NAME, namespace=_MEM_NAMESPACE,
+        get_if_exists=True, max_concurrency=1).remote()
+
+
+class _MemWriteBuf(io.BytesIO):
+    """Write buffer that publishes to the mem actor as ONE atomic PUT on
+    close — the object-store single-object-PUT shape."""
+
+    def __init__(self, handler: "MemHandler", rest: str, append: bool,
+                 text: bool):
+        super().__init__()
+        self._h, self._rest, self._append, self._text = (
+            handler, rest, append, text)
+
+    def write(self, data):  # type: ignore[override]
+        if self._text and isinstance(data, str):
+            data = data.encode()
+        return super().write(data)
+
+    def close(self):
+        if not self.closed:
+            import ray
+            a = self._h._actor()
+            m = a.append if self._append else a.put
+            ray.get(m.remote(self._rest, self.getvalue()))
+        super().close()
+
+
+class MemHandler:
+    """In-memory backend shared across Ray workers via a named actor.
+    NOT path-mappable (``local_path`` → None) and has no rename
+    (``supports_replace = False``): the store's atomic publish must work
+    through copy-PUT + delete, exactly as on S3/GCS."""
+
+    supports_replace = False
+
+    def __init__(self):
+        self._a = None
+
+    def _actor(self):
+        if self._a is None:
+            self._a = _mem_actor()
+        return self._a
+
+    def local_path(self, rest: str):
+        return None
+
+    def open(self, rest: str, mode: str = "r"):
+        import ray
+        if "w" in mode or "a" in mode:
+            return _MemWriteBuf(self, rest, append="a" in mode,
+                                text="b" not in mode)
+        data = ray.get(self._actor().get.remote(rest))
+        if data is None:
+            raise FileNotFoundError(rest)
+        return io.BytesIO(data) if "b" in mode else io.StringIO(
+            data.decode())
+
+    def exists(self, rest: str) -> bool:
+        import ray
+        return ray.get(self._actor().exists.remote(rest))
+
+    def isdir(self, rest: str) -> bool:
+        import ray
+        return ray.get(self._actor().isdir.remote(rest))
+
+    def listdir(self, rest: str) -> list[str]:
+        import ray
+        out = ray.get(self._actor().listdir.remote(rest))
+        if out is None:
+            raise FileNotFoundError(rest)
+        return out
+
+    def makedirs(self, rest: str, exist_ok: bool = True) -> None:
+        import ray
+        ray.get(self._actor().makedirs.remote(rest))
+
+    def remove(self, rest: str) -> None:
+        import ray
+        if not ray.get(self._actor().remove.remote(rest)):
+            raise FileNotFoundError(rest)
+
+    def getsize(self, rest: str) -> int:
+        import ray
+        n = ray.get(self._actor().getsize.remote(rest))
+        if n < 0:
+            raise FileNotFoundError(rest)
+        return n
+
+    def walk_files(self, rest: str) -> Iterator[str]:
+        import ray
+        yield from ray.get(self._actor().walk_files.remote(rest))
+
+
+_HANDLERS: dict[str, object] = {
+    "file": LocalHandler(lambda rest: "/" + rest.lstrip("/")),
+    "shim": LocalHandler(lambda rest: os.path.join(_SHIM_ROOT, rest)),
+    "mem": MemHandler(),
 }
 
 
+def register_handler(scheme: str, handler: object) -> None:
+    """Register a backend object implementing the nine store calls."""
+    _HANDLERS[scheme] = handler
+
+
 def register_scheme(scheme: str, resolver: Callable[[str], str]) -> None:
-    _RESOLVERS[scheme] = resolver
+    """Legacy convenience: register a path-mappable backend from a
+    rest→local-path resolver."""
+    _HANDLERS[scheme] = LocalHandler(resolver)
 
 
-def resolve(path: str) -> str:
+def _handler(scheme: str):
+    try:
+        return _HANDLERS[scheme]
+    except KeyError:
+        raise ValueError(f"unknown store URI scheme {scheme!r} "
+                         f"(registered: {sorted(_HANDLERS)})") from None
+
+
+def local_path(path: str) -> str | None:
+    """Local filesystem path for ``path``, or None when the backend is
+    not path-mappable (callers must then go through sopen/…)."""
     scheme, rest = _split(path)
     if scheme is None:
         return path
-    try:
-        return _RESOLVERS[scheme](rest)
-    except KeyError:
-        raise ValueError(f"unknown store URI scheme {scheme!r} "
-                         f"(registered: {sorted(_RESOLVERS)})") from None
+    return _handler(scheme).local_path(rest)
+
+
+def resolve(path: str) -> str:
+    """Resolve to a LOCAL path — only valid for path-mappable backends
+    (kept for the shim tripwire tests and local fast paths; store code
+    must use :func:`local_path` and handle None)."""
+    p = local_path(path)
+    if p is None:
+        scheme, _ = _split(path)
+        raise ValueError(f"scheme {scheme!r} is not path-mappable; "
+                         f"use sopen/exists/… instead of resolve()")
+    return p
 
 
 def join(base: str, *parts: str) -> str:
@@ -69,36 +312,96 @@ def join(base: str, *parts: str) -> str:
 
 
 def sopen(path: str, mode: str = "r"):
-    return open(resolve(path), mode)
+    scheme, rest = _split(path)
+    if scheme is None:
+        return open(path, mode)
+    return _handler(scheme).open(rest, mode)
 
 
 def exists(path: str) -> bool:
-    return os.path.exists(resolve(path))
+    scheme, rest = _split(path)
+    if scheme is None:
+        return os.path.exists(path)
+    return _handler(scheme).exists(rest)
+
+
+def isdir(path: str) -> bool:
+    scheme, rest = _split(path)
+    if scheme is None:
+        return os.path.isdir(path)
+    return _handler(scheme).isdir(rest)
 
 
 def listdir(path: str) -> list[str]:
-    return os.listdir(resolve(path))
+    scheme, rest = _split(path)
+    if scheme is None:
+        return os.listdir(path)
+    return _handler(scheme).listdir(rest)
 
 
 def makedirs(path: str, exist_ok: bool = True) -> None:
-    os.makedirs(resolve(path), exist_ok=exist_ok)
+    scheme, rest = _split(path)
+    if scheme is None:
+        os.makedirs(path, exist_ok=exist_ok)
+    else:
+        _handler(scheme).makedirs(rest, exist_ok=exist_ok)
 
 
 def replace(src: str, dst: str) -> None:
-    """Atomic swap — both URIs must resolve into the same backend."""
-    os.replace(resolve(src), resolve(dst))
+    """Atomic publish — both URIs must live in the same backend. On
+    backends without rename (``supports_replace = False``) this becomes
+    one atomic whole-object PUT of the final key + delete of the temp:
+    readers see either nothing or the complete object (object-store
+    semantics); the manifest commit carries the durability claim."""
+    scheme, src_rest = _split(src)
+    scheme2, dst_rest = _split(dst)
+    if scheme != scheme2:
+        raise ValueError(f"replace across backends: {src} -> {dst}")
+    if scheme is None:
+        os.replace(src, dst)
+        return
+    h = _handler(scheme)
+    if getattr(h, "supports_replace", True):
+        h.replace(src_rest, dst_rest)
+    else:
+        with h.open(src_rest, "rb") as f:
+            data = f.read()
+        with h.open(dst_rest, "wb") as f:
+            f.write(data)
+        h.remove(src_rest)
 
 
 def remove(path: str) -> None:
-    os.remove(resolve(path))
+    scheme, rest = _split(path)
+    if scheme is None:
+        os.remove(path)
+    else:
+        _handler(scheme).remove(rest)
 
 
 def getsize(path: str) -> int:
-    return os.path.getsize(resolve(path))
+    scheme, rest = _split(path)
+    if scheme is None:
+        return os.path.getsize(path)
+    return _handler(scheme).getsize(rest)
 
 
 def walk_files(path: str):
-    """Yield (repo-relative local path) for every file under the tree."""
-    for root, _, files in os.walk(resolve(path)):
-        for f in files:
-            yield os.path.join(root, f)
+    """Yield the URI (or plain path) of every file under the tree."""
+    scheme, rest = _split(path)
+    if scheme is None:
+        for root, _, files in os.walk(path):
+            for f in files:
+                yield os.path.join(root, f)
+        return
+    for sub in _handler(scheme).walk_files(rest):
+        yield f"{scheme}://{sub}"
+
+
+def fsync(f) -> None:
+    """fsync when the object is a real OS file; no-op for buffer-backed
+    backends whose close IS the durable atomic publish."""
+    try:
+        os.fsync(f.fileno())
+    except (AttributeError, OSError, io.UnsupportedOperation):
+        pass
