@@ -95,6 +95,13 @@ def write_hbb(df: pd.DataFrame, path: str) -> dict:
             break
         base = len(_MAGIC) + 4 + len(hdr)
     hdr = json.dumps(header, separators=(",", ":")).encode()
+    if len(hdr) + len(_MAGIC) + 4 != base:
+        # never observed (digit-count growth converges in ≤2 rounds), but
+        # a non-stabilized header would mean every chunk offset is stale
+        # and HbbReader would silently decode wrong bytes — fail loudly
+        raise RuntimeError(
+            f"hbb header failed to stabilize: header={len(hdr)}B "
+            f"base={base}")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path + ".tmp", "wb") as f:
         f.write(_MAGIC)

@@ -413,6 +413,14 @@ def _verify_pairs_ds(sf_dir: str, cand, hl=None):
             order = np.argsort(rk, kind="stable")
             pos = np.searchsorted(rk[order], lk)
             idx = order[np.clip(pos, 0, max(0, len(order) - 1))]
+            # every candidate doc_id MUST have a hash-list row (every doc
+            # emits one); verify key equality so an invariant drift fails
+            # loudly instead of silently attaching a wrong doc's shingles
+            if len(rk) == 0 or not np.array_equal(rk[idx], lk):
+                missing = lk if len(rk) == 0 else lk[rk[idx] != lk]
+                raise RuntimeError(
+                    f"candidate doc ids missing from hash-list side: "
+                    f"{missing[:5]!r} (+{max(0, len(missing) - 5)} more)")
             vals = right["__v"].combine_chunks().take(pa.array(idx))
             out = {c: left[c] for c in carry}
             out[out_col] = vals

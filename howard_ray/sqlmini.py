@@ -1581,8 +1581,6 @@ def _joined_dataset(sf_dir: str, plan: dict, tables_dir: str | None = None):
             raise ValueError(
                 f"join key {rk!r} is not a column of {j['table']!r}")
         dim = scan(j["table"])
-        dim_tbl = pa.concat_tables(
-            ray.get(dim.to_arrow_refs()), promote_options="default")
         # The joined side is BROADCAST: materialized once on the driver,
         # ray.put once, read zero-copy in every batch task. This is the
         # right shape for small dims, but LEFT JOIN inverts the usual
@@ -1590,15 +1588,22 @@ def _joined_dataset(sf_dir: str, plan: dict, tables_dir: str | None = None):
         # left rows) — guard with a clear error instead of exhausting
         # driver memory. At 100-TB scale a big right side needs the
         # cogroup path (ops/relational.cogroup_join), not a broadcast.
+        # The cap is checked on OBJECT-STORE block sizes (materialize()
+        # keeps blocks in plasma) BEFORE concat pulls anything onto the
+        # driver heap — an over-cap dim errors without ever being heaped.
         _BCAST_CAP = int(os.environ.get("HOWARD_SQL_BROADCAST_CAP_MB",
                                         "2048")) * (1 << 20)
-        if dim_tbl.nbytes > _BCAST_CAP:
+        dim_mat = dim.materialize()
+        dim_bytes = dim_mat.size_bytes() or 0
+        if dim_bytes > _BCAST_CAP:
             raise ValueError(
                 f"joined table {j['table']!r} is "
-                f"{dim_tbl.nbytes / 1e6:.0f} MB — too large to broadcast "
+                f"{dim_bytes / 1e6:.0f} MB — too large to broadcast "
                 f"(cap {_BCAST_CAP >> 20} MB; raise with "
                 "HOWARD_SQL_BROADCAST_CAP_MB or use "
                 "howard_ray.ops.relational.cogroup_join for big-big joins)")
+        dim_tbl = pa.concat_tables(
+            ray.get(dim_mat.to_arrow_refs()), promote_options="default")
         ref = ray.put(dim_tbl)
 
         how = "left outer" if j.get("how") == "left" else "inner"
@@ -2310,6 +2315,10 @@ def _run_windowed(plan: dict, ds) -> pd.DataFrame:
     wins = [it for it in plan["items"] if it.get("window")]
     part = wins[0]["window"]["part"]
     n_buckets = 64
+    # ORDER BY may name a physical column that is not selected — carry it
+    # through the fold as a hidden passthrough, dropped after the sort
+    aliases = {it["alias"] for it in plan["items"]}
+    extra_ord = [c for c, _ in plan["order"] if c not in aliases]
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = np.zeros(batch.num_rows, dtype=np.uint64)
@@ -2378,6 +2387,8 @@ def _run_windowed(plan: dict, ds) -> pd.DataFrame:
             if nd is not None:
                 v = v.astype(float).pipe(_sql_round, nd)
             res[alias] = v
+        for c in extra_ord:
+            res[c] = g[c]
         return pd.DataFrame(res)
 
     out = (ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -2390,20 +2401,48 @@ def _run_windowed(plan: dict, ds) -> pd.DataFrame:
         out = out.head(plan["limit"])
     hid = [it["alias"] for it in plan["items"]
            if it.get("hidden") and it["alias"] in out.columns]
+    hid += [c for c in extra_ord if c in out.columns]
     if hid:
         out = out.drop(columns=hid)
     return out.reset_index(drop=True)
 
+def _mask_literals(sql: str) -> str:
+    """Same-length copy with every character INSIDE a single-quoted
+    literal (including '' escapes) replaced by \\x00, so structural scans
+    (UNION, FROM (, paren depth) can run on the mask while slicing from
+    the original — a WHERE note = 'a union b' or a literal containing an
+    unbalanced paren no longer mis-splits the query."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    in_lit = False
+    while i < n:
+        c = sql[i]
+        if in_lit:
+            if c == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    out[i] = out[i + 1] = "\x00"
+                    i += 2
+                    continue
+                in_lit = False
+            else:
+                out[i] = "\x00"
+        elif c == "'":
+            in_lit = True
+        i += 1
+    return "".join(out)
+
+
 def _split_union(sql: str):
-    """Top-level ``UNION [ALL]`` split (paren-depth 0). Returns
-    (parts, all_flags) — all_flags[i] is True when part i+1 joined via
-    UNION ALL — or ([sql], []) when no union present."""
+    """Top-level ``UNION [ALL]`` split (paren-depth 0, literal-aware).
+    Returns (parts, all_flags) — all_flags[i] is True when part i+1
+    joined via UNION ALL — or ([sql], []) when no union present."""
     parts, flags = [], []
     depth = start = 0
     i = 0
-    up = sql.upper()
+    msk = _mask_literals(sql)
+    up = msk.upper()
     while i < len(sql):
-        ch = sql[i]
+        ch = msk[i]
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -2477,6 +2516,7 @@ def _split_ctes(sql: str):
     m = re.match(r"^\s*WITH\s+", sql, re.IGNORECASE)
     if not m:
         return [], sql
+    msk = _mask_literals(sql)
     i = m.end()
     ctes = []
     while True:
@@ -2491,9 +2531,9 @@ def _split_ctes(sql: str):
         while depth:
             if k >= len(sql):
                 raise ValueError(f"unbalanced parens in CTE {name!r}")
-            if sql[k] == "(":
+            if msk[k] == "(":
                 depth += 1
-            elif sql[k] == ")":
+            elif msk[k] == ")":
                 depth -= 1
             k += 1
         ctes.append((name, sql[j:k - 1].strip()))
@@ -2512,7 +2552,8 @@ def _rewrite_derived_tables(sql: str) -> str:
     compiler underneath). Repeats until no derived table remains; the
     alias is REQUIRED (both engines must agree on the table name)."""
     while True:
-        m = re.search(r"\bFROM\s*\(", sql, re.IGNORECASE)
+        msk = _mask_literals(sql)
+        m = re.search(r"\bFROM\s*\(", msk, re.IGNORECASE)
         if not m:
             return sql
         j = m.end()
@@ -2521,9 +2562,9 @@ def _rewrite_derived_tables(sql: str) -> str:
         while depth:
             if k >= len(sql):
                 raise ValueError("unbalanced parens in derived table")
-            if sql[k] == "(":
+            if msk[k] == "(":
                 depth += 1
-            elif sql[k] == ")":
+            elif msk[k] == ")":
                 depth -= 1
             k += 1
         body = sql[j:k - 1].strip()
@@ -2593,7 +2634,7 @@ def run_sql(sf_dir: str, sql: str,
 
     from .ops.util import tbl
 
-    if re.search(r"\bFROM\s*\(", sql, re.IGNORECASE):
+    if re.search(r"\bFROM\s*\(", _mask_literals(sql), re.IGNORECASE):
         sql = _rewrite_derived_tables(sql)
     if re.match(r"^\s*WITH\s+", sql, re.IGNORECASE):
         if as_of is not None:
@@ -2734,9 +2775,6 @@ def run_sql(sf_dir: str, sql: str,
 
         ds = ds.map_batches(_wmask, batch_format="pyarrow")
 
-    if any(it.get("window") for it in plan["items"]):
-        return _run_windowed(plan, ds)
-
     if _has_expr(plan):
         # Materialize every expression item as a real column in ONE
         # vectorized map_batches stage, then rewrite the plan so the item
@@ -2779,6 +2817,12 @@ def run_sql(sf_dir: str, sql: str,
 
         ds = ds.map_batches(_compute, batch_format="pyarrow")
         plan = dict(plan, items=new_items, _lit_backfill=lit_backfill)
+
+    # windowed dispatch AFTER expression materialization: a query mixing
+    # a window with a computed item (SELECT v*2 AS d, ROW_NUMBER() OVER …)
+    # sees the expression as an ordinary materialized column in the fold
+    if any(it.get("window") for it in plan["items"]):
+        return _run_windowed(plan, ds)
 
     if any(it["agg"] for it in plan["items"]):
         # SQL keeps NULL as its own group; Ray's groupby DROPS null keys.

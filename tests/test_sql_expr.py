@@ -587,3 +587,57 @@ def test_derived_table_requires_alias(ray_session):
     with pytest.raises(ValueError, match="alias"):
         run_sql(SF, "SELECT COUNT(*) AS n FROM "
                     "(SELECT o_custkey FROM orders)")
+
+
+# ------------------------------- literal-aware structural scans (round 4)
+
+def test_union_keyword_inside_string_literal(ray_session):
+    # ' union ' in a literal must NOT split the query (literal-masked scan)
+    sql = ("SELECT doc_id FROM documents "
+           "WHERE lang = 'no union here' ORDER BY doc_id LIMIT 3")
+    mine = run_sql(SF, sql)
+    assert len(mine) == 0
+    sql2 = ("SELECT 'a UNION b' AS t, COUNT(*) AS n FROM events")
+    mine2 = run_sql(SF, sql2)
+    ora2 = _oracle(sql2, "events")
+    pd.testing.assert_frame_equal(mine2, ora2, check_dtype=False)
+
+
+def test_from_paren_inside_string_literal(ray_session):
+    # 'FROM (' and an unbalanced paren inside literals must not trigger
+    # the derived-table rewrite or break paren-depth scans
+    sql = ("SELECT event_id, 'FROM (x' AS marker FROM events "
+           "WHERE event_type = 'a(b' ORDER BY event_id LIMIT 2")
+    mine = run_sql(SF, sql)
+    assert list(mine.columns) == ["event_id", "marker"]
+    assert len(mine) == 0
+
+
+def test_literal_with_escaped_quote_in_cte(ray_session):
+    sql = ("WITH x AS (SELECT event_id, event_type FROM events "
+           "WHERE event_type <> 'it''s (odd' ) "
+           "SELECT COUNT(*) AS n FROM x")
+    mine = run_sql(SF, sql)
+    ora = _oracle("SELECT COUNT(*) AS n FROM events "
+                  "WHERE event_type <> 'it''s (odd'", "events")
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
+
+
+# ------------------------- window + expression items mixing (round 4)
+
+def test_window_mixed_with_expression_item(ray_session):
+    sql = ("SELECT event_id, value * 2 AS d, ROW_NUMBER() OVER "
+           "(PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+           "FROM events ORDER BY event_id LIMIT 50")
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, "events").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
+
+
+def test_window_order_by_non_selected_column(ray_session):
+    sql = ("SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id "
+           "ORDER BY ts, event_id) AS rn FROM events "
+           "ORDER BY user_id, ts, event_id LIMIT 40")
+    mine = run_sql(SF, sql).reset_index(drop=True)
+    ora = _oracle(sql, "events").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
