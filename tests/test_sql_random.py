@@ -118,6 +118,20 @@ WHERE v >= 5 GROUP BY tag ORDER BY tag""",
     # two-key grouping with NULLs in both keys
     """SELECT k, tag, COUNT(*) AS n FROM events GROUP BY k, tag
 ORDER BY k, tag""",
+    # windows over null-heavy data (round-4 Arrow fold): null partition
+    # keys form one partition, null order keys sort last, running SUM
+    # skips null inputs without breaking the accumulation (RANGE peers)
+    """SELECT rid, ROUND(SUM(v) OVER (PARTITION BY k ORDER BY rid), 2)
+AS rv FROM events ORDER BY rid""",
+    """SELECT rid, ROW_NUMBER() OVER (PARTITION BY tag ORDER BY v, rid)
+AS rn, LAG(v) OVER (PARTITION BY tag ORDER BY v, rid) AS pv
+FROM events ORDER BY rid""",
+    """SELECT rid, COUNT(*) OVER (PARTITION BY k) AS nk,
+ROUND(AVG(v) OVER (PARTITION BY k), 4) AS av
+FROM events ORDER BY rid""",
+    # RANK over a null-heavy order key (nulls are peers of each other)
+    """SELECT rid, RANK() OVER (PARTITION BY tag ORDER BY k) AS r
+FROM events ORDER BY rid""",
 ]
 
 
