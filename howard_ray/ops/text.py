@@ -56,21 +56,22 @@ GROUP BY w ORDER BY word
 class PropsParser:
     """Regex field extraction from a packed string column — the reference's
     explode_infos (INFO 'k=v' → typed column via REGEXP_EXTRACT,
-    variants.py:1894-1929) applied to events.props JSON. Compiled pattern
-    held per actor."""
+    variants.py:1894-1929) applied to events.props JSON. Arrow-native
+    (round-3 verdict item #5): pc.extract_regex over the zero-copy string
+    batch; the pattern string is per-actor state."""
 
     def __init__(self):
-        import re
-        self.pat = re.compile(r'"k": (\d+)')
+        self.pat = r'"k": (?P<k>\d+)'
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch["props"].str.extract(self.pat, expand=False).astype("int64")
-        return pd.DataFrame({"event_type": batch["event_type"], "k": k})
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch["props"], self.pat)
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
 
 
 def parse_props(sf_dir: str):
     out = (tbl(sf_dir, "events", ["event_type", "props"])
-           .map_batches(PropsParser, batch_format="pandas", concurrency=(1, 4))
+           .map_batches(PropsParser, batch_format="pyarrow", concurrency=(1, 4))
            .groupby("event_type")
            .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
            .to_pandas())
@@ -122,36 +123,39 @@ FROM documents GROUP BY source ORDER BY source
 
 class QualityScorer:
     """Per-doc quality signals: stopword ratio and mean word length —
-    vectorized, stop set built once per actor (reference stateful-stage
-    shape, variants.py:8128)."""
+    Arrow-native (round-3 verdict item #5): utf8_length / count_substring
+    / split_pattern string kernels on the zero-copy batch, one flattened
+    is_in over the batch's whole word stream, bincount per row — no
+    pandas object-array conversion of the corpus. Stop set built once per
+    actor (reference stateful-stage shape, variants.py:8128)."""
 
     def __init__(self):
-        self.stop = np.array(sorted(STOPWORDS), dtype=object)
+        self.stop = pa.array(sorted(STOPWORDS))
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # fully vectorized: word/char counts from the raw string, stopword
-        # hits via one flattened isin over the batch's whole word stream —
-        # no per-row Python lambdas in this hot path
+    def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch["text"]
-        n = (text.str.count(" ") + 1).astype("float64")
-        total_chars = (text.str.len() - (n - 1))  # chars minus separators
-        words = text.str.split(" ")
-        lens = words.str.len().to_numpy(np.int64)
-        flat = np.concatenate(words.to_numpy()) if len(batch) else \
-            np.array([], dtype=object)
-        hit = pd.Series(flat, dtype=object).isin(self.stop).to_numpy()
-        row = np.repeat(np.arange(len(batch)), lens)
-        n_stop = np.bincount(row, weights=hit, minlength=len(batch))
-        return pd.DataFrame({
+        n = pc.cast(pc.add(pc.count_substring(text, " "), 1),
+                    pa.float64()).to_numpy(zero_copy_only=False)
+        chars = pc.cast(pc.utf8_length(text),
+                        pa.float64()).to_numpy(zero_copy_only=False)
+        total_chars = chars - (n - 1)  # chars minus separators
+        words = pc.split_pattern(text, " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        hit = pc.is_in(flat, value_set=self.stop) \
+            .to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(batch.num_rows), lens)
+        n_stop = np.bincount(row, weights=hit, minlength=batch.num_rows)
+        return pa.table({
             "source": batch["source"],
-            "stop_ratio": n_stop / n.to_numpy(),
-            "mean_wlen": total_chars.to_numpy() / n.to_numpy(),
+            "stop_ratio": pa.array(n_stop / n),
+            "mean_wlen": pa.array(total_chars / n),
         })
 
 
 def quality_by_source(sf_dir: str):
     out = (tbl(sf_dir, "documents", ["source", "text"])
-           .map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 4))
+           .map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
            .groupby("source")
            .aggregate(Sum("stop_ratio", alias_name="s_stop"),
                       Sum("mean_wlen", alias_name="s_wlen"),
@@ -195,34 +199,46 @@ class LangId:
 
     def __init__(self):
         self.langs = sorted(self.MARKERS)
-        # marker multimap as a merge table ("la" belongs to fr AND es)
-        self.marker_df = pd.DataFrame(
-            [(w, li) for li, l in enumerate(self.langs)
-             for w in self.MARKERS[l]], columns=["word", "li"])
+        # marker multimap ("la" belongs to fr AND es): one value_set per
+        # language, matched against the batch's per-batch word DICTIONARY
+        # (tiny) instead of the full flattened stream
+        self.marker_sets = [pa.array(sorted(self.MARKERS[l]))
+                            for l in self.langs]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # vectorized scoring: flatten words with row ids, distinct
-        # (row, word), merge against the marker table, scatter-count per
-        # (row, lang); argmax picks the first (= alphabetical) max
-        split = batch["text"].str.split(" ")
-        counts = split.str.len().to_numpy()
-        rows = np.repeat(np.arange(len(batch)), counts)
-        flat = np.concatenate(split.to_numpy()) if len(batch) else np.array([])
-        uniq = pd.DataFrame({"r": rows, "word": flat}).drop_duplicates()
-        hits = uniq.merge(self.marker_df, on="word")
-        score = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
-        if len(hits):
-            np.add.at(score, (hits["r"].to_numpy(), hits["li"].to_numpy()), 1)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # Arrow-native scoring (round-3 verdict item #5): flatten words
+        # with row ids, dictionary-encode the stream, dedupe (row, code)
+        # pairs in numpy, then mark marker words per language on the
+        # DICTIONARY and scatter-count per (row, lang); argmax picks the
+        # first (= alphabetical) max
+        n_rows = batch.num_rows
+        words = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        denc = pc.dictionary_encode(
+            pc.list_flatten(words)).combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = denc.dictionary
+        n_vocab = max(1, len(vocab))
+        pair = np.unique(rows * n_vocab + codes)
+        urow, ucode = pair // n_vocab, pair % n_vocab
+        score = np.zeros((n_rows, len(self.langs)), dtype=np.int64)
+        for li, vs in enumerate(self.marker_sets):
+            m = pc.is_in(vocab, value_set=vs).to_numpy(zero_copy_only=False)
+            hits = m[ucode]
+            if hits.any():
+                np.add.at(score, (urow[hits], li), 1)
         best = score.argmax(axis=1)
         pred = np.where(score.max(axis=1) > 0,
                         np.array(self.langs, dtype=object)[best], "unknown")
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "lang": batch["lang"], "pred_lang": pred})
+        return pa.table({"doc_id": batch["doc_id"],
+                         "lang": batch["lang"],
+                         "pred_lang": pa.array(pred.astype("U"))})
 
 
 def lang_id(sf_dir: str):
     out = (tbl(sf_dir, "documents", ["doc_id", "lang", "text"])
-           .map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+           .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -283,10 +299,37 @@ def horner_hash_u64(texts_in) -> np.ndarray:
     signatures and document fingerprints share a DuckDB oracle."""
     texts = [t.encode("utf-8") for t in texts_in]
     lens = np.array([len(t) for t in texts], dtype=np.int64)
-    fps = np.zeros(len(texts), dtype=np.uint64)
+    flat = (np.frombuffer(b"".join(texts), dtype=np.uint8)
+            if texts else np.array([], dtype=np.uint8))
+    return _horner_flat(flat, lens)
+
+
+def horner_hash_arrow(col) -> np.ndarray:
+    """Arrow fast path (round-3 verdict item #5): the hash runs over the
+    string column's UTF-8 VALUE BUFFER directly — Arrow's storage IS the
+    concatenated byte stream the algorithm wants, so no per-string encode
+    loop and no object-array conversion. Same values as horner_hash_u64."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if a.null_count:
+        a = pc.fill_null(a, "")
+    if pa.types.is_large_string(a.type):
+        a = a.cast(pa.string())
+    off = np.frombuffer(a.buffers()[1], dtype=np.int32)[
+        a.offset: a.offset + len(a) + 1]
+    data = np.frombuffer(a.buffers()[2] or b"", dtype=np.uint8)
+    lens = np.diff(off).astype(np.int64)
+    flat = data[off[0]: off[-1]] if len(off) else \
+        np.array([], dtype=np.uint8)
+    return _horner_flat(flat, lens)
+
+
+def _horner_flat(flat_u8: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Core of the segmented Horner hash over one concatenated byte
+    buffer; ``lens`` gives the per-string segment lengths."""
+    fps = np.zeros(len(lens), dtype=np.uint64)
     nz = lens > 0
     if nz.any():
-        flat = np.frombuffer(b"".join(texts), dtype=np.uint8).astype(np.uint64)
+        flat = flat_u8.astype(np.uint64)
         with np.errstate(over="ignore"):
             pows = np.full(flat.size, HORNER_BASE, dtype=np.uint64)
             pows[0] = 1
@@ -310,21 +353,22 @@ def horner_hash_u64(texts_in) -> np.ndarray:
 class Fingerprinter:
     """64-bit rolling polynomial (Rabin-Karp-style) document fingerprint over
     the raw bytes — deterministic across processes; vectorized via numpy
-    cumulative products on uint64 (wrapping arithmetic)."""
+    cumulative products on uint64 (wrapping arithmetic) straight off the
+    Arrow value buffer."""
 
     BASE = HORNER_BASE
 
     INV_BASE = _HORNER_INV
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        fps = horner_hash_u64(batch["text"].to_numpy())
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "fingerprint": fps.view(np.int64)})
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = horner_hash_arrow(batch["text"])
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fingerprint": pa.array(fps.view(np.int64))})
 
 
 def fingerprints(sf_dir: str):
     out = (tbl(sf_dir, "documents", ["doc_id", "text"])
-           .map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 4))
+           .map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
 
