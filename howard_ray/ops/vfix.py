@@ -79,8 +79,17 @@ def _mix(i: np.ndarray, name: str) -> np.ndarray:
     return (i * a + b) % m
 
 
-def gen_variants_batch(batch: pa.Table) -> pa.Table:
-    """lineitem-key batch -> FANOUT variant rows per lineitem, vectorized."""
+def gen_variants_batch(batch: pa.Table,
+                       columns: list[str] | None = None) -> pa.Table:
+    """lineitem-key batch -> FANOUT variant rows per lineitem, vectorized.
+    ``columns`` prunes GENERATION itself (round-4): a caller that wants
+    only (chrom, pos, ref, alt) skips the INFO/genotype string assembly —
+    the projection-pushdown discipline applied to the synthesizer."""
+    want = set(columns) if columns else None
+
+    def need(*cs: str) -> bool:
+        return want is None or any(c in want for c in cs)
+
     lo = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
     base = lo * 8 + ln
@@ -89,50 +98,62 @@ def gen_variants_batch(batch: pa.Table) -> pa.Table:
     n = len(i)
     b = np.array(BASES)
 
-    cidx = 22 - np.floor(np.sqrt(_mix(i, "u_chrom"))).astype(np.int64)
-    chrom = np.array(CHROMS)[cidx]
-    pos = 1 + _mix(i, "pos")
-    refb = _mix(i, "refb")
-    ref = b[refb]
-    alt = b[(refb + 1 + _mix(i, "altoff")) % 4]
-    r100 = _mix(i, "r100")
-    long_ref = r100 < 10
-    long_alt = (r100 >= 10) & (r100 < 20)
-    mnv = (r100 >= 20) & (r100 < 25)
-    ref = np.where(long_ref | mnv, np.char.add(ref, b[_mix(i, "xb1")]), ref)
-    alt = np.where(long_alt | mnv, np.char.add(alt, b[_mix(i, "xb2")]), alt)
-    vid = np.where(_mix(i, "vidr") < 7,
-                   np.char.add("rs", i.astype("U12")), ".")
-    qual = _mix(i, "q") / 100.0
-    filt = np.where(_mix(i, "f10") < 8, "PASS", "LowQual")
-    ns = 1 + _mix(i, "ns")
-    dp = 1 + _mix(i, "dp")
-    aa = b[_mix(i, "aab")]
-    cln = _mix(i, "cln")
-    clnsig = np.select([cln < 2, cln < 7], ["pathogenic", "non-pathogenic"], "")
-
-    ns_s, dp_s = ns.astype("U2"), dp.astype("U3")
-    info = np.char.add(np.char.add(np.char.add("NS=", ns_s), ";DP="), dp_s)
-    info = np.char.add(np.char.add(info, ";AA="), aa)
-    info = np.char.add(np.char.add(np.char.add(info, ";MULTI="), ns_s),
-                       np.char.add(",", dp_s))
-    info = np.where(clnsig != "",
-                    np.char.add(np.char.add(info, ";CLNSIG="), clnsig), info)
-
-    cols: dict[str, pa.Array] = {
-        "vidx": pa.array(i),
-        "chrom": pa.array(chrom.astype(object)),
-        "pos": pa.array(pos),
-        "vid": pa.array(vid.astype(object)),
-        "ref": pa.array(ref.astype(object)),
-        "alt": pa.array(alt.astype(object)),
-        "qual": pa.array(qual),
-        "filter": pa.array(filt.astype(object)),
-        "info": pa.array(info.astype(object)),
-        "format": pa.array(np.full(n, "GT:DP:AD", dtype=object)),
-    }
+    cols: dict[str, pa.Array] = {}
+    if need("vidx"):
+        cols["vidx"] = pa.array(i)
+    if need("chrom"):
+        cidx = 22 - np.floor(np.sqrt(_mix(i, "u_chrom"))).astype(np.int64)
+        cols["chrom"] = pa.array(np.array(CHROMS)[cidx].astype(object))
+    if need("pos"):
+        cols["pos"] = pa.array(1 + _mix(i, "pos"))
+    if need("vid"):
+        vid = np.where(_mix(i, "vidr") < 7,
+                       np.char.add("rs", i.astype("U12")), ".")
+        cols["vid"] = pa.array(vid.astype(object))
+    if need("ref", "alt"):
+        refb = _mix(i, "refb")
+        r100 = _mix(i, "r100")
+        mnv = (r100 >= 20) & (r100 < 25)
+        if need("ref"):
+            ref = b[refb]
+            long_ref = r100 < 10
+            ref = np.where(long_ref | mnv,
+                           np.char.add(ref, b[_mix(i, "xb1")]), ref)
+            cols["ref"] = pa.array(ref.astype(object))
+        if need("alt"):
+            alt = b[(refb + 1 + _mix(i, "altoff")) % 4]
+            long_alt = (r100 >= 10) & (r100 < 20)
+            alt = np.where(long_alt | mnv,
+                           np.char.add(alt, b[_mix(i, "xb2")]), alt)
+            cols["alt"] = pa.array(alt.astype(object))
+    if need("qual"):
+        cols["qual"] = pa.array(_mix(i, "q") / 100.0)
+    if need("filter"):
+        filt = np.where(_mix(i, "f10") < 8, "PASS", "LowQual")
+        cols["filter"] = pa.array(filt.astype(object))
+    if need("info"):
+        ns = 1 + _mix(i, "ns")
+        dp = 1 + _mix(i, "dp")
+        aa = b[_mix(i, "aab")]
+        cln = _mix(i, "cln")
+        clnsig = np.select([cln < 2, cln < 7],
+                           ["pathogenic", "non-pathogenic"], "")
+        ns_s, dp_s = ns.astype("U2"), dp.astype("U3")
+        info = np.char.add(np.char.add(np.char.add("NS=", ns_s), ";DP="),
+                           dp_s)
+        info = np.char.add(np.char.add(info, ";AA="), aa)
+        info = np.char.add(np.char.add(np.char.add(info, ";MULTI="), ns_s),
+                           np.char.add(",", dp_s))
+        info = np.where(clnsig != "",
+                        np.char.add(np.char.add(info, ";CLNSIG="), clnsig),
+                        info)
+        cols["info"] = pa.array(info.astype(object))
+    if need("format"):
+        cols["format"] = pa.array(np.full(n, "GT:DP:AD", dtype=object))
     gt_lbl = np.array(["0/0", "0/1", "1/1", "./."])
     for s in range(1, 5):
+        if not need(f"sample{s}"):
+            continue
         g = _mix(i, f"gt{s}")
         gt = gt_lbl[np.select([g < 35, g < 65, g < 85], [0, 1, 2], 3)]
         val = np.char.add(np.char.add(gt, ":"),
@@ -160,7 +181,8 @@ def variants_ds(sf_dir: str, columns: list[str] | None = None) -> ray.data.Datas
     map_batches (distributed, no driver materialization)."""
     ds = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                 columns=["l_orderkey", "l_linenumber"])
-          .map_batches(gen_variants_batch, batch_format="pyarrow"))
+          .map_batches(lambda b, _c=columns: gen_variants_batch(b, _c),
+                       batch_format="pyarrow"))
     if columns:
         ds = ds.select_columns(columns)
     return ds
