@@ -22,18 +22,26 @@ Semantics implemented (pyhgvs-style, as the reference uses):
   model — the genome actor supplies the bases), 3-letter amino acids,
   ``p.Aaa123Bbb`` / synonymous ``p.Aaa123=``.
 
+Round-4 addition: 1-base indels are 3'-JUSTIFIED along the genome in
+transcript orientation (reference ``utils.py:397-455``) and an insertion
+adjacent to an identical base is classified as a DUPLICATION
+(``utils.py:339-394``) — the genome-context scan runs on broadcast
+per-chromosome byte arrays with precomputed same-byte run extents, and
+the SQL twin mirrors it with bounded ``substr`` probes over the genome
+parquet (both sides cap the probe at ``_JUSTIFY_CAP`` for bit parity).
+
 Differences from the reference, by design: the reference's protein stage
 reads the codon from UNSPLICED genomic context around the variant
 (``utils.py:650-655``) — an approximation that breaks on junction codons;
-here the codon comes from the spliced transcript (correct), and dup/ext
-classification (which needs genome-context scanning) is left to the
-``delins`` form. Both sides of every claim are exactly twinned in DuckDB
-SQL over the same closed-form fixture, so the driver hash-checks the whole
-algebra.
+here the codon comes from the spliced transcript (correct); multi-base
+ext forms don't arise on the fixture's allele classes. Both sides of
+every claim are exactly twinned in DuckDB SQL over the same closed-form
+fixture, so the driver hash-checks the whole algebra.
 """
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -185,6 +193,68 @@ def _model_arrays() -> dict:
     return out
 
 
+_JUSTIFY_CAP = 32  # probe bound shared with the SQL twin's range(1,33)
+
+
+@functools.lru_cache(maxsize=1)
+def _genome_run_arrays() -> dict:
+    """Per-chromosome genome bytes + same-byte run extents for the
+    HGVS 3'-justification / dup scan: rs[i]/re[i] are the first/last
+    0-based index of the run containing i. Built once driver-side from
+    the closed-form genome, broadcast via ray.put."""
+    out = {}
+    for cid, c in enumerate(CHROMS):
+        g = np.frombuffer(gen_genome_chrom(cid).encode(), dtype=np.uint8)
+        n = len(g)
+        b = np.ones(n, dtype=bool)
+        b[1:] = g[1:] != g[:-1]
+        rid = np.cumsum(b) - 1
+        starts = np.flatnonzero(b)
+        ends = np.append(starts[1:] - 1, n - 1)
+        out[c] = {"g": g, "rs": starts[rid].astype(np.int64),
+                  "re": ends[rid].astype(np.int64)}
+    return out
+
+
+def _second_byte(arr) -> np.ndarray:
+    """Byte value of each string's SECOND character (0 when shorter) —
+    the deleted/inserted base of an anchor-style del/ins allele."""
+    a = _flat_string(arr)
+    off = np.frombuffer(a.buffers()[1], dtype=np.int32)[: len(a) + 1]
+    data = np.frombuffer(a.buffers()[2] or b"", dtype=np.uint8)
+    lens = np.diff(off)
+    out = np.zeros(len(a), dtype=np.uint8)
+    m = lens >= 2
+    out[m] = data[off[:-1][m] + 1]
+    return out
+
+
+def _run_right(ga: dict, start_pos: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Consecutive occurrences of byte X at 1-based genomic positions
+    start_pos, start_pos+1, … (0 if the first doesn't match), capped at
+    _JUSTIFY_CAP for bit-parity with the SQL probe."""
+    g, re_ = ga["g"], ga["re"]
+    n = len(g)
+    i0 = start_pos - 1
+    ok = (i0 >= 0) & (i0 < n)
+    i0c = np.clip(i0, 0, n - 1)
+    match = ok & (g[i0c] == X)
+    cnt = np.where(match, re_[i0c] - i0c + 1, 0)
+    return np.minimum(cnt, _JUSTIFY_CAP)
+
+
+def _run_left(ga: dict, start_pos: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Consecutive occurrences of byte X at start_pos, start_pos−1, …"""
+    g, rs_ = ga["g"], ga["rs"]
+    n = len(g)
+    i0 = start_pos - 1
+    ok = (i0 >= 0) & (i0 < n)
+    i0c = np.clip(i0, 0, n - 1)
+    match = ok & (g[i0c] == X)
+    cnt = np.where(match, i0c - rs_[i0c] + 1, 0)
+    return np.minimum(cnt, _JUSTIFY_CAP)
+
+
 def _best_tx(entry: dict, pos_c: np.ndarray):
     """(variant_row_subidx, tx_subidx) of the best covering transcript per
     position: NM_ before NR_, then tx_id — same precedence as
@@ -307,12 +377,15 @@ def hgvs_cdna(sf_dir: str):
     of the small model (µs), so actor-process spin-up would cost more
     than it amortizes (the ann_cosine_topk rule); the projection is
     vectorized over the batch."""
+    ensure_genome()  # the SQL twin reads the genome parquet
     model_ref = ray.put(_model_arrays())
+    genome_ref = ray.put(_genome_run_arrays())
 
     class CdnaNamer:
         def __init__(self):
             from ..pipeline import _cached_get
             self.model = _cached_get(model_ref)
+            self.genome = _cached_get(genome_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             # Arrow-native pass (round-3 verdict item #6): string work
@@ -358,10 +431,32 @@ def hgvs_cdna(sf_dir: str):
                 snv = (lr == 1) & (la == 1)
                 is_del = (lr > la) & first_eq
                 is_ins = (la > lr) & first_eq
+                # genome-context 3'-justification + dup scan (reference
+                # utils.py:339-497 semantics for 1-base indels): shift
+                # the lesion along the same-base run in transcript
+                # orientation; an insertion adjacent to an identical
+                # base is a DUPLICATION of the run's boundary base
+                ga = self.genome.get(c)
+                X = np.where(is_del, _second_byte(ref_s),
+                             _second_byte(alt_s))
+                if ga is not None:
+                    rk = _run_right(ga, np.where(is_del, p + 2, p + 1), X)
+                    lk = _run_left(ga, p, X)
+                else:
+                    rk = lk = np.zeros(len(p), dtype=np.int64)
+                isdup = is_ins & ((rk > 0) | (lk > 0))
+                d_del = np.where(plus, p + 1 + rk, p + 1 - lk)
+                d_dup = np.where(plus,
+                                 np.where(rk > 0, p + rk, p),
+                                 np.where(lk > 0, p - lk + 1, p + 1))
                 # variant span endpoints in genomic space
-                g1 = np.where(is_del, p + 1, p)
-                g2 = np.where(is_ins, p + 1,
-                              np.where(la > lr, p, p + lr - 1))
+                g1 = np.where(is_del, d_del,
+                              np.where(isdup, d_dup, p))
+                g2 = np.where(is_del, d_del,
+                              np.where(isdup, d_dup,
+                                       np.where(is_ins, p + 1,
+                                                np.where(la > lr, p,
+                                                         p + lr - 1))))
                 two = ~snv & (g2 != g1)
                 c1 = _coord_str(entry, t, *_project(entry, t, g1))
                 c2 = _coord_str(entry, t, *_project(entry, t, g2))
@@ -381,11 +476,13 @@ def hgvs_cdna(sf_dir: str):
                     pc.if_else(
                         pa.array(is_del), "del",
                         pc.if_else(
-                            pa.array(is_ins),
-                            pc.binary_join_element_wise(
-                                "ins", payload, ""),
-                            pc.binary_join_element_wise(
-                                "delins", payload, ""))))
+                            pa.array(isdup), "dup",
+                            pc.if_else(
+                                pa.array(is_ins),
+                                pc.binary_join_element_wise(
+                                    "ins", payload, ""),
+                                pc.binary_join_element_wise(
+                                    "delins", payload, "")))))
                 kind = pa.array(np.where(entry["coding"][t], "c.", "n."))
                 ids = pa.array(entry["tx_id"][t].astype(str))
                 all_r.append(r)
@@ -593,13 +690,56 @@ cls AS (
          (b.lr > b.la AND substr(b.alt,1,1) = substr(b.ref,1,1)) AS isdel,
          (b.la > b.lr AND substr(b.alt,1,1) = substr(b.ref,1,1)) AS isins
   FROM best b),
+jus AS (
+  -- genome-context 3'-justification + dup scan (1-base indels): rk/lk
+  -- count the same-base run right/left of the lesion (bounded probe,
+  -- bit-parity with the Ray side's _JUSTIFY_CAP)
+  SELECT c.*,
+    CASE WHEN c.isdel OR c.isins THEN
+      coalesce(list_position(list_transform(range(1, 33),
+        j -> substr(g.seq,
+                    CAST((CASE WHEN c.isdel THEN c.pos + 2
+                               ELSE c.pos + 1 END) + j - 1 AS BIGINT), 1)
+             = (CASE WHEN c.isdel THEN substr(c.ref, 2, 1)
+                     ELSE substr(c.alt, 2, 1) END)), false) - 1, 32)
+    ELSE 0 END AS rk,
+    CASE WHEN c.isdel OR c.isins THEN
+      coalesce(list_position(list_transform(range(1, 33),
+        j -> substr(g.seq, CAST(c.pos - j + 1 AS BIGINT), 1)
+             = (CASE WHEN c.isdel THEN substr(c.ref, 2, 1)
+                     ELSE substr(c.alt, 2, 1) END)
+             AND c.pos - j + 1 >= 1), false) - 1, 32)
+    ELSE 0 END AS lk
+  FROM cls c LEFT JOIN read_parquet('{GENOME_PATH}') g
+    ON g.chrom = c.chrom),
 pts0 AS (
   SELECT c.*,
-         CASE WHEN c.isdel THEN c.pos + 1 ELSE c.pos END AS g1,
-         CASE WHEN c.isins THEN c.pos + 1
+         (c.isins AND (c.rk > 0 OR c.lk > 0)) AS isdup,
+         CASE WHEN c.isdel THEN
+                (CASE WHEN c.strand = '+' THEN c.pos + 1 + c.rk
+                      ELSE c.pos + 1 - c.lk END)
+              WHEN c.isins AND (c.rk > 0 OR c.lk > 0) THEN
+                (CASE WHEN c.strand = '+' THEN
+                        (CASE WHEN c.rk > 0 THEN c.pos + c.rk
+                              ELSE c.pos END)
+                      ELSE
+                        (CASE WHEN c.lk > 0 THEN c.pos - c.lk + 1
+                              ELSE c.pos + 1 END) END)
+              ELSE c.pos END AS g1,
+         CASE WHEN c.isdel THEN
+                (CASE WHEN c.strand = '+' THEN c.pos + 1 + c.rk
+                      ELSE c.pos + 1 - c.lk END)
+              WHEN c.isins AND (c.rk > 0 OR c.lk > 0) THEN
+                (CASE WHEN c.strand = '+' THEN
+                        (CASE WHEN c.rk > 0 THEN c.pos + c.rk
+                              ELSE c.pos END)
+                      ELSE
+                        (CASE WHEN c.lk > 0 THEN c.pos - c.lk + 1
+                              ELSE c.pos + 1 END) END)
+              WHEN c.isins THEN c.pos + 1
               WHEN c.la > c.lr THEN c.pos
               ELSE c.pos + c.lr - 1 END AS g2
-  FROM cls c),
+  FROM jus c),
 pts AS (
   SELECT p.rid, w.which, p.tx_id, p.strand, p.coding, p.utr5, p.cds_len,
          CASE WHEN w.which = 1 THEN p.g1 ELSE p.g2 END AS gp
@@ -656,6 +796,7 @@ SELECT p.chrom, p.pos, p.ref, p.alt,
                    || (CASE WHEN p.strand = '+' THEN p.alt
                             ELSE translate(reverse(p.alt),'ACGT','TGCA') END)
                  WHEN p.isdel THEN 'del'
+                 WHEN p.isdup THEN 'dup'
                  WHEN p.isins THEN 'ins'
                    || (CASE WHEN p.strand = '+' THEN substr(p.alt, 2)
                             ELSE translate(reverse(substr(p.alt, 2)),

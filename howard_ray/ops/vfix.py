@@ -121,10 +121,19 @@ def gen_variants_batch(batch: pa.Table,
                            np.char.add(ref, b[_mix(i, "xb1")]), ref)
             cols["ref"] = pa.array(ref.astype(object))
         if need("alt"):
-            alt = b[(refb + 1 + _mix(i, "altoff")) % 4]
-            long_alt = (r100 >= 10) & (r100 < 20)
-            alt = np.where(long_alt | mnv,
-                           np.char.add(alt, b[_mix(i, "xb2")]), alt)
+            # VCF anchor-style alleles (round-4): deletions keep the
+            # shared first base (ref=XY, alt=X -> del), insertions extend
+            # it (ref=X, alt=XZ -> ins) - these are the forms the HGVS
+            # dup/justify algebra operates on; MNVs stay delins
+            ref0 = b[refb]
+            alt0 = b[(refb + 1 + _mix(i, "altoff")) % 4]
+            del_band = r100 < 10
+            ins_band = (r100 >= 10) & (r100 < 20)
+            xb2 = b[_mix(i, "xb2")]
+            alt = np.where(del_band, ref0,
+                           np.where(ins_band, np.char.add(ref0, xb2),
+                                    np.where(mnv, np.char.add(alt0, xb2),
+                                             alt0)))
             cols["alt"] = pa.array(alt.astype(object))
     if need("qual"):
         cols["qual"] = pa.array(_mix(i, "q") / 100.0)
@@ -285,8 +294,10 @@ def _build_vsql() -> str:
       (CASE WHEN vidr < 7 THEN 'rs' || CAST(i AS VARCHAR) ELSE '.' END) AS vid,
       (CASE WHEN r100 < 10 OR (r100 >= 20 AND r100 < 25)
             THEN ref0 || {base_list}[xb1+1] ELSE ref0 END) AS ref,
-      (CASE WHEN (r100 >= 10 AND r100 < 20) OR (r100 >= 20 AND r100 < 25)
-            THEN alt0 || {base_list}[xb2+1] ELSE alt0 END) AS alt,
+      (CASE WHEN r100 < 10 THEN ref0
+            WHEN r100 >= 10 AND r100 < 20 THEN ref0 || {base_list}[xb2+1]
+            WHEN r100 >= 20 AND r100 < 25 THEN alt0 || {base_list}[xb2+1]
+            ELSE alt0 END) AS alt,
       q / 100.0 AS qual,
       (CASE WHEN f10 < 8 THEN 'PASS' ELSE 'LowQual' END) AS "filter",
       'NS=' || ns || ';DP=' || dp || ';AA=' || aa || ';MULTI=' || ns || ',' || dp

@@ -162,6 +162,36 @@ def test_cdna_forms(ray_session):
     assert named.str.contains(r":c\.\d+-\d+[ACGT]>[ACGT]$").any()    # intron -
     assert named.str.contains("delins").any()
     assert named.str.contains(r":n\.\d+").any()                      # non-coding
+    # round-4: anchor-style alleles + genome-context justification
+    assert named.str.contains(r"\ddel$").any()                       # deletion
+    assert named.str.contains(r"\dins[ACGT]$").any()                 # insertion
+    assert named.str.contains(r"\ddup$").any()                       # duplication
+
+
+def test_cdna_dup_justification(ray_session):
+    """A dup is emitted exactly when the inserted base touches an
+    identical genome base, and del coordinates 3'-shift along the run —
+    spot-check a few variants against a direct genome read."""
+    import numpy as np
+    from howard_ray.ops.hgvs import _genome_run_arrays
+    from howard_ray.ops.vfix import variants_ds
+    out = H.hgvs_cdna(SF)
+    ga = _genome_run_arrays()
+    ins_rows = out[(out.hgvs_c != "") & (out.ref.str.len() == 1)
+                   & (out.alt.str.len() == 2)]
+    checked_dup = checked_ins = 0
+    for _, row in ins_rows.head(400).iterrows():
+        g = ga[row.chrom]["g"]
+        X = ord(row.alt[1])
+        p = int(row.pos)
+        adjacent = (g[p - 1] == X) or (p < len(g) and g[p] == X)
+        if row.hgvs_c.endswith("dup"):
+            assert adjacent, row.hgvs_c
+            checked_dup += 1
+        elif "ins" in row.hgvs_c:
+            assert not adjacent, row.hgvs_c
+            checked_ins += 1
+    assert checked_dup > 3 and checked_ins > 3
 
 
 def test_extann_join_modes(ray_session):
