@@ -29,3 +29,31 @@ This package re-expresses that columnar-store behavior Ray-Data-first:
 """
 
 __version__ = "0.1.0"
+
+# ---------------------------------------------------------------------------
+# Targeted noise filters (round-3 verdict item #9): two Ray Data warnings
+# are structural on this workload and drown real ones in the bench tail —
+# (a) "Failed to hash the schemas" fires because the testdata parquet
+# carries a pandas-metadata dict (unhashable) in the Arrow schema, and
+# (b) the sort operator emits schema-less EMPTY filler blocks for empty
+# partitions, tripping the RefBundle schema-change check. Filter exactly
+# those two messages; every other warning from the same loggers passes.
+# ---------------------------------------------------------------------------
+import logging as _logging
+
+
+class _RayNoiseFilter(_logging.Filter):
+    _NEEDLES = ("Failed to hash the schemas",
+                "RefBundle with a different schema")
+
+    def filter(self, record: "_logging.LogRecord") -> bool:
+        try:
+            msg = record.getMessage()
+        except Exception:
+            return True
+        return not any(n in msg for n in self._NEEDLES)
+
+
+for _name in ("ray.data._internal.arrow_ops.transform_pyarrow",
+              "ray.data._internal.execution.streaming_executor_state"):
+    _logging.getLogger(_name).addFilter(_RayNoiseFilter())
