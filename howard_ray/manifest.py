@@ -371,9 +371,39 @@ def expire_snapshots(store_dir: str, removed_block_ids: set) -> int:
     return n
 
 
+# Parsed-shard cache for SHARDED footers: keyed by the shard file-name
+# tuple, which is generation-fresh on every footer rewrite (write_footer
+# never overwrites a live generation's shards), so a key can never alias
+# two footer states. Bounded FIFO. The cached record dicts are shared
+# with callers; the one in-place mutator (alter_store) clears the cache
+# before mutating.
+_SHARD_CACHE: dict[tuple, list] = {}
+_SHARD_CACHE_MAX = 4
+
+
+def footer_cache_clear() -> None:
+    _SHARD_CACHE.clear()
+
+
+def _cached_shard_blocks(store_dir: str, footer: dict) -> list:
+    key = (store_dir, tuple(sh["file"] for sh in footer["shards"]))
+    hit = _SHARD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    blocks: list = []
+    shard_dir = os.path.join(store_dir, "footer_shards")
+    for sh in footer["shards"]:
+        with sio.sopen(os.path.join(shard_dir, sh["file"])) as f:
+            blocks.extend(json.load(f))
+    while len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+        _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+    _SHARD_CACHE[key] = blocks
+    return blocks
+
+
 def load_footer(store_dir: str, as_of: int | None = None) -> dict:
     """Full footer with ``blocks`` inflated (sharded footers load every
-    shard — fine for stats/tests; the scale path for filtered reads is
+    shard, memoized per generation — the scale path for filtered reads is
     ``load_blocks``, which prunes shards before reading them).
 
     ``as_of``: read the archived snapshot footer instead of the live one
@@ -390,7 +420,7 @@ def load_footer(store_dir: str, as_of: int | None = None) -> dict:
     with sio.sopen(path) as f:
         footer = json.load(f)
     if footer.get("sharded"):
-        footer["blocks"] = load_blocks(store_dir, footer=footer)
+        footer["blocks"] = _cached_shard_blocks(store_dir, footer)
     return footer
 
 
@@ -428,6 +458,8 @@ def load_blocks(store_dir: str, zones: dict | None = None,
             footer = json.load(f)
     zones = zones or {}
     if footer.get("sharded"):
+        if not zones:
+            return list(_cached_shard_blocks(store_dir, footer))
         blocks: list[dict] = []
         shard_dir = os.path.join(store_dir, "footer_shards")
         for sh in footer["shards"]:

@@ -1070,6 +1070,8 @@ def alter_store(store_dir: str, rename: dict | None = None,
     drop = list(drop or [])
     if not rename and not drop:
         return {"renamed": 0, "dropped": 0}
+    from .manifest import footer_cache_clear
+    footer_cache_clear()  # this function mutates records in place
     footer = load_footer(store_dir)
     blocks = load_blocks(store_dir, footer=footer)
     live: set = set()

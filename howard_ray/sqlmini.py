@@ -54,6 +54,7 @@ stats with zero block decodes.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import re
@@ -1278,8 +1279,25 @@ def _needed_columns_runtime(sf_dir: str, plan: dict) -> list[str]:
         return cols
     try:
         if plan["table"] == "store":
-            from .manifest import load_footer
-            for b in load_footer(sf_dir)["blocks"]:
+            # ONE column name is enough — read footer.json (+ at most the
+            # first shard), never the whole 10^5-block record set
+            from . import storeio as _sio
+            from .manifest import store_paths
+            _, _, fpath = store_paths(sf_dir)
+            with _sio.sopen(fpath) as f:
+                footer = json.load(f)
+            if footer.get("sharded"):
+                for sh in footer["shards"]:
+                    zone = sh.get("zone") or {}
+                    if zone:
+                        return [sorted(zone)[0]]
+                sh = footer["shards"][0]
+                with _sio.sopen(os.path.join(
+                        sf_dir, "footer_shards", sh["file"])) as f:
+                    recs = json.load(f)
+            else:
+                recs = footer.get("blocks", [])
+            for b in recs:
                 for c in (b.get("columns") or {}):
                     return [c]
             return cols
