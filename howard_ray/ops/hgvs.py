@@ -200,9 +200,20 @@ _JUSTIFY_CAP = 32  # probe bound shared with the SQL twin's range(1,33)
 def _genome_run_arrays() -> dict:
     """Per-chromosome genome bytes + same-byte run extents for the
     HGVS 3'-justification / dup scan: rs[i]/re[i] are the first/last
-    0-based index of the run containing i. Built once driver-side from
-    the closed-form genome, broadcast via ray.put."""
+    0-based index of the run containing i. Built once PER HOST (npz disk
+    cache — fresh driver processes mmap-load in ~0.1 s instead of paying
+    the 23-chromosome closed-form generation), broadcast via ray.put."""
+    cache = os.path.join(os.path.dirname(GENOME_PATH),
+                         "genome_runs_v1.npz")
+    if os.path.exists(cache):
+        try:
+            z = np.load(cache)
+            return {c: {"g": z[f"{c}_g"], "rs": z[f"{c}_rs"],
+                        "re": z[f"{c}_re"]} for c in CHROMS}
+        except Exception:
+            pass  # torn/stale cache: rebuild below
     out = {}
+    flat: dict[str, np.ndarray] = {}
     for cid, c in enumerate(CHROMS):
         g = np.frombuffer(gen_genome_chrom(cid).encode(), dtype=np.uint8)
         n = len(g)
@@ -211,8 +222,17 @@ def _genome_run_arrays() -> dict:
         rid = np.cumsum(b) - 1
         starts = np.flatnonzero(b)
         ends = np.append(starts[1:] - 1, n - 1)
-        out[c] = {"g": g, "rs": starts[rid].astype(np.int64),
-                  "re": ends[rid].astype(np.int64)}
+        out[c] = {"g": g, "rs": starts[rid].astype(np.int32),
+                  "re": ends[rid].astype(np.int32)}
+        flat[f"{c}_g"] = out[c]["g"]
+        flat[f"{c}_rs"] = out[c]["rs"]
+        flat[f"{c}_re"] = out[c]["re"]
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(cache + f".tmp{os.getpid()}.npz", **flat)
+        os.replace(cache + f".tmp{os.getpid()}.npz", cache)
+    except OSError:
+        pass
     return out
 
 
