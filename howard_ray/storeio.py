@@ -183,10 +183,8 @@ class _MemWriteBuf(io.BytesIO):
 
     def close(self):
         if not self.closed:
-            import ray
-            a = self._h._actor()
-            m = a.append if self._append else a.put
-            ray.get(m.remote(self._rest, self.getvalue()))
+            self._h._call("append" if self._append else "put",
+                          self._rest, self.getvalue())
         super().close()
 
 
@@ -194,7 +192,14 @@ class MemHandler:
     """In-memory backend shared across Ray workers via a named actor.
     NOT path-mappable (``local_path`` → None) and has no rename
     (``supports_replace = False``): the store's atomic publish must work
-    through copy-PUT + delete, exactly as on S3/GCS."""
+    through copy-PUT + delete, exactly as on S3/GCS.
+
+    Calls retry through a FRESH handle on transient actor-channel errors
+    (ordered-delivery seq_no timeouts under bursty many-worker load —
+    "may or may not have executed"). Every actor method is idempotent
+    under replay except ``append``, whose only store use is the lineage
+    log, where replay duplicates are tolerated (manifest dedups by
+    block_id)."""
 
     supports_replace = False
 
@@ -206,54 +211,62 @@ class MemHandler:
             self._a = _mem_actor()
         return self._a
 
+    def _call(self, method: str, *args):
+        import time
+
+        import ray
+        last = None
+        for attempt in range(4):
+            try:
+                return ray.get(
+                    getattr(self._actor(), method).remote(*args))
+            except (ray.exceptions.ActorUnavailableError,
+                    ray.exceptions.ActorDiedError) as e:
+                last = e
+                self._a = None  # re-resolve the named actor
+                time.sleep(0.2 * (attempt + 1))
+        raise last
+
     def local_path(self, rest: str):
         return None
 
     def open(self, rest: str, mode: str = "r"):
-        import ray
         if "w" in mode or "a" in mode:
             return _MemWriteBuf(self, rest, append="a" in mode,
                                 text="b" not in mode)
-        data = ray.get(self._actor().get.remote(rest))
+        data = self._call("get", rest)
         if data is None:
             raise FileNotFoundError(rest)
         return io.BytesIO(data) if "b" in mode else io.StringIO(
             data.decode())
 
     def exists(self, rest: str) -> bool:
-        import ray
-        return ray.get(self._actor().exists.remote(rest))
+        return self._call("exists", rest)
 
     def isdir(self, rest: str) -> bool:
-        import ray
-        return ray.get(self._actor().isdir.remote(rest))
+        return self._call("isdir", rest)
 
     def listdir(self, rest: str) -> list[str]:
-        import ray
-        out = ray.get(self._actor().listdir.remote(rest))
+        out = self._call("listdir", rest)
         if out is None:
             raise FileNotFoundError(rest)
         return out
 
     def makedirs(self, rest: str, exist_ok: bool = True) -> None:
-        import ray
-        ray.get(self._actor().makedirs.remote(rest))
+        self._call("makedirs", rest)
 
     def remove(self, rest: str) -> None:
-        import ray
-        if not ray.get(self._actor().remove.remote(rest)):
+        if not self._call("remove", rest):
             raise FileNotFoundError(rest)
 
     def getsize(self, rest: str) -> int:
-        import ray
-        n = ray.get(self._actor().getsize.remote(rest))
+        n = self._call("getsize", rest)
         if n < 0:
             raise FileNotFoundError(rest)
         return n
 
     def walk_files(self, rest: str) -> Iterator[str]:
-        import ray
-        yield from ray.get(self._actor().walk_files.remote(rest))
+        yield from self._call("walk_files", rest)
 
 
 _HANDLERS: dict[str, object] = {

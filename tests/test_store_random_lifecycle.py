@@ -67,10 +67,14 @@ def _mutate(rows: pa.Table) -> pa.Table:
     })
 
 
-@pytest.mark.parametrize("seed", [3, 17, 29])
-def test_random_lifecycle_sequence(ray_session, tmp_path, seed):
+@pytest.mark.parametrize("seed,backend", [(3, "local"), (17, "local"),
+                                          (29, "local"), (17, "mem")])
+def test_random_lifecycle_sequence(ray_session, tmp_path, seed, backend):
     rng = np.random.default_rng(seed)
-    store = str(tmp_path / "store")
+    # the mem:// variant drives the same random sequence through the
+    # non-path-mappable handler backend (named-actor store, no rename)
+    store = (str(tmp_path / "store") if backend == "local"
+             else f"mem://rl{seed}/store")
 
     cursor = 1200  # next unused master row (append slices are disjoint)
     mirror = MASTER.slice(0, cursor)
