@@ -271,15 +271,29 @@ def running_total(sf_dir: str):
         b = (batch["user_id"].to_numpy() * _np.int64(2654435761)) % 64
         return batch.append_column("b", _pa.array(b))
 
-    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["user_id", "ts", "event_id"])
-        return pd.DataFrame({
-            "event_id": g["event_id"],
-            "running_value": g.groupby("user_id")["value"].cumsum().round(2),
-        })
+    def per_bucket(g) -> "pa.Table":
+        # Arrow/numpy segment fold (round-4): cumsum minus user-segment
+        # baseline — no pandas conversion per bucket
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        uid = g["user_id"].to_numpy()
+        ts = _pc.cast(g["ts"], _pa.int64()).to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        order = _np.lexsort((eid, ts, uid))
+        u, e, v = uid[order], eid[order], val[order]
+        n = len(u)
+        start = _np.ones(n, dtype=bool)
+        start[1:] = u[1:] != u[:-1]
+        seg_start = _np.flatnonzero(start)[_np.cumsum(start) - 1]
+        cs = _np.cumsum(v)
+        run = cs - (cs - v)[seg_start]
+        return _pa.table({"event_id": _pa.array(e),
+                          "running_value": _pa.array(_np.round(run, 2))})
 
     out = (ds.map_batches(add_bucket, batch_format="pyarrow")
-             .groupby("b").map_groups(per_bucket, batch_format="pandas")
+             .groupby("b").map_groups(per_bucket, batch_format="pyarrow")
              .to_pandas())
     return out.sort_values("event_id").reset_index(drop=True)
 

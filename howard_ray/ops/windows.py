@@ -68,17 +68,22 @@ def asof_prev_event(sf_dir: str):
         b = (batch["user_id"].to_numpy() * np.int64(2654435761)) % 64
         return batch.append_column("b", pa.array(b))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"])
-        ts_us = g["ts"].astype("int64")
-        gap = ts_us.groupby(g["user_id"].to_numpy()).diff()
-        return pd.DataFrame({
-            "event_id": g["event_id"],
-            "gap_us": gap.fillna(-1).astype("int64"),
-        })
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # Arrow/numpy segment fold (round-4): one lexsort, grouped diff
+        # via the user-boundary mask — no pandas conversion per bucket
+        uid = g["user_id"].to_numpy()
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        u, t, e = uid[order], ts[order], eid[order]
+        gap = np.full(len(u), -1, dtype=np.int64)
+        if len(u) > 1:
+            same = u[1:] == u[:-1]
+            gap[1:] = np.where(same, t[1:] - t[:-1], -1)
+        return pa.table({"event_id": pa.array(e), "gap_us": pa.array(gap)})
 
     out = (ds.map_batches(add_bucket, batch_format="pyarrow")
-             .groupby("b").map_groups(per_bucket, batch_format="pandas")
+             .groupby("b").map_groups(per_bucket, batch_format="pyarrow")
              .to_pandas())
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -101,27 +106,44 @@ def sessionize(sf_dir: str):
         b = (batch["user_id"].to_numpy() * np.int64(2654435761)) % 64
         return batch.append_column("b", pa.array(b))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # all users of the bucket sessionized in ONE vectorized pass:
-        # grouped ts-diff marks session starts (a user's first row has NaN
-        # diff -> new session), a global cumsum numbers sessions uniquely
-        # across users, grouped aggregates produce the per-user stats
-        g = g.sort_values(["user_id", "ts", "event_id"])
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # all users of the bucket sessionized in ONE Arrow/numpy pass:
+        # session starts from the grouped ts-diff (a user's first row
+        # starts a session), a global cumsum numbers sessions uniquely
+        # across users, bincount/reduceat produce the per-user stats
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "n_sessions": pa.array([], type=pa.int64()),
+            "max_session_events": pa.array([], type=pa.int64())})
+        n = g.num_rows
+        if n == 0:
+            return empty
         uid = g["user_id"].to_numpy()
-        gap = g["ts"].astype("int64").groupby(uid).diff()
-        new_session = gap.isna() | (gap > SESSION_GAP_US)
-        sid = new_session.cumsum().to_numpy()
-        sess_size = pd.Series(sid).map(pd.Series(sid).value_counts()).to_numpy()
-        df = pd.DataFrame({"user_id": uid, "new_session": new_session.to_numpy(),
-                           "sess_size": sess_size})
-        out = df.groupby("user_id", as_index=False).agg(
-            n_events=("user_id", "size"),
-            n_sessions=("new_session", "sum"),
-            max_session_events=("sess_size", "max"))
-        return out
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        new_sess = np.ones(n, dtype=bool)
+        same = u[1:] == u[:-1]
+        new_sess[1:] = ~same | (t[1:] - t[:-1] > SESSION_GAP_US)
+        sid = np.cumsum(new_sess) - 1
+        sess_size = np.bincount(sid)[sid]
+        ustart = np.ones(n, dtype=bool)
+        ustart[1:] = ~same
+        useg = np.cumsum(ustart) - 1
+        starts = np.flatnonzero(ustart)
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "n_events": pa.array(np.bincount(useg)),
+            "n_sessions": pa.array(
+                np.bincount(useg, weights=new_sess).astype(np.int64)),
+            "max_session_events": pa.array(
+                np.maximum.reduceat(sess_size, starts)),
+        })
 
     out = (ds.map_batches(add_bucket, batch_format="pyarrow")
-             .groupby("b").map_groups(per_bucket, batch_format="pandas")
+             .groupby("b").map_groups(per_bucket, batch_format="pyarrow")
              .to_pandas())
     for c in out.columns:
         out[c] = out[c].astype("int64")
@@ -223,21 +245,33 @@ def funnel_steps(sf_dir: str):
         key = b["user_id"].to_numpy() % 64
         return b.append_column("b", pa.array(key))
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        v = (g[g["event_type"] == FUNNEL_STEPS[0]]
-             .groupby("user_id")["ts"].min().rename("t1").reset_index())
-        c = g[g["event_type"] == FUNNEL_STEPS[1]].merge(v, on="user_id")
-        c = (c[c["ts"] > c["t1"]]
-             .groupby("user_id")["ts"].min().rename("t2").reset_index())
-        p = g[g["event_type"] == FUNNEL_STEPS[2]].merge(c, on="user_id")
-        p = (p[p["ts"] > p["t2"]]
-             .groupby("user_id")["ts"].min().reset_index())
-        return pd.DataFrame({"step_view": [len(v)],
-                             "step_click": [len(c)],
-                             "step_purchase": [len(p)]})
+    def fold(g: pa.Table) -> pa.Table:
+        # Arrow/numpy: per-user step times via minimum.at scatter over
+        # factorized user codes — the three merge joins become three
+        # masked scatters (round-4, no pandas per bucket)
+        uniq, codes = np.unique(g["user_id"].to_numpy(),
+                                return_inverse=True)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        nu = len(uniq)
+        INF = np.int64(1 << 62)
+
+        def step_min(mask: np.ndarray, after: np.ndarray) -> np.ndarray:
+            t = np.full(nu, INF)
+            m = mask & (ts > after[codes])
+            np.minimum.at(t, codes[m], ts[m])
+            return t
+
+        t1 = step_min(et == FUNNEL_STEPS[0], np.full(nu, -INF))
+        t2 = step_min(et == FUNNEL_STEPS[1], t1)
+        t3 = step_min(et == FUNNEL_STEPS[2], t2)
+        return pa.table({
+            "step_view": pa.array([int((t1 < INF).sum())]),
+            "step_click": pa.array([int((t2 < INF).sum())]),
+            "step_purchase": pa.array([int((t3 < INF).sum())])})
 
     parts = (ds.map_batches(bucketize, batch_format="pyarrow")
-               .groupby("b").map_groups(fold, batch_format="pandas")
+               .groupby("b").map_groups(fold, batch_format="pyarrow")
                .to_pandas())
     return pd.DataFrame({
         "step_view": [int(parts["step_view"].sum())],
@@ -282,22 +316,31 @@ def retention_hourly(sf_dir: str):
         key = t["user_id"].to_numpy() % 64
         return t.append_column("b", pa.array(key))
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["user_id", "h"]).sort_values(["user_id", "h"])
-        u = d["user_id"].to_numpy()
-        h = d["h"].to_numpy()
+    def fold(g: pa.Table) -> pa.Table:
+        # Arrow/numpy: global (user, hour) dedup + consecutive-hour diff
+        # in one sorted pass (round-4, no pandas per bucket)
+        empty = pa.table({"hour_id": pa.array([], type=pa.int64()),
+                          "retained": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        u = g["user_id"].to_numpy()
+        h = g["h"].to_numpy()
+        order = np.lexsort((h, u))
+        u, h = u[order], h[order]
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (h[1:] != h[:-1])
+        u, h = u[keep], h[keep]
         consec = (u[1:] == u[:-1]) & (h[1:] == h[:-1] + 1)
         first = h[:-1][consec]
         if first.size == 0:
-            return pd.DataFrame({"hour_id": pd.Series([], dtype="int64"),
-                                 "retained": pd.Series([], dtype="int64")})
-        vc = pd.Series(first).value_counts()
-        return pd.DataFrame({"hour_id": vc.index.astype("int64"),
-                             "retained": vc.to_numpy(np.int64)})
+            return empty
+        hours, counts = np.unique(first, return_counts=True)
+        return pa.table({"hour_id": pa.array(hours),
+                         "retained": pa.array(counts.astype(np.int64))})
 
     from ray.data.aggregate import Sum
     out = (ds.map_batches(pairs, batch_format="pyarrow")
-             .groupby("b").map_groups(fold, batch_format="pandas")
+             .groupby("b").map_groups(fold, batch_format="pyarrow")
              .groupby("hour_id")
              .aggregate(Sum("retained", alias_name="retained"))
              .to_pandas())
