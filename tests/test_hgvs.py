@@ -146,13 +146,16 @@ def test_hgvs_oracles_sf0001(ray_session):
     ensure_genome()
     for name, fn in [("hgvs_cdna", H.hgvs_cdna),
                      ("hgvs_protein", H.hgvs_protein)]:
-        mine = fn(SF).reset_index(drop=True)
+        mine = fn(SF)
+        if not hasattr(mine, "reset_index"):
+            mine = mine.to_pandas()
+        mine = mine.reset_index(drop=True)
         ora = _oracle(H.SQL[name]).reset_index(drop=True)
         pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
 
 
 def test_cdna_forms(ray_session):
-    out = H.hgvs_cdna(SF)
+    out = H.hgvs_cdna(SF).to_pandas()
     named = out[out["hgvs_c"] != ""]["hgvs_c"]
     # every major form appears on the fixture
     assert named.str.contains(r":c\.\d+[ACGT]>[ACGT]$").any()        # CDS SNV
@@ -175,7 +178,7 @@ def test_cdna_dup_justification(ray_session):
     import numpy as np
     from howard_ray.ops.hgvs import _genome_run_arrays
     from howard_ray.ops.vfix import variants_ds
-    out = H.hgvs_cdna(SF)
+    out = H.hgvs_cdna(SF).to_pandas()
     ga = _genome_run_arrays()
     ins_rows = out[(out.hgvs_c != "") & (out.ref.str.len() == 1)
                    & (out.alt.str.len() == 2)]
