@@ -1409,27 +1409,34 @@ def _count_distinct(ds, group: list[str], col: str) -> pd.DataFrame:
     """Exact grouped COUNT(DISTINCT col) under the engine's bounded-groupby
     rule (DESIGN.md §8.1): per-batch distinct (group, value) pairs bucketed
     by a hash of the VALUE (every copy of a value co-locates), in-bucket
-    drop_duplicates + per-group partial counts, tiny driver fold — the
-    distinct-key space never becomes a Ray group count."""
+    Arrow group_by dedup + per-group partial counts, tiny driver fold —
+    the distinct-key space never becomes a Ray group count. Arrow-format
+    stages (round-4): no pandas conversion on the big passes."""
     import numpy as np
 
-    def part(b: pd.DataFrame) -> pd.DataFrame:
-        d = b[group + [col]].dropna(subset=[col]).drop_duplicates()
-        d = d.copy()
-        d["__b"] = (pd.util.hash_array(d[col].to_numpy(dtype=object),
-                                       categorize=False)
-                    % np.uint64(64)).view(np.int64)
-        return d
+    from .pipeline import stable_hash_u64
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(group + [col])
+    def part(b: pa.Table) -> pa.Table:
+        d = (b.select(group + [col])
+             .filter(pc.is_valid(b[col]))
+             .group_by(group + [col]).aggregate([]))
+        h = stable_hash_u64(
+            pc.cast(d[col], pa.string()).to_numpy(zero_copy_only=False))
+        return d.append_column(
+            "__b", pa.array((h % np.uint64(64)).view(np.int64)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        d = (g.drop_columns(["__b"])
+             .group_by(group + [col]).aggregate([]))
         if group:
-            p = d.groupby(group, as_index=False).size()
-            return p.rename(columns={"size": "__cd"})
-        return pd.DataFrame({"__cd": [len(d)]})
+            p = d.group_by(group).aggregate([(col, "count")])
+            return p.rename_columns(
+                ["__cd" if c == f"{col}_count" else c
+                 for c in p.column_names]).select(group + ["__cd"])
+        return pa.table({"__cd": pa.array([d.num_rows], type=pa.int64())})
 
-    parts = (ds.map_batches(part, batch_format="pandas")
-               .groupby("__b").map_groups(fold, batch_format="pandas")
+    parts = (ds.map_batches(part, batch_format="pyarrow")
+               .groupby("__b").map_groups(fold, batch_format="pyarrow")
                .to_pandas())
     if group:
         return parts.groupby(group, as_index=False)["__cd"].sum()
