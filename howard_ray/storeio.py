@@ -23,6 +23,10 @@ Three schemes ship built-in:
   final key, then delete of the temp (S3 semantics — readers see either
   no object or the complete object, never a partial one; durability of
   the publish is carried by the manifest commit, not the rename).
+  Lifetime = the creating Ray session: a second PROCESS sees an empty
+  store (the actor died with the first job) — the backend exists to
+  prove the handler protocol under true object-store semantics, not to
+  persist; a real S3/GCS handler persists by nature.
 
 All three are registered STRUCTURALLY (module-level, not per-process
 mutable state) so Ray worker processes resolve them identically. A real
