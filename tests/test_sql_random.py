@@ -132,6 +132,11 @@ FROM events ORDER BY rid""",
     # RANK over a null-heavy order key (nulls are peers of each other)
     """SELECT rid, RANK() OVER (PARTITION BY tag ORDER BY k) AS r
 FROM events ORDER BY rid""",
+    # DESC order keys with nulls: NULLS LAST both directions (DuckDB
+    # default; the Arrow fold's -x negation keeps NaN last)
+    """SELECT rid, RANK() OVER (PARTITION BY tag ORDER BY k DESC) AS r,
+LAG(v) OVER (PARTITION BY tag ORDER BY k DESC, rid) AS pv
+FROM events ORDER BY rid""",
 ]
 
 
