@@ -182,7 +182,7 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
     # callers carry prior-footer extras forward wholesale; the snapshot
     # counter and timestamp are write_footer's own and must not be echoed
     extra = {k: v for k, v in (extra or {}).items()
-             if k not in ("snapshot_id", "ts")} or None
+             if k not in ("snapshot_id", "ts", "nonce")} or None
     snap_id = 1
     try:  # monotone snapshot counter survives every footer rewrite
         with sio.sopen(footer_path) as f:
@@ -203,7 +203,7 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
 
     if len(recs) <= shard_size:
         footer = {"version": 1, "snapshot_id": snap_id, "ts": _now_iso(),
-                  **totals, "blocks": recs}
+                  "nonce": _footer_nonce(), **totals, "blocks": recs}
         if extra:
             footer.update(extra)
         _atomic_json(footer_path, footer)
@@ -229,7 +229,8 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
                        "n_rows": sum(r["n_rows"] for r in chunk),
                        "zone": _shard_zone(chunk)})
     footer = {"version": 2, "sharded": True, "snapshot_id": snap_id,
-              "ts": _now_iso(), **totals, "shards": shards}
+              "ts": _now_iso(), "nonce": _footer_nonce(), **totals,
+              "shards": shards}
     if extra:
         footer.update(extra)
     _atomic_json(footer_path, footer)
@@ -269,6 +270,16 @@ def _snapshot_retain() -> int:
 def _now_iso() -> str:
     import time
     return time.strftime("%Y-%m-%dT%H:%M:%S")
+
+
+def _footer_nonce() -> str:
+    """Per-footer random discriminator: the _SHARD_CACHE key must never
+    alias two footer states, and (snapshot_id, ts, shard filenames) CAN
+    collide when a store is deleted and re-encoded at the same path
+    within one second (generation numbering restarts with the empty
+    footer_shards/ dir) — ADVICE r4 #2."""
+    import uuid
+    return uuid.uuid4().hex
 
 
 def _write_snapshot(store_dir: str, footer: dict) -> None:
@@ -371,12 +382,11 @@ def expire_snapshots(store_dir: str, removed_block_ids: set) -> int:
     return n
 
 
-# Parsed-shard cache for SHARDED footers: keyed by the shard file-name
-# tuple, which is generation-fresh on every footer rewrite (write_footer
-# never overwrites a live generation's shards), so a key can never alias
-# two footer states. Bounded FIFO. The cached record dicts are shared
-# with callers; the one in-place mutator (alter_store) clears the cache
-# before mutating.
+# Parsed-shard cache for SHARDED footers: keyed by the footer's random
+# nonce + shard file-name tuple, so a key can never alias two footer
+# states even across delete-and-re-encode at the same path. Bounded
+# FIFO. The cached record dicts are shared with callers; the one
+# in-place mutator (alter_store) clears the cache before mutating.
 _SHARD_CACHE: dict[tuple, list] = {}
 _SHARD_CACHE_MAX = 4
 
@@ -386,7 +396,14 @@ def footer_cache_clear() -> None:
 
 
 def _cached_shard_blocks(store_dir: str, footer: dict) -> list:
-    key = (store_dir, tuple(sh["file"] for sh in footer["shards"]))
+    # nonce (random per footer write) is the aliasing guard: snapshot_id,
+    # ts AND shard filenames all restart when a store is re-encoded at
+    # the same path (ADVICE r4 #2). Pre-nonce footers fall back to
+    # (snapshot_id, ts) — strictly better than the old filename-only key.
+    key = (store_dir,
+           footer.get("nonce") or (footer.get("snapshot_id"),
+                                   footer.get("ts")),
+           tuple(sh["file"] for sh in footer["shards"]))
     hit = _SHARD_CACHE.get(key)
     if hit is not None:
         return hit

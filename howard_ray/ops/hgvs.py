@@ -472,10 +472,12 @@ def hgvs_cdna(sf_dir: str):
                 is_del = (lr > la) & first_eq
                 is_ins = (la > lr) & first_eq
                 # genome-context 3'-justification + dup scan (reference
-                # utils.py:339-497 semantics for 1-base indels): shift
-                # the lesion along the same-base run in transcript
-                # orientation; an insertion adjacent to an identical
-                # base is a DUPLICATION of the run's boundary base
+                # utils.py:339-497 semantics): GATED to 1-base indels
+                # (ADVICE r4 #1) — the run scan probes a single lesion
+                # byte, so a multi-base del must keep its g1_g2 range and
+                # a multi-base ins is named ins<full payload>, never dup.
+                one_del = is_del & (lr - la == 1)
+                one_ins = is_ins & (la - lr == 1)
                 ga = self.genome.get(c)
                 X = np.where(is_del, _second_byte(ref_s),
                              _second_byte(alt_s))
@@ -484,19 +486,24 @@ def hgvs_cdna(sf_dir: str):
                     lk = _run_left(ga, p, X)
                 else:
                     rk = lk = np.zeros(len(p), dtype=np.int64)
-                isdup = is_ins & ((rk > 0) | (lk > 0))
+                just = one_del | one_ins
+                rk = np.where(just, rk, 0)
+                lk = np.where(just, lk, 0)
+                isdup = one_ins & ((rk > 0) | (lk > 0))
                 d_del = np.where(plus, p + 1 + rk, p + 1 - lk)
                 d_dup = np.where(plus,
                                  np.where(rk > 0, p + rk, p),
                                  np.where(lk > 0, p - lk + 1, p + 1))
-                # variant span endpoints in genomic space
+                # variant span endpoints in genomic space (multi-base
+                # dels keep the pre-justify range p+1 .. p+lr-1)
                 g1 = np.where(is_del, d_del,
                               np.where(isdup, d_dup, p))
-                g2 = np.where(is_del, d_del,
-                              np.where(isdup, d_dup,
-                                       np.where(is_ins, p + 1,
-                                                np.where(la > lr, p,
-                                                         p + lr - 1))))
+                g2 = np.where(one_del, d_del,
+                              np.where(is_del, p + lr - 1,
+                                       np.where(isdup, d_dup,
+                                                np.where(is_ins, p + 1,
+                                                         np.where(la > lr, p,
+                                                                  p + lr - 1)))))
                 two = ~snv & (g2 != g1)
                 c1 = _coord_str(entry, t, *_project(entry, t, g1))
                 c2 = _coord_str(entry, t, *_project(entry, t, g2))
@@ -727,11 +734,12 @@ cls AS (
          (b.la > b.lr AND substr(b.alt,1,1) = substr(b.ref,1,1)) AS isins
   FROM best b),
 jus AS (
-  -- genome-context 3'-justification + dup scan (1-base indels): rk/lk
-  -- count the same-base run right/left of the lesion (bounded probe,
-  -- bit-parity with the Ray side's _JUSTIFY_CAP)
+  -- genome-context 3'-justification + dup scan (GATED to 1-base indels,
+  -- ADVICE r4 #1): rk/lk count the same-base run right/left of the
+  -- lesion (bounded probe, bit-parity with the Ray side's _JUSTIFY_CAP)
   SELECT c.*,
-    CASE WHEN c.isdel OR c.isins THEN
+    CASE WHEN (c.isdel AND c.lr - c.la = 1)
+           OR (c.isins AND c.la - c.lr = 1) THEN
       coalesce(list_position(list_transform(range(1, 33),
         j -> substr(g.seq,
                     CAST((CASE WHEN c.isdel THEN c.pos + 2
@@ -739,7 +747,8 @@ jus AS (
              = (CASE WHEN c.isdel THEN substr(c.ref, 2, 1)
                      ELSE substr(c.alt, 2, 1) END)), false) - 1, 32)
     ELSE 0 END AS rk,
-    CASE WHEN c.isdel OR c.isins THEN
+    CASE WHEN (c.isdel AND c.lr - c.la = 1)
+           OR (c.isins AND c.la - c.lr = 1) THEN
       coalesce(list_position(list_transform(range(1, 33),
         j -> substr(g.seq, CAST(c.pos - j + 1 AS BIGINT), 1)
              = (CASE WHEN c.isdel THEN substr(c.ref, 2, 1)
@@ -762,9 +771,10 @@ pts0 AS (
                         (CASE WHEN c.lk > 0 THEN c.pos - c.lk + 1
                               ELSE c.pos + 1 END) END)
               ELSE c.pos END AS g1,
-         CASE WHEN c.isdel THEN
+         CASE WHEN c.isdel AND c.lr - c.la = 1 THEN
                 (CASE WHEN c.strand = '+' THEN c.pos + 1 + c.rk
                       ELSE c.pos + 1 - c.lk END)
+              WHEN c.isdel THEN c.pos + c.lr - 1
               WHEN c.isins AND (c.rk > 0 OR c.lk > 0) THEN
                 (CASE WHEN c.strand = '+' THEN
                         (CASE WHEN c.rk > 0 THEN c.pos + c.rk

@@ -38,7 +38,7 @@ def _sf_name(sf_dir: str) -> str:
 def ensure_vcf(sf_dir: str) -> str:
     """Write the sf-scaled fixture as a gzip VCF (+.hdr) once per sf."""
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"variants_v2_{_sf_name(sf_dir)}.vcf.gz")
+    path = os.path.join(CACHE, f"variants_v3_{_sf_name(sf_dir)}.vcf.gz")
     # regenerate pre-BGZF caches that lack the linear-index sidecar
     if not os.path.exists(path) or not os.path.exists(path + ".cidx.json"):
         ds = variants_ds(sf_dir, columns=_BODY_COLS)

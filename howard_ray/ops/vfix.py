@@ -43,7 +43,7 @@ CONST: dict[str, tuple[int, int, int]] = {
     "pos":     (336860941, 11, 2999999),  # pos = 1 + r
     "refb":    (179424673, 13, 4),
     "altoff":  (15485863, 17, 3),         # alt = BASES[(refb + 1 + altoff) % 4]
-    "r100":    (32452843, 19, 100),       # <10 long_ref, <20 long_alt, <25 mnv
+    "r100":    (32452843, 19, 100),       # <5 del1, <10 del2, <15 ins1, <20 ins2, <25 mnv
     "xb1":     (86028121, 23, 4),
     "xb2":     (49979687, 29, 4),
     "vidr":    (67867967, 31, 10),        # <7 -> 'rs{i}' else '.'
@@ -114,26 +114,32 @@ def gen_variants_batch(batch: pa.Table,
         refb = _mix(i, "refb")
         r100 = _mix(i, "r100")
         mnv = (r100 >= 20) & (r100 < 25)
+        # VCF anchor-style alleles: deletions keep the shared first base
+        # (ref=XY.., alt=X), insertions extend it (ref=X, alt=XZ..), MNVs
+        # stay delins. Round-5: each indel band is split into a 1-base
+        # half and a 2-base half so the HGVS range forms (g1_g2 del,
+        # insXY payload) are exercised by the oracle, not just the
+        # justify/dup single-base algebra (ADVICE r4 #1).
+        del2 = (r100 >= 5) & (r100 < 10)
+        ins2 = (r100 >= 15) & (r100 < 20)
+        xb1 = b[_mix(i, "xb1")]
+        xb2 = b[_mix(i, "xb2")]
         if need("ref"):
             ref = b[refb]
             long_ref = r100 < 10
-            ref = np.where(long_ref | mnv,
-                           np.char.add(ref, b[_mix(i, "xb1")]), ref)
+            ref = np.where(long_ref | mnv, np.char.add(ref, xb1), ref)
+            ref = np.where(del2, np.char.add(ref, xb2), ref)
             cols["ref"] = pa.array(ref.astype(object))
         if need("alt"):
-            # VCF anchor-style alleles (round-4): deletions keep the
-            # shared first base (ref=XY, alt=X -> del), insertions extend
-            # it (ref=X, alt=XZ -> ins) - these are the forms the HGVS
-            # dup/justify algebra operates on; MNVs stay delins
             ref0 = b[refb]
             alt0 = b[(refb + 1 + _mix(i, "altoff")) % 4]
             del_band = r100 < 10
             ins_band = (r100 >= 10) & (r100 < 20)
-            xb2 = b[_mix(i, "xb2")]
             alt = np.where(del_band, ref0,
                            np.where(ins_band, np.char.add(ref0, xb2),
                                     np.where(mnv, np.char.add(alt0, xb2),
                                              alt0)))
+            alt = np.where(ins2, np.char.add(alt, xb1), alt)
             cols["alt"] = pa.array(alt.astype(object))
     if need("qual"):
         cols["qual"] = pa.array(_mix(i, "q") / 100.0)
@@ -292,9 +298,13 @@ def _build_vsql() -> str:
       (CASE WHEN cidx < 22 THEN 'chr' || CAST(cidx+1 AS VARCHAR) ELSE 'chrX' END) AS chrom,
       pos,
       (CASE WHEN vidr < 7 THEN 'rs' || CAST(i AS VARCHAR) ELSE '.' END) AS vid,
-      (CASE WHEN r100 < 10 OR (r100 >= 20 AND r100 < 25)
+      (CASE WHEN r100 >= 5 AND r100 < 10
+            THEN ref0 || {base_list}[xb1+1] || {base_list}[xb2+1]
+            WHEN r100 < 5 OR (r100 >= 20 AND r100 < 25)
             THEN ref0 || {base_list}[xb1+1] ELSE ref0 END) AS ref,
       (CASE WHEN r100 < 10 THEN ref0
+            WHEN r100 >= 15 AND r100 < 20
+            THEN ref0 || {base_list}[xb2+1] || {base_list}[xb1+1]
             WHEN r100 >= 10 AND r100 < 20 THEN ref0 || {base_list}[xb2+1]
             WHEN r100 >= 20 AND r100 < 25 THEN alt0 || {base_list}[xb2+1]
             ELSE alt0 END) AS alt,

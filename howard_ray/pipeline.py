@@ -485,6 +485,12 @@ def encode_dataset(
     cannot collide with an existing epoch's (source, salt) ids, and the final
     footer is the union of the prior footer's records and this run's."""
     init_store(store_dir)
+    if not resume:
+        # belt-and-braces vs footer-state aliasing (ADVICE r4 #2): a
+        # fresh encode at a previously-used path must not serve parsed
+        # shards cached from the old store in this process
+        from .manifest import footer_cache_clear
+        footer_cache_clear()
     completed = completed_blocks(store_dir) if resume else {}
     if target_rows is None:
         target_rows = auto_target_rows(input_path)

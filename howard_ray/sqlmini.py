@@ -2461,7 +2461,8 @@ def _run_windowed(plan: dict, ds) -> pd.DataFrame:
             peer END, forward-filling over null-input positions within
             the partition (a frame that ends on a null input still sums
             everything before it)."""
-            valid = ~np.isnan(vals)
+            valid = (~np.isnan(vals) if vals.dtype.kind == "f"
+                     else np.ones(len(vals), dtype=bool))
             lv = np.maximum.accumulate(np.where(valid, pos, -1))
             ff = np.where((lv >= seg_start) & (lv >= 0),
                           vals[np.clip(lv, 0, None)], np.nan)
@@ -2508,6 +2509,18 @@ def _run_windowed(plan: dict, ds) -> pd.DataFrame:
                 if fn == "COUNT":
                     v = peer_last((pos - seg_start + 1).astype(np.float64),
                                   b_peer, seg_start)
+                elif (fn == "SUM" and nd is None
+                      and pa.types.is_integer(g[arg].type)
+                      and g[arg].null_count == 0):
+                    # int64-exact running SUM (ADVICE r4 #4): null-free
+                    # int input must not round-trip through float64
+                    # cumsum (loses exactness above 2^53)
+                    xi = (g[arg].combine_chunks()
+                          .to_numpy(zero_copy_only=False)
+                          .astype(np.int64)[order])
+                    cs = np.cumsum(xi)
+                    run = cs - (cs - xi)[seg_start]
+                    v = peer_last(run, b_peer, seg_start)
                 else:
                     x = _numeric_f64(g[arg])[order]
                     nanm = np.isnan(x)
@@ -2534,6 +2547,16 @@ def _run_windowed(plan: dict, ds) -> pd.DataFrame:
                 starts = np.unique(seg_start)
                 if fn == "COUNT":
                     v = (seg_end - seg_start + 1).astype(np.float64)
+                elif (fn == "SUM" and nd is None
+                      and pa.types.is_integer(g[arg].type)
+                      and g[arg].null_count == 0):
+                    # int64-exact partition SUM (ADVICE r4 #4)
+                    xi = (g[arg].combine_chunks()
+                          .to_numpy(zero_copy_only=False)
+                          .astype(np.int64)[order])
+                    seg = np.add.reduceat(xi, starts)
+                    v = seg[np.searchsorted(starts, pos,
+                                            side="right") - 1]
                 else:
                     x = _numeric_f64(g[arg])[order]
                     nanm = np.isnan(x)
@@ -2555,14 +2578,22 @@ def _run_windowed(plan: dict, ds) -> pd.DataFrame:
             if arrow_out is None:
                 if nd is not None:
                     v = _sql_round(v, nd)
-                # int64 result shape: count-like fns and whole-valued
-                # aggregates over null-free int inputs (pandas-cum dtype)
+                # output type decided from PLAN + SCHEMA only (ADVICE r4
+                # #4): every bucket of one alias emits the same Arrow
+                # type regardless of where nulls happen to fall — same
+                # rule as the empty-bucket branch above. Null positions
+                # (NaN in v) become int64 NULLS, which pandas renders as
+                # NaN exactly like the old float64 output did.
                 int_like = (fn in ("ROW_NUMBER", "RANK", "COUNT")
                             or (nd is None and fn in ("SUM", "MIN", "MAX")
-                                and pa.types.is_integer(g[arg].type)
-                                and g[arg].null_count == 0))
-                if int_like and not np.isnan(v).any():
+                                and pa.types.is_integer(g[arg].type)))
+                if int_like and v.dtype.kind != "f":
                     arrow_out = pa.array(v[inv].astype(np.int64))
+                elif int_like:
+                    vv = v[inv]
+                    mask = np.isnan(vv)
+                    arrow_out = pa.array(
+                        np.where(mask, 0, vv).astype(np.int64), mask=mask)
                 else:
                     arrow_out = pa.array(v[inv], from_pandas=True)
             else:

@@ -165,9 +165,15 @@ def _mem_actor():
             pre = key + "/" if key else ""
             return sorted(k for k in self._files if k.startswith(pre))
 
+    # detached (ADVICE r4 #5): the first touch may happen inside a
+    # short-lived Ray worker task; a non-detached actor would die with
+    # that worker and take the whole store with it mid-run. A detached
+    # actor still dies with the Ray session (cluster teardown), which is
+    # mem://'s documented lifetime.
     return _MemStoreActor.options(
         name=_MEM_ACTOR_NAME, namespace=_MEM_NAMESPACE,
-        get_if_exists=True, max_concurrency=1).remote()
+        get_if_exists=True, lifetime="detached",
+        max_concurrency=1).remote()
 
 
 class _MemWriteBuf(io.BytesIO):
@@ -198,12 +204,16 @@ class MemHandler:
     (``supports_replace = False``): the store's atomic publish must work
     through copy-PUT + delete, exactly as on S3/GCS.
 
-    Calls retry through a FRESH handle on transient actor-channel errors
-    (ordered-delivery seq_no timeouts under bursty many-worker load —
-    "may or may not have executed"). Every actor method is idempotent
-    under replay except ``append``, whose only store use is the lineage
-    log, where replay duplicates are tolerated (manifest dedups by
-    block_id)."""
+    Calls retry through a FRESH handle only on TRANSIENT actor-channel
+    errors (``ActorUnavailableError``: ordered-delivery seq_no timeouts
+    under bursty many-worker load — "may or may not have executed").
+    ``ActorDiedError`` is NOT retried (ADVICE r4 #3): re-resolving with
+    get_if_exists would silently create a fresh EMPTY actor and the lost
+    store would surface later as FileNotFoundError; instead the caller
+    gets an explicit 'store lost' error. Every actor method is idempotent
+    under replay except ``append`` (lineage log only — manifest dedups by
+    block_id) and ``remove`` (handled below: a False return after an
+    ambiguous attempt is treated as the earlier attempt's success)."""
 
     supports_replace = False
 
@@ -216,17 +226,32 @@ class MemHandler:
         return self._a
 
     def _call(self, method: str, *args):
+        return self._call_ambig(method, *args)[0]
+
+    def _call_ambig(self, method: str, *args):
+        """Returns (result, ambiguous): ambiguous=True when at least one
+        earlier attempt MAY have executed on the actor before its channel
+        error — non-idempotent callers (remove) use it to interpret a
+        replayed result."""
         import time
 
         import ray
         last = None
+        ambiguous = False
         for attempt in range(4):
             try:
-                return ray.get(
-                    getattr(self._actor(), method).remote(*args))
-            except (ray.exceptions.ActorUnavailableError,
-                    ray.exceptions.ActorDiedError) as e:
+                return (ray.get(
+                    getattr(self._actor(), method).remote(*args)),
+                    ambiguous)
+            except ray.exceptions.ActorDiedError as e:
+                raise RuntimeError(
+                    f"mem:// store actor {_MEM_ACTOR_NAME!r} died — the "
+                    "in-memory store is lost (its lifetime is the Ray "
+                    "session); not reconnecting, a fresh empty actor "
+                    "would masquerade as the store") from e
+            except ray.exceptions.ActorUnavailableError as e:
                 last = e
+                ambiguous = True
                 self._a = None  # re-resolve the named actor
                 time.sleep(0.2 * (attempt + 1))
         raise last
@@ -260,7 +285,11 @@ class MemHandler:
         self._call("makedirs", rest)
 
     def remove(self, rest: str) -> None:
-        if not self._call("remove", rest):
+        ok, ambiguous = self._call_ambig("remove", rest)
+        # a False on a RETRY after an ambiguous attempt means the first
+        # attempt likely executed the delete — that is success, not
+        # FileNotFoundError (replay-idempotence for remove, ADVICE r4 #3)
+        if not ok and not ambiguous:
             raise FileNotFoundError(rest)
 
     def getsize(self, rest: str) -> int:

@@ -171,6 +171,29 @@ def test_cdna_forms(ray_session):
     assert named.str.contains(r"\ddup$").any()                       # duplication
 
 
+def test_cdna_multibase_indels(ray_session):
+    """Round-5 (ADVICE r4 #1): the justify/dup algebra is gated to 1-base
+    indels. Multi-base anchored dels keep their g1_g2 range form, and
+    multi-base anchored insertions carry the FULL inserted payload and
+    are never classified dup."""
+    out = H.hgvs_cdna(SF).to_pandas()
+    lr = out.ref.str.len()
+    la = out.alt.str.len()
+    named = out[out.hgvs_c != ""]
+    del2 = named[(lr > la + 1) & (named.hgvs_c != "")]
+    ins2 = named[(la > lr + 1) & (named.hgvs_c != "")
+                 & (named.alt.str[0] == named.ref.str[0])]
+    assert len(del2) > 10 and len(ins2) > 10
+    # every multi-base del is a range 'del' (never a justified point)
+    assert del2.hgvs_c.str.contains(r"[\d*+-]_[-*]?\d").all()
+    assert del2.hgvs_c.str.endswith("del").all()
+    # every multi-base anchored ins carries its 2-base payload, never dup
+    assert ins2.hgvs_c.str.contains(r"ins[ACGT]{2}$").all()
+    assert not ins2.hgvs_c.str.endswith("dup").any()
+    # 1-base forms from the justify/dup algebra still present
+    assert named.hgvs_c.str.contains(r"\ddup$").any()
+
+
 def test_cdna_dup_justification(ray_session):
     """A dup is emitted exactly when the inserted base touches an
     identical genome base, and del coordinates 3'-shift along the run —

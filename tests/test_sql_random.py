@@ -145,3 +145,32 @@ FROM events ORDER BY rid""",
 def test_null_heavy_tables_match_duckdb(ray_session, null_dir, seed, qi):
     mine, ora = _both(null_dir[seed], NULL_SQLS[qi])
     pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
+
+
+def test_window_int_sum_type_stable_and_exact(ray_session, tmp_path):
+    """ADVICE r4 #4: (a) one alias emits ONE output type even when nulls
+    fall only in SOME partitions (the int/float decision is schema-based,
+    not per-bucket); (b) null-free int64 running SUM is exact above 2^53
+    (no float64 cumsum round-trip)."""
+    d = tmp_path / "wint"
+    d.mkdir()
+    n = 400
+    k = (np.arange(n) % 8).astype(np.int64)
+    rid = np.arange(n, dtype=np.int64)
+    # nulls ONLY in partitions k<2 -> buckets disagree under per-bucket typing
+    iv = [None if (kk < 2 and i % 5 == 0) else int(i)
+          for i, kk in enumerate(k)]
+    big = (1 << 55) + rid  # running sums far above 2^53, unit-level deltas
+    t = pa.table({"k": pa.array(k), "rid": pa.array(rid),
+                  "iv": pa.array(iv, type=pa.int64()),
+                  "big": pa.array(big)})
+    pq.write_table(t, str(d / "events.parquet"))
+
+    sql = ("SELECT rid, SUM(iv) OVER (PARTITION BY k ORDER BY rid) AS s, "
+           "SUM(big) OVER (PARTITION BY k ORDER BY rid) AS sb "
+           "FROM events ORDER BY rid")
+    mine, ora = _both(str(d), sql)
+    # exactness: compare as int (DuckDB window SUM over BIGINT is exact)
+    assert mine["sb"].astype("int64").tolist() == \
+        ora["sb"].astype("int64").tolist()
+    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)

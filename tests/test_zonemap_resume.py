@@ -560,3 +560,32 @@ def test_ann_scale_derived_knobs_and_bucket_bounds(ray_session):
         planes, _ = _lsh_params(n)
         n_salt = max(1, -(-(n >> planes) // LSH_BUCKET_CAP))
         assert (n >> planes) / n_salt <= LSH_BUCKET_CAP
+
+
+def test_sharded_footer_cache_no_alias_after_reencode(tmp_path, monkeypatch):
+    """ADVICE r4 #2: delete-and-re-encode at the same path within one
+    second restarts snapshot_id/ts/generation, so shard filenames can
+    repeat — the parsed-shard cache must still serve the NEW store."""
+    import shutil
+
+    from howard_ray.manifest import write_footer
+    from howard_ray.storeio import makedirs
+
+    monkeypatch.setenv("HOWARD_FOOTER_SHARD_SIZE", "2")
+    st = str(tmp_path / "store")
+
+    def mk(tag):
+        shutil.rmtree(st, ignore_errors=True)
+        makedirs(st)
+        recs = [{"block_id": f"b{i}", "n_rows": 10 + i,
+                 "encoded_bytes": 100, "payload": tag} for i in range(6)]
+        write_footer(st, recs)
+
+    mk("old")
+    f1 = load_footer(st)
+    assert all(b["payload"] == "old" for b in f1["blocks"])
+    mk("new")  # same path, same shard filenames, same snapshot_id, same second
+    f2 = load_footer(st)
+    assert all(b["payload"] == "new" for b in f2["blocks"]), \
+        "stale shard cache served the deleted store's blocks"
+    assert f1["nonce"] != f2["nonce"]
