@@ -38,16 +38,22 @@ import ray.data
 from ray.data.aggregate import Min, Sum
 
 from .dedup import _JACCARD_SQL, jaccard_pairs_ds
-from .util import tbl
+from .util import buckets_for_table, derive_buckets, parquet_rows, tbl
 
 SQL: dict[str, str] = {}
 
 _MAX_ROUNDS = 25
 
 
-def _cc_labels(edges: ray.data.Dataset) -> ray.data.Dataset:
+def _cc_labels(edges: ray.data.Dataset,
+               n_buckets: int | None = None) -> ray.data.Dataset:
     """(node, rep) for every node in ``edges`` (columns doc_a, doc_b);
-    rep = min doc_id reachable via undirected edges."""
+    rep = min doc_id reachable via undirected edges. ``n_buckets`` bounds
+    the per-round merge fold's task input to O((|edges|+|labels|)/n);
+    callers size it from their corpus (round-5 item #1) — the default
+    derives only a parallelism floor (edge count is unknown pre-exec)."""
+    if n_buckets is None:
+        n_buckets = derive_buckets(0)
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy()
@@ -77,7 +83,6 @@ def _cc_labels(edges: ray.data.Dataset) -> ray.data.Dataset:
     # side"). The bucketed merge is join-free, tolerates schemaless empty
     # blocks (groupby drops them), and is the same co-shuffle shape the
     # dedup family already uses for pair aggregation.
-    n_buckets = 64
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy()
@@ -142,7 +147,8 @@ def dedup_components(sf_dir: str):
     """Resolve the verified Jaccard near-dup pairs into connected
     components: one row per document that appears in any pair, with
     ``rep`` = the component representative (min doc_id reachable)."""
-    labels = _cc_labels(jaccard_pairs_ds(sf_dir))
+    nb = derive_buckets(parquet_rows(sf_dir, "documents") * 48)
+    labels = _cc_labels(jaccard_pairs_ds(sf_dir), n_buckets=nb)
     out = labels.to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -183,15 +189,18 @@ def dedup_survivors(sf_dir: str):
     source. The drop set is applied with a hash-partitioned LEFT OUTER
     join (documents ⋈ drops), not a broadcast — at 10^12 rows the drop
     set is O(dup fraction × N) and must stay distributed."""
-    labels = _cc_labels(jaccard_pairs_ds(sf_dir))
+    labels = _cc_labels(
+        jaccard_pairs_ds(sf_dir),
+        n_buckets=derive_buckets(parquet_rows(sf_dir, "documents") * 48))
 
     # anti-join documents ⋉̸ drops as a bucketed co-shuffle (same join-free
     # discipline as _cc_labels — Ray's native join chokes on the schemaless
     # empty blocks an empty/skewed drop set produces). Both sides land in
     # the same doc_id-keyed bucket; the per-bucket kernel subtracts the
     # drop set vectorized and pre-aggregates per source, so only
-    # (source, partial) rows leave the stage.
-    n_buckets = 64
+    # (source, partial) rows leave the stage. Bucket count derives from
+    # the co-shuffled row volume (~48 B per doc/drop row).
+    n_buckets = derive_buckets(parquet_rows(sf_dir, "documents") * 48)
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         did = batch["doc_id"].to_numpy()

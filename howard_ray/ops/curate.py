@@ -38,7 +38,7 @@ from ray.data.aggregate import Sum
 from ..pipeline import stable_hash_u64
 from .sampling import _HASH_SQL, _lcg_u64, TRAIN_HI, VAL_HI
 from .text import REP_THRESHOLD
-from .util import tbl
+from .util import buckets_for_table, derive_buckets, parquet_rows, tbl
 
 SQL: dict[str, str] = {}
 
@@ -53,7 +53,19 @@ N_DEDUP_BUCKETS = 256
 MIX_ALPHA = 0.7
 BUDGET_FRAC = 0.5
 
-N_SHARDS = 64
+# training-shard sizing: shard count derives from corpus char mass so a
+# shard's payload stays bounded at any scale (round-5 item #1); both the
+# Ray side and the SQL twin compute n = clamp(ceilint(sum_chars/TARGET),
+# 16, 2^20) with INTEGER arithmetic so they can never disagree
+SHARD_CHAR_TARGET = 100_000
+SHARD_MIN, SHARD_MAX = 16, 1 << 20
+
+
+def n_shards_for(sum_chars: int) -> int:
+    need = (int(sum_chars) + SHARD_CHAR_TARGET - 1) // SHARD_CHAR_TARGET
+    return min(max(need, SHARD_MIN), SHARD_MAX)
+
+
 EPOCH_SALT = 0x9E3779B97F4A7C15  # golden-ratio odd constant (public)
 
 
@@ -193,17 +205,22 @@ FROM w ORDER BY source
 
 def shuffle_shards(sf_dir: str):
     """Deterministic epoch-shuffle shard assignment: shard =
-    LCG(doc_id XOR epoch_salt) mod N_SHARDS — a pure row function, so no
+    LCG(doc_id XOR epoch_salt) mod n_shards — a pure row function, so no
     sort and no shuffle is needed to "globally shuffle" an epoch: writers
     bucket rows into shard files and the trainer reads shards in id order.
-    Reports per-shard doc count, char mass and distinct sources — the
-    balance check that validates the shuffle quality."""
+    The shard count derives from the corpus char mass (n_shards_for), so
+    per-shard payload is bounded at any sf. Reports per-shard doc count,
+    char mass and distinct sources — the balance check that validates the
+    shuffle quality."""
     ds = tbl(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    total_chars = int(tbl(sf_dir, "documents", ["n_chars"])
+                      .sum("n_chars"))
+    n_shards = n_shards_for(total_chars)
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy().astype(np.uint64)
         h = _lcg_u64(ids ^ np.uint64(EPOCH_SALT))
-        shard = (h % np.uint64(N_SHARDS)).view(np.int64)
+        shard = (h % np.uint64(n_shards)).view(np.int64)
         t = pa.table({
             "shard": pa.array(shard),
             "source": batch["source"],
@@ -233,8 +250,14 @@ _SHARD_HASH = (f"((6364136223846793005::HUGEINT"
                f" + 1442695040888963407) % 18446744073709551616::HUGEINT)")
 
 SQL["shuffle_shards"] = f"""
-WITH h AS (
-  SELECT (({_SHARD_HASH}) % {N_SHARDS})::BIGINT AS shard, source, n_chars
+WITH ns AS (
+  SELECT LEAST(GREATEST((sum(n_chars) + {SHARD_CHAR_TARGET - 1})
+                        // {SHARD_CHAR_TARGET}, {SHARD_MIN}),
+               {SHARD_MAX}) AS n
+  FROM documents),
+h AS (
+  SELECT (({_SHARD_HASH}) % (SELECT n FROM ns))::BIGINT AS shard,
+         source, n_chars
   FROM documents)
 SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
        count(DISTINCT source) AS n_sources

@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 from ..pipeline import stable_hash_u64
 from .text import horner_hash_u64
-from .util import tbl
+from .util import buckets_for_table, derive_buckets, parquet_rows, tbl
 
 SQL: dict[str, str] = {}
 
@@ -33,13 +33,18 @@ def ray_from_items(items: list[dict]):
     return ray.data.from_items(items, override_num_blocks=len(items))
 
 
-def dedup_exact(sf_dir: str, n_buckets: int = 256):
+def dedup_exact(sf_dir: str, n_buckets: int | None = None):
     """Exact dedup: vectorized content hash per batch → ONE grouped shuffle
     on ``hash % n_buckets`` (all rows of a text land in one bucket) → per-
     bucket vectorized pandas groupby over the exact text (hash-collision
     safe, and no per-unique-text Python call — the group count equals the
     corpus size, so a per-group map_groups would be a driver-scale Python
-    loop in disguise). Output: survivor doc_id + duplicate count."""
+    loop in disguise). Output: survivor doc_id + duplicate count.
+    Bucket count derives from the text-column size (the shuffled payload
+    carries the full texts), so per-task input stays bounded at any sf."""
+    if n_buckets is None:
+        n_buckets = buckets_for_table(sf_dir, "documents",
+                                      ["doc_id", "text"])
     ds = tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -215,8 +220,10 @@ def _minhash_candidates_ds(sf_dir: str):
     aggregated by a vectorized pandas groupby INSIDE each bucket — a
     per-band map_groups would pay per-group Python overhead ~|docs|x|bands|
     times. Pair-distinct is the same trick on a pair-hash bucket. Stays
-    distributed end-to-end."""
-    n_buckets = 64
+    distributed end-to-end. Bucket count derives from the band-row volume
+    (|docs| x LSH_BANDS x ~24 B), not a constant (round-5 item #1)."""
+    n_buckets = derive_buckets(
+        parquet_rows(sf_dir, "documents") * LSH_BANDS * 24)
     ds = tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -282,7 +289,7 @@ def dedup_ngram_verified(sf_dir: str):
 
     Scale-safe shape (round-1 advice item): candidate pairs are joined back
     to the two texts via two bucketed co-shuffle lookups (pairs ⋈ docs ON
-    doc_a, then ⋈ docs ON doc_b — ``util.bucketed_lookup``, join-free
+    doc_a, then ⋈ docs ON doc_b — the Arrow bucketed attach, join-free
     because a native-join output fed into a second native join dies on
     Ray's schemaless empty partition blocks, DESIGN.md §13), and the
     Jaccard kernel runs inside ``map_batches`` on the co-shuffled
@@ -334,8 +341,8 @@ def _verify_pairs_ds(sf_dir: str, cand, hl=None):
     """Shared verify stage: candidate (doc_a, doc_b) pairs ⋈ their two
     docs' FULL shingle-hash sets via two Arrow-native bucketed co-shuffle
     attaches (union + per-bucket argsort/searchsorted/list-take — the
-    join-free composable form, DESIGN.md §13, without bucketed_lookup's
-    pandas list materialization), then the exact Jaccard kernel counts
+    join-free composable form, DESIGN.md §13, with no pandas list
+    materialization), then the exact Jaccard kernel counts
     intersections for the whole batch in one lexsort pass over the raw
     list buffers. Lazy; only survivors of the threshold leave."""
     hl = hl if hl is not None else _hash_lists_ds(sf_dir)
@@ -347,8 +354,11 @@ def _verify_pairs_ds(sf_dir: str, cand, hl=None):
         pairs + hash-list rows under a shared bucket, one ARROW merge per
         bucket (argsort + searchsorted + list-column take) — the pandas
         merge of bucketed_lookup materializes list cells as Python
-        objects, which dominated the verify stage's wall time."""
-        n_buckets = 64
+        objects, which dominated the verify stage's wall time. Bucket
+        count derives from the shingle-list volume (~1.3x text bytes:
+        8-byte hash per ~6-byte word), the dominant co-shuffled side."""
+        n_buckets = buckets_for_table(sf_dir, "documents", ["text"],
+                                      factor=1.3)
         carry_t = {"doc_a": pa.int64(), "doc_b": pa.int64(),
                    "sh_set_a": hset}
 
@@ -500,7 +510,10 @@ def _prefix_candidates_ds(sf_dir: str, hl=None):
     (one per shared prefix hash); the verify stage's first attach shuffle
     dedups them for free (same bucket key)."""
     hl = hl if hl is not None else _hash_lists_ds(sf_dir)
-    n_buckets = 128
+    # prefix rows ≈ (1−τ) of each doc's shingles at 32 B/row ≈ 0.6x the
+    # text bytes — derived, not constant (round-5 item #1)
+    n_buckets = buckets_for_table(sf_dir, "documents", ["text"],
+                                  factor=0.6)
     tau = JACCARD_THRESHOLD
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
@@ -708,7 +721,9 @@ def simhash_neardup(sf_dir: str):
                              "doc_b": ids[jj][keep].astype("int64"),
                              "hamming": ham[keep].astype("int64")})
 
-    n_buckets = 64
+    # pair volume ~ docs x small constant (d<=3 Hamming survivors); size
+    # the pair-distinct fold off the doc count
+    n_buckets = derive_buckets(parquet_rows(sf_dir, "documents") * 24)
 
     def add_pbucket(batch: pd.DataFrame) -> pd.DataFrame:
         # pair-distinct via a SMALL bucket key (the pbucket trick from
@@ -949,12 +964,17 @@ DUP_GRAM_N = 5          # word n-gram width for the span-duplication signal
 DUP_GRAM_FLAG = 0.2     # per-doc duplicated-gram fraction that flags a doc
 
 
-def dup_ngram_spans(sf_dir: str, n_buckets: int = 256):
+def dup_ngram_spans(sf_dir: str, n_buckets: int | None = None):
     """Exact duplicated-n-gram-span signal (the word-level analog of
     suffix-array substring dedup in modern pretraining pipelines): for
     every doc, the fraction of its word 5-grams that also occur in at
     least one OTHER doc; per-source doc count, flagged-doc count
     (fraction >= DUP_GRAM_FLAG) and mean fraction.
+
+    Bucket counts derive from input size (round-5 item #1): the gram
+    shuffle from the gram-row volume (~10x text bytes: ~60 B of
+    (gram-string, ids, counts) per word), the per-doc fold from the
+    partial-row volume (docs x buckets-touched, bounded ~48 B each).
 
     Scale shape: per-batch pre-aggregated (gram, doc, source, n_occ) rows
     → ONE grouped shuffle on ``hash(gram) % n_buckets`` (collision-safe:
@@ -964,6 +984,10 @@ def dup_ngram_spans(sf_dir: str, n_buckets: int = 256):
     needed — → a (source, doc_id)-keyed aggregate folds the partials and
     the final per-source aggregate is bounded. Nothing driver-side scales
     with the corpus."""
+    if n_buckets is None:
+        n_buckets = buckets_for_table(sf_dir, "documents", ["text"],
+                                      factor=10.0)
+    db_buckets = derive_buckets(parquet_rows(sf_dir, "documents") * 384)
     ds = tbl(sf_dir, "documents", ["doc_id", "source", "text"])
 
     def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1015,7 +1039,7 @@ def dup_ngram_spans(sf_dir: str, n_buckets: int = 256):
                                              batch_format="pandas"))
 
     def add_db(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["db"] = (batch["doc_id"].to_numpy(np.int64) % 64)
+        batch["db"] = (batch["doc_id"].to_numpy(np.int64) % db_buckets)
         return batch
 
     out = (per_bucketed.map_batches(add_db, batch_format="pandas")

