@@ -412,20 +412,23 @@ REDACT_TOKEN = "<X>"
 
 def redact_terms(sf_dir: str):
     """Pattern redaction over the corpus (the PII-scrub stage of a
-    training-data pipeline): count and replace regex matches per doc with a
-    vectorized pandas .str pass, aggregate redaction counts and post-scrub
-    sizes per source. Exact SQL twin via regexp_extract_all/regexp_replace."""
+    training-data pipeline): count and replace regex matches per doc with
+    Arrow RE2 kernels on the zero-copy string column (round-5 item #3 —
+    no pandas copy of the text batch), aggregate redaction counts and
+    post-scrub sizes per source. Exact SQL twin via
+    regexp_extract_all/regexp_replace."""
     ds = tbl(sf_dir, "documents", ["source", "text"])
 
-    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
-        hits = batch["text"].str.count(REDACT_PATTERN).astype("int64")
-        after = batch["text"].str.replace(REDACT_PATTERN, REDACT_TOKEN,
-                                          regex=True)
-        return pd.DataFrame({"source": batch["source"],
-                             "n_redactions": hits,
-                             "chars_after": after.str.len().astype("int64")})
+    def scrub(batch: pa.Table) -> pa.Table:
+        hits = pc.count_substring_regex(batch["text"], REDACT_PATTERN)
+        after = pc.replace_substring_regex(batch["text"], REDACT_PATTERN,
+                                           REDACT_TOKEN)
+        return pa.table({"source": batch["source"],
+                         "n_redactions": pc.cast(hits, pa.int64()),
+                         "chars_after": pc.cast(pc.utf8_length(after),
+                                                pa.int64())})
 
-    out = (ds.map_batches(scrub, batch_format="pandas")
+    out = (ds.map_batches(scrub, batch_format="pyarrow")
              .groupby("source")
              .aggregate(Count(alias_name="n_docs"),
                         Sum("n_redactions", alias_name="n_redactions"),
@@ -452,26 +455,33 @@ REP_THRESHOLD = 0.8  # duplicate-word fraction above which a doc is flagged
 def repetition_filter(sf_dir: str):
     """Gopher-style repetition quality filter: per-doc duplicate-word
     fraction (1 - distinct/total), flag docs above REP_THRESHOLD, aggregate
-    flagged counts + mean fraction per source. The per-doc distinct count is
-    one vectorized exploded groupby per batch (no per-row Python)."""
+    flagged counts + mean fraction per source. Arrow-native (round-5 item
+    #3): split on the Arrow column, per-doc distinct via one lexsort over
+    (row, word-hash) boundary diffs — 64-bit hash equality stands in for
+    string equality, the documented collision class of the whole dedup
+    family (``_shingle_hash_arrays``)."""
     ds = tbl(sf_dir, "documents", ["doc_id", "source", "text"])
 
-    def frac(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].str.split(" ")
-        lens = words.str.len().to_numpy(np.int64)
-        flat = np.concatenate(words.to_numpy()) if len(batch) else \
-            np.array([], dtype=object)
-        row = np.repeat(np.arange(len(batch)), lens)
-        nuniq = (pd.DataFrame({"r": row, "w": flat})
-                 .groupby("r")["w"].nunique()
-                 .reindex(range(len(batch)), fill_value=0).to_numpy())
+    def frac(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        offs = lists.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(offs)
+        h = horner_hash_arrow(lists.values)
+        row = np.repeat(np.arange(len(lens)), lens)
+        order = np.lexsort((h, row))
+        rs, hs = row[order], h[order]
+        new = np.ones(len(rs), dtype=bool)
+        if len(rs):
+            new[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+        nuniq = np.bincount(rs[new], minlength=len(lens))
         dup_frac = 1.0 - nuniq / np.maximum(lens, 1)
-        return pd.DataFrame({
+        return pa.table({
             "source": batch["source"],
-            "dup_frac": dup_frac,
-            "flagged": (dup_frac > REP_THRESHOLD).astype("int64")})
+            "dup_frac": pa.array(dup_frac),
+            "flagged": pa.array((dup_frac > REP_THRESHOLD)
+                                .astype(np.int64))})
 
-    out = (ds.map_batches(frac, batch_format="pandas")
+    out = (ds.map_batches(frac, batch_format="pyarrow")
              .groupby("source")
              .aggregate(Count(alias_name="n_docs"),
                         Sum("flagged", alias_name="n_flagged"),
@@ -555,13 +565,15 @@ def tfidf_topk(sf_dir: str, top: int = TFIDF_TOP):
         return pa.table({"source": batch["source"], "word": batch["word"],
                          "tfidf": pa.array(s)})
 
-    def per_source(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["tfidf", "word"], ascending=[False, True])
-        return g.head(top)
+    def per_source(g: pa.Table) -> pa.Table:
+        # Arrow fold (round-5 item #3): multi-key sort_indices + head
+        idx = pc.sort_indices(g, sort_keys=[("tfidf", "descending"),
+                                            ("word", "ascending")])
+        return g.take(idx[:top])
 
     out = (joined.map_batches(score, batch_format="pyarrow")
                  .groupby("source")
-                 .map_groups(per_source, batch_format="pandas")
+                 .map_groups(per_source, batch_format="pyarrow")
                  .to_pandas())
     out["tfidf"] = out["tfidf"].astype("float64")
     return (out[["source", "word", "tfidf"]]
@@ -604,27 +616,41 @@ def quality_topk_by_source(sf_dir: str, k: int = QUALITY_TOPK):
     BEFORE ranking on both engines so the (score DESC, doc_id ASC)
     tie-break is exact."""
     ds = tbl(sf_dir, "documents", ["doc_id", "source", "text"])
-    stop = np.array(sorted(STOPWORDS), dtype=object)
+    stop_set = pa.array(sorted(STOPWORDS))
 
-    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"]
-        n = (text.str.count(" ") + 1).astype("float64")
-        words = text.str.split(" ")
-        lens = words.str.len().to_numpy(np.int64)
-        flat = np.concatenate(words.to_numpy()) if len(batch) else \
-            np.array([], dtype=object)
-        hit = pd.Series(flat, dtype=object).isin(stop).to_numpy()
-        row = np.repeat(np.arange(len(batch)), lens)
-        n_stop = np.bincount(row, weights=hit, minlength=len(batch))
-        d = pd.DataFrame({
-            "source": batch["source"],
-            "doc_id": batch["doc_id"].astype("int64"),
-            "score": np.round(n_stop / n.to_numpy(), 6)})
-        d = d.sort_values(["source", "score", "doc_id"],
-                          ascending=[True, False, True])
-        return d.groupby("source", as_index=False).head(k)
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # Arrow partials (round-5 item #3): split + is_in on the Arrow
+        # word values, per-doc stopword counts via bincount scatter,
+        # per-source top-k via one lexsort + segment-rank mask
+        lists = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        offs = lists.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(offs)
+        hit = pc.is_in(lists.values, value_set=stop_set) \
+            .to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(lens)), lens)
+        n_stop = np.bincount(row, weights=hit, minlength=len(lens))
+        score = np.round(n_stop / np.maximum(lens, 1), 6)
+        did = batch["doc_id"].to_numpy().astype(np.int64)
+        senc = pc.dictionary_encode(batch["source"].combine_chunks())
+        codes = np.asarray(senc.indices)
+        order = np.lexsort((did, -score, codes))
+        cs = codes[order]
+        seg_start = np.zeros(len(cs), dtype=np.int64)
+        if len(cs):
+            b = np.zeros(len(cs), dtype=bool)
+            b[0] = True
+            b[1:] = cs[1:] != cs[:-1]
+            starts = np.flatnonzero(b)
+            seg_start = starts[np.cumsum(b) - 1]
+        keep = (np.arange(len(cs)) - seg_start) < k
+        sel = order[keep]
+        return pa.table({
+            "source": batch["source"].combine_chunks().take(
+                pa.array(sel)),
+            "doc_id": pa.array(did[sel]),
+            "score": pa.array(score[sel])})
 
-    cand = (ds.map_batches(partial_topk, batch_format="pandas")
+    cand = (ds.map_batches(partial_topk, batch_format="pyarrow")
               .to_pandas())
     cand = cand.sort_values(["source", "score", "doc_id"],
                             ascending=[True, False, True])
