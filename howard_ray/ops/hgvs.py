@@ -165,12 +165,30 @@ def _put_once(key: str, builder):
     return _PUT_CACHE[k]
 
 
+_MODEL_FIELDS = ("tx_start", "tx_end", "pmax_end", "tx_id", "rank",
+                 "plus", "coding", "utr5", "cds_len", "n_ex",
+                 "ex_start", "ex_end", "cum")
+
+
 @functools.lru_cache(maxsize=1)
 def _model_arrays() -> dict:
     """Per-chromosome packed arrays for the broadcast index: transcripts
     sorted by (tx_start, tx_end, tx_id) with prefix-max-end for the window
     scan, exon matrices padded to 3 columns. Pure function of the closed
-    form — memoized per process."""
+    form — memoized per process AND npz-disk-cached per host (round-5
+    verdict item #4: a fresh process mmap-loads instead of paying the
+    per-exon Python assembly loop, the remaining hgvs_cdna one-shot
+    cost)."""
+    cache = os.path.join(os.path.dirname(GENOME_PATH),
+                         "tx_model_arrays_v1.npz")
+    if os.path.exists(cache):
+        try:
+            z = np.load(cache)
+            chroms = sorted({k.rsplit("__", 1)[0] for k in z.files})
+            return {c: {f: z[f"{c}__{f}"] for f in _MODEL_FIELDS}
+                    for c in chroms}
+        except Exception:
+            pass  # torn/stale cache: rebuild below
     df = gen_tx_models()
     out = {}
     for c, grp in df.groupby("chrom"):
@@ -210,6 +228,14 @@ def _model_arrays() -> dict:
             "n_ex": txg["size"].to_numpy(),
             "ex_start": exs, "ex_end": exe, "cum": cum,
         }
+    try:  # atomic npz publish, same pattern as the genome run cache
+        flat = {f"{c}__{f}": np.asarray(e[f])
+                for c, e in out.items() for f in _MODEL_FIELDS}
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(cache + f".tmp{os.getpid()}.npz", **flat)
+        os.replace(cache + f".tmp{os.getpid()}.npz", cache)
+    except OSError:
+        pass
     return out
 
 
@@ -561,7 +587,13 @@ def hgvs_cdna(sf_dir: str):
                 "ref": batch["ref"], "alt": batch["alt"],
                 "tx_id": tx_col, "hgvs_c": name_col})
 
-    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"])
+    # one block per CPU: the namer pays a fixed 23-chromosome scan +
+    # ~50 small Arrow kernel calls per BATCH, so fewer/larger batches
+    # amortize that constant (measured 4.8 s -> 3.5 s at sf0.1 vs the
+    # read's default 64 blocks); rows stay ~37k x 4 slim columns per task
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"],
+                     num_blocks=cpus)
     t = pa.concat_tables(
         ray.get(ds.map_batches(lambda b: CdnaNamer()(b),
                                batch_format="pyarrow").to_arrow_refs()),
