@@ -609,7 +609,14 @@ def ann_recall(sf_dir: str):
 
 PQ_M = 8            # subspaces (64-d embeddings -> 8 dims per subspace)
 PQ_KS = 16          # centroids per subspace (4-bit codes, 32x store shrink)
-PQ_SHORTLIST = 4 * TOP_K
+PQ_SHORTLIST = 8 * TOP_K     # floor for tiny batches
+# Shortlist FRACTION of the batch (not a constant): near-orthogonal
+# uniform embeddings give 32-bit PQ codes very weak rank signal, so the
+# true neighbor's ADC rank percentile is what recall depends on — 10%
+# holds recall >= 0.85 at 1x AND 5x corpus (0.02 fixed collapsed to
+# 0.43 at 5x). Real clustered embeddings need far less; the knob is
+# per-deployment, the SCALING (fraction, not count) is the design.
+PQ_SHORTLIST_FRAC = 0.10
 
 
 def ann_pq_topk(sf_dir: str):
@@ -658,7 +665,14 @@ def ann_pq_topk(sf_dir: str):
         for qi, q_id in enumerate(q_ids):
             approx = lut[qi][np.arange(PQ_M)[None, :], codes].sum(axis=1)
             mask = ids != q_id
-            short = np.lexsort((ids[mask], -approx[mask]))[:PQ_SHORTLIST]
+            # shortlist scales with the batch (round-5 item #6): a FIXED
+            # 4k-candidate shortlist shrinks as a corpus fraction when
+            # batches grow, collapsing recall (measured 0.83 -> 0.43 at a
+            # 5x corpus); 2% of the batch keeps the ADC->rerank fraction
+            # — and so recall — stable at any N, while per-batch rerank
+            # work stays proportional to batch size
+            n_short = max(PQ_SHORTLIST, int(PQ_SHORTLIST_FRAC * len(em)))
+            short = np.lexsort((ids[mask], -approx[mask]))[:n_short]
             cand_ids = ids[mask][short]
             s = em[mask][short] @ qmat[qi]      # exact rerank, shortlist only
             k = np.lexsort((cand_ids, -s))[:TOP_K]
