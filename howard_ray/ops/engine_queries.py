@@ -260,15 +260,19 @@ def running_total(sf_dir: str):
 
     from .util import tbl
 
+    from .util import buckets_for_table
     ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = buckets_for_table(sf_dir, "events",
+                           ["event_id", "user_id", "ts", "value"])
 
     def add_bucket(batch):
         # bounded bucket key (user count scales); grouped cumsum inside the
         # bucket is one vectorized pass over all of its users. Arrow-native
-        # full-data pass — no pandas detour on the hot path
+        # full-data pass — no pandas detour on the hot path; bucket count
+        # derives from the pruned events size (round-5 item #1)
         import numpy as _np
         import pyarrow as _pa
-        b = (batch["user_id"].to_numpy() * _np.int64(2654435761)) % 64
+        b = (batch["user_id"].to_numpy() * _np.int64(2654435761)) % nb
         return batch.append_column("b", _pa.array(b))
 
     def per_bucket(g) -> "pa.Table":

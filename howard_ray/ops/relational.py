@@ -511,12 +511,16 @@ def latest_order_per_customer(sf_dir: str):
     """Argmax-per-group (latest order per customer, orderkey tie-break) —
     the reference's max-rank row selection shape (find_nomen,
     commons.py:655-667) on a relational key."""
+    from .util import buckets_for_table
     ds = tbl(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    nb = buckets_for_table(sf_dir, "orders",
+                           ["o_custkey", "o_orderkey", "o_orderdate"])
 
     def add_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # customer count scales with the data: bucket the shuffle key and
-        # pick every bucket's argmax rows in one vectorized pass
-        g["b"] = (g["o_custkey"] * 2654435761) % 64
+        # pick every bucket's argmax rows in one vectorized pass; bucket
+        # count derives from the pruned orders size (round-5 item #1)
+        g["b"] = (g["o_custkey"] * 2654435761) % nb
         return g
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:

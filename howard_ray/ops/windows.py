@@ -236,7 +236,7 @@ def funnel_steps(sf_dir: str):
     product-event pipeline runs. One bucketed shuffle of the (filtered)
     relevant events; each user's whole history folds inside its user-hash
     bucket with vectorized pandas (bounded-groupby rule), and the driver
-    sums 64 partial rows."""
+    sums the bounded per-bucket partial rows."""
     import numpy as np
 
     ds = tbl(sf_dir, "events", ["user_id", "event_type", "ts"])

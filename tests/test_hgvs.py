@@ -177,11 +177,11 @@ def test_cdna_multibase_indels(ray_session):
     multi-base anchored insertions carry the FULL inserted payload and
     are never classified dup."""
     out = H.hgvs_cdna(SF).to_pandas()
-    lr = out.ref.str.len()
-    la = out.alt.str.len()
     named = out[out.hgvs_c != ""]
-    del2 = named[(lr > la + 1) & (named.hgvs_c != "")]
-    ins2 = named[(la > lr + 1) & (named.hgvs_c != "")
+    lr = named.ref.str.len()
+    la = named.alt.str.len()
+    del2 = named[lr > la + 1]
+    ins2 = named[(la > lr + 1)
                  & (named.alt.str[0] == named.ref.str[0])]
     assert len(del2) > 10 and len(ins2) > 10
     # every multi-base del is a range 'del' (never a justified point)
