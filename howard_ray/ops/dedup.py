@@ -15,8 +15,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ..pipeline import stable_hash_u64
-from .text import horner_hash_u64
+from .text import horner_hash_arrow, horner_hash_u64
 from .util import buckets_for_table, derive_buckets, parquet_rows, tbl
 
 SQL: dict[str, str] = {}
@@ -990,21 +991,49 @@ def dup_ngram_spans(sf_dir: str, n_buckets: int | None = None):
     db_buckets = derive_buckets(parquet_rows(sf_dir, "documents") * 384)
     ds = tbl(sf_dir, "documents", ["doc_id", "source", "text"])
 
-    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, srcs, grams = [], [], []
-        for d, s, t in zip(batch["doc_id"].to_numpy(),
-                           batch["source"].to_numpy(),
-                           batch["text"].to_numpy()):
-            gs = _shingles(t.split(" "), k=DUP_GRAM_N)
-            grams.extend(gs)
-            ids.extend([d] * len(gs))
-            srcs.extend([s] * len(gs))
-        df = (pd.DataFrame({"doc_id": ids, "source": srcs, "gram": grams})
-              .groupby(["gram", "doc_id", "source"], as_index=False)
-              .size().rename(columns={"size": "n_occ"}))
-        h = horner_hash_u64(df["gram"].to_numpy())
-        df["b"] = (h % np.uint64(n_buckets)).view(np.int64)
-        return df
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        # vectorized 5-gram STRING construction (round-5: the per-doc
+        # Python shingle loop was the last row-loop over the documents
+        # table): split once, then the grams are one
+        # binary_join_element_wise over 5 shifted takes of the flat word
+        # array; short docs (<k words) fall back to the whole text,
+        # exactly _shingles' semantics
+        k = DUP_GRAM_N
+        lists = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        offs = lists.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        W = lists.values
+        g = np.where(counts >= k, counts - k + 1, 0)
+        off_g = np.concatenate(([0], np.cumsum(g)))[:-1]
+        pos = (np.arange(int(g.sum()), dtype=np.int64)
+               - np.repeat(off_g, g) + np.repeat(offs[:-1], g))
+        parts = [W.take(pa.array(pos + j)) for j in range(k)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        drep = np.repeat(np.arange(len(counts)), g)
+        shortm = counts < k
+        if shortm.any():
+            rows = np.flatnonzero(shortm)
+            joined = pc.binary_join(lists.take(pa.array(rows)),
+                                    pa.scalar(" "))
+            grams = pa.concat_arrays(
+                [grams.combine_chunks()
+                 if isinstance(grams, pa.ChunkedArray) else grams,
+                 joined.combine_chunks()
+                 if isinstance(joined, pa.ChunkedArray) else joined])
+            drep = np.concatenate([drep, rows])
+        didx = pa.array(drep)
+        t = pa.table({
+            "gram": grams,
+            "doc_id": batch["doc_id"].combine_chunks().take(didx),
+            "source": batch["source"].combine_chunks().take(didx)})
+        agg = t.group_by(["gram", "doc_id", "source"]).aggregate(
+            [("doc_id", "count")])
+        h = horner_hash_arrow(agg["gram"])
+        return pa.table({
+            "gram": agg["gram"], "doc_id": agg["doc_id"],
+            "source": agg["source"],
+            "n_occ": pc.cast(agg["doc_id_count"], pa.int64()),
+            "b": pa.array((h % np.uint64(n_buckets)).view(np.int64))})
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # distinct docs per gram within the bucket = globally distinct
@@ -1034,7 +1063,7 @@ def dup_ngram_spans(sf_dir: str, n_buckets: int | None = None):
                  s_frac=("frac", "sum")))
 
     from ray.data.aggregate import Sum
-    per_bucketed = (ds.map_batches(gram_rows, batch_format="pandas")
+    per_bucketed = (ds.map_batches(gram_rows, batch_format="pyarrow")
                     .groupby("b").map_groups(per_bucket,
                                              batch_format="pandas"))
 
