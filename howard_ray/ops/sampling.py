@@ -176,16 +176,18 @@ def heavy_hitters(sf_dir: str, phi: float = HH_PHI):
     # pass 1: candidate superset + total word count (both tiny)
     cand_tbl = (ds.map_batches(local_candidates, batch_format="pyarrow")
                   .to_pandas())
-    candidates = set(cand_tbl["word"].tolist())
+    candidates = sorted(set(cand_tbl["word"].tolist()))
     n_total = int(ds.map_batches(word_counts, batch_format="pyarrow")
                     .aggregate(Sum("cnt", alias_name="n"))["n"])
-    cand_ref = ray.put(candidates)
+    cand_ref = ray.put(pa.array(candidates))
 
     def exact_counts(batch: pa.Table) -> pa.Table:
+        # Arrow is_in against the broadcast candidate array — no per-word
+        # Python membership loop
         cands = ray.get(cand_ref)
         t = word_counts(batch)
-        mask = pa.array([w in cands for w in t["word"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.is_in(t["word"].combine_chunks(),
+                                 value_set=cands))
 
     out = (ds.map_batches(exact_counts, batch_format="pyarrow")
              .groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
