@@ -68,13 +68,15 @@ def _mutate(rows: pa.Table) -> pa.Table:
 
 
 @pytest.mark.parametrize("seed,backend", [(3, "local"), (17, "local"),
-                                          (29, "local"), (17, "mem")])
+                                          (29, "local"), (17, "mem"),
+                                          (29, "pfs")])
 def test_random_lifecycle_sequence(ray_session, tmp_path, seed, backend):
     rng = np.random.default_rng(seed)
     # the mem:// variant drives the same random sequence through the
     # non-path-mappable handler backend (named-actor store, no rename)
-    store = (str(tmp_path / "store") if backend == "local"
-             else f"mem://rl{seed}/store")
+    store = {"local": str(tmp_path / "store"),
+             "mem": f"mem://rl{seed}/store",
+             "pfs": f"pfs://{tmp_path}/store"}[backend]
 
     cursor = 1200  # next unused master row (append slices are disjoint)
     mirror = MASTER.slice(0, cursor)
