@@ -70,6 +70,7 @@ def all_queries():
         "dedup_components": components.dedup_components,
         "dedup_survivors": components.dedup_survivors,
         "dup_ngram_spans": dedup.dup_ngram_spans,
+        "dup_passages": dedup.dup_passages,
         # similarity
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,

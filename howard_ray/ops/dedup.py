@@ -1106,3 +1106,142 @@ SELECT source, count(*) AS n_docs,
   round(avg(n_dup::DOUBLE / n_grams), 4) AS avg_dup_frac
 FROM pd GROUP BY source ORDER BY source
 """
+
+
+def dup_passages(sf_dir: str, n_buckets: int | None = None):
+    """Maximal duplicated-PASSAGE spans per document — the span-level
+    form of substring dedup modern pretraining pipelines run (Lee et al.
+    2021 dedup duplicated substrings, not whole docs): a word 5-gram
+    occurrence is *duplicated* when its gram occurs in ≥2 distinct docs
+    corpus-wide; per doc, the duplicated gram START positions merge into
+    maximal spans (interval union of [p, p+k-1], gaps-and-islands), and
+    one row per affected doc reports span count, covered words and the
+    covered fraction — the actionable "cut these passages" signal, where
+    ``dup_ngram_spans`` only flags whole documents.
+
+    Scale shape (same discipline as dup_ngram_spans, both bucket counts
+    size-derived): vectorized (gram, doc, pos) rows → ONE gram-hash
+    bucket shuffle (in-bucket groupby on the gram STRING, so 64-bit
+    collisions cannot fabricate a duplicate) emitting only duplicated
+    occurrences → ONE doc-hash bucket shuffle folding each doc's sorted
+    positions into islands with numpy reduceat — no joins, nothing
+    driver-side scales with the corpus."""
+    k = DUP_GRAM_N
+    if n_buckets is None:
+        n_buckets = buckets_for_table(sf_dir, "documents", ["text"],
+                                      factor=10.0)
+    db_buckets = derive_buckets(parquet_rows(sf_dir, "documents") * 64)
+    ds = tbl(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def gram_pos_rows(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        offs = lists.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        W = lists.values
+        g = np.where(counts >= k, counts - k + 1, 0)
+        off_g = np.concatenate(([0], np.cumsum(g)))[:-1]
+        ar = np.arange(int(g.sum()), dtype=np.int64)
+        local = ar - np.repeat(off_g, g)          # 0-based pos in doc
+        pos = local + np.repeat(offs[:-1], g)
+        parts = [W.take(pa.array(pos + j)) for j in range(k)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        drep = pa.array(np.repeat(np.arange(len(counts)), g))
+        h = horner_hash_arrow(grams)
+        return pa.table({
+            "gram": grams,
+            "doc_id": batch["doc_id"].combine_chunks().take(drep),
+            "source": batch["source"].combine_chunks().take(drep),
+            "n_words": pa.array(np.repeat(counts, g)),
+            "p": pa.array(local),
+            "b": pa.array((h % np.uint64(n_buckets)).view(np.int64))})
+
+    def dup_occurrences(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct docs per gram within the bucket = globally distinct
+        nd = g.groupby("gram")["doc_id"].transform("nunique")
+        out = g.loc[nd >= 2, ["doc_id", "source", "n_words", "p"]].copy()
+        out["db"] = (out["doc_id"].to_numpy(np.int64) % db_buckets)
+        return out
+
+    def fold_spans(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "source": pd.Series([], dtype=object),
+            "n_spans": pd.Series([], dtype="int64"),
+            "dup_words": pd.Series([], dtype="int64"),
+            "n_words": pd.Series([], dtype="int64"),
+            "dup_frac": pd.Series([], dtype="float64")})
+        if not len(g):
+            return empty
+        g = g.sort_values(["doc_id", "p"], kind="stable")
+        d = g["doc_id"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        newdoc = np.ones(len(d), dtype=bool)
+        newdoc[1:] = d[1:] != d[:-1]
+        # island break: gap above k means the [p, p+k-1] intervals no
+        # longer touch (positions ascend per doc, so running max end is
+        # the previous p + k - 1)
+        brk = newdoc.copy()
+        brk[1:] |= p[1:] > p[:-1] + k
+        starts = np.flatnonzero(brk)
+        first = p[starts]
+        last = np.maximum.reduceat(p, starts)
+        covered = last - first + k
+        doc_of_isl = d[starts]
+        nd_b = np.ones(len(starts), dtype=bool)
+        nd_b[1:] = doc_of_isl[1:] != doc_of_isl[:-1]
+        dstarts = np.flatnonzero(nd_b)
+        span_cnt = np.diff(np.append(dstarts, len(starts)))
+        dup_words = np.add.reduceat(covered, dstarts)
+        nw = g["n_words"].to_numpy(np.int64)[newdoc]
+        return pd.DataFrame({
+            "doc_id": doc_of_isl[nd_b].astype("int64"),
+            "source": g["source"].to_numpy()[newdoc],
+            "n_spans": span_cnt.astype("int64"),
+            "dup_words": dup_words.astype("int64"),
+            "n_words": nw.astype("int64"),
+            "dup_frac": np.round(dup_words / nw, 4)})
+
+    out = (ds.map_batches(gram_pos_rows, batch_format="pyarrow")
+             .groupby("b").map_groups(dup_occurrences,
+                                      batch_format="pandas")
+             .groupby("db").map_groups(fold_spans, batch_format="pandas")
+             .to_pandas())
+    if out.empty:
+        return fold_spans(pd.DataFrame())
+    for c in ("doc_id", "n_spans", "dup_words", "n_words"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL["dup_passages"] = f"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents),
+grams AS (
+  SELECT doc_id, source, len(w) AS n_words,
+         CAST(t.p AS BIGINT) AS p,
+         array_to_string(w[t.p+1:t.p+{DUP_GRAM_N}], ' ') AS gram
+  FROM d, unnest(range(greatest(len(w) - {DUP_GRAM_N - 1}, 0))) AS t(p)),
+dupg AS (SELECT gram FROM grams
+         GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+occ AS (SELECT g.* FROM grams g
+        WHERE g.gram IN (SELECT gram FROM dupg)),
+isl AS (
+  SELECT doc_id, source, n_words, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   <= {DUP_GRAM_N} THEN 0 ELSE 1 END AS brk
+  FROM occ),
+grp AS (
+  SELECT doc_id, source, n_words, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+  FROM isl),
+spans AS (
+  SELECT doc_id, source, n_words, isl_id,
+         max(p) - min(p) + {DUP_GRAM_N} AS covered
+  FROM grp GROUP BY doc_id, source, n_words, isl_id)
+SELECT doc_id, source, count(*) AS n_spans,
+       sum(covered)::BIGINT AS dup_words,
+       n_words::BIGINT AS n_words,
+       round(sum(covered) * 1.0 / n_words, 4) AS dup_frac
+FROM spans GROUP BY doc_id, source, n_words
+ORDER BY doc_id
+"""

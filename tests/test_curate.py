@@ -282,3 +282,48 @@ def test_pack_sequences_matches_scalar(ray_session):
             (cstart // PACK_L != (cend - 1) // PACK_L).sum())
     # deterministic across runs
     assert pack_sequences("/root/testdata/sf0.001").equals(out)
+
+
+def test_dup_passages_span_semantics(ray_session, tmp_path):
+    """Injected shared passages are localized as maximal spans: two docs
+    share one 8-word passage (one island, 8 covered words) and a second
+    disjoint 5-gram; a third doc is untouched and must be absent."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from howard_ray.ops.dedup import dup_passages
+
+    d = tmp_path / "dp"
+    d.mkdir()
+    passage = "alpha beta gamma delta epsilon zeta eta theta"      # 8 words
+    gram2 = "one two three four five"                              # 5 words
+    filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = [
+        (1, f"{filler('a', 6)} {passage} {filler('b', 6)} {gram2}"),
+        (2, f"{gram2} {filler('c', 6)} {passage}"),
+        (3, filler("z", 30)),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([i for i, _ in docs], type=pa.int64()),
+        "source": pa.array(["s"] * 3),
+        "text": pa.array([t for _, t in docs])}),
+        str(d / "documents.parquet"))
+
+    out = dup_passages(str(d)).set_index("doc_id")
+    assert sorted(out.index) == [1, 2]
+    for i in (1, 2):
+        assert out.loc[i, "n_spans"] == 2
+        # the 8-word passage is ONE merged island (4 overlapping 5-gram
+        # starts) + the standalone 5-gram island
+        assert out.loc[i, "dup_words"] == 8 + 5
+    # matches the SQL twin on the same table
+    import duckdb
+    from howard_ray.ops.dedup import SQL
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet'")
+    exp = con.execute(SQL["dup_passages"]).fetchdf()
+    import pandas as pd
+    pd.testing.assert_frame_equal(out.reset_index(), exp,
+                                  check_dtype=False)
