@@ -71,6 +71,7 @@ def all_queries():
         "dedup_survivors": components.dedup_survivors,
         "dup_ngram_spans": dedup.dup_ngram_spans,
         "dup_passages": dedup.dup_passages,
+        "scrub_passages": dedup.scrub_passages,
         # similarity
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,

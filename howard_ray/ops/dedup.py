@@ -1245,3 +1245,176 @@ SELECT doc_id, source, count(*) AS n_spans,
 FROM spans GROUP BY doc_id, source, n_words
 ORDER BY doc_id
 """
+
+
+def scrub_passages(sf_dir: str, n_buckets: int | None = None):
+    """APPLY the dup_passages signal: remove every cross-doc-duplicated
+    5-gram span from each document and report the per-source scrub
+    outcome (docs touched, words removed, post-scrub char mass) — the
+    transform step of substring dedup, where ``dup_passages`` is the
+    report.
+
+    Shape: the duplicated-occurrence rows (doc, p) from the gram-hash
+    bucket shuffle are co-shuffled with the FULL document rows under a
+    doc-hash bucket (union, side-tagged); each bucket rebuilds its docs'
+    texts minus the covered word-index union vectorized (one split +
+    boolean scatter + list-take per bucket), and only per-source partial
+    sums leave the stage. Both bucket counts size-derived."""
+    k = DUP_GRAM_N
+    if n_buckets is None:
+        n_buckets = buckets_for_table(sf_dir, "documents", ["text"],
+                                      factor=10.0)
+    # doc-side co-shuffle carries the FULL texts: size by text bytes
+    db_buckets = buckets_for_table(sf_dir, "documents", ["text"])
+    ds = tbl(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def gram_pos_rows(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        offs = lists.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        W = lists.values
+        g = np.where(counts >= k, counts - k + 1, 0)
+        off_g = np.concatenate(([0], np.cumsum(g)))[:-1]
+        ar = np.arange(int(g.sum()), dtype=np.int64)
+        local = ar - np.repeat(off_g, g)
+        pos = local + np.repeat(offs[:-1], g)
+        parts = [W.take(pa.array(pos + j)) for j in range(k)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        drep = pa.array(np.repeat(np.arange(len(counts)), g))
+        h = horner_hash_arrow(grams)
+        return pa.table({
+            "gram": grams,
+            "doc_id": batch["doc_id"].combine_chunks().take(drep),
+            "p": pa.array(local),
+            "b": pa.array((h % np.uint64(n_buckets)).view(np.int64))})
+
+    def dup_occ(g: pd.DataFrame) -> pa.Table:
+        # ARROW out with explicit types: a pandas block in the union
+        # flips the downstream shuffle builder (DESIGN.md §13)
+        nd = g.groupby("gram")["doc_id"].transform("nunique")
+        out = g.loc[nd >= 2, ["doc_id", "p"]]
+        did = out["doc_id"].to_numpy(np.int64)
+        n = len(did)
+        return pa.table({
+            "db": pa.array(did % db_buckets),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "doc_id": pa.array(did),
+            "p": pa.array(out["p"].to_numpy(np.int64)),
+            "source": pa.array([""] * n, type=pa.string()),
+            "text": pa.array([""] * n, type=pa.string())})
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        n = len(did)
+        return pa.table({
+            "db": pa.array(did % db_buckets),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "doc_id": pa.array(did),
+            "p": pa.array(np.full(n, -1, dtype=np.int64)),
+            "source": batch["source"],
+            "text": batch["text"]})
+
+    def scrub(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_scrubbed": pd.Series([], dtype="int64"),
+            "words_removed": pd.Series([], dtype="int64"),
+            "sum_chars_after": pd.Series([], dtype="int64")})
+        docs = g[g["side"] == 0] if len(g) else g
+        if not len(docs):
+            return empty
+        occ = g[g["side"] == 1]
+        # per-doc covered word-index sets, built once per bucket:
+        # split all texts, scatter covered flags over the flat word axis
+        texts = pa.array(docs["text"].tolist())
+        lists = pc.split_pattern(texts, " ")
+        offs = lists.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        row_of = {int(d): i for i, d in enumerate(docs["doc_id"])}
+        covered = np.zeros(int(offs[-1]), dtype=bool)
+        op = occ["p"].to_numpy(np.int64)
+        orow = np.array([row_of[int(d)] for d in occ["doc_id"]],
+                        dtype=np.int64)
+        # clip spans at the doc end (can't exceed: p <= n_words - k)
+        for j in range(k):
+            covered[offs[orow] + op + j] = True
+        keep = ~covered
+        kept_words = lists.values.filter(pa.array(keep))
+        kept_per_doc = np.add.reduceat(
+            keep.astype(np.int64), offs[:-1]) if len(counts) else \
+            np.array([], dtype=np.int64)
+        kept_per_doc = np.where(counts == 0, 0, kept_per_doc)
+        new_off = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        cleaned = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(new_off, type=pa.int32()), kept_words),
+            pa.scalar(" "))
+        chars_after = pc.utf8_length(cleaned).to_numpy(
+            zero_copy_only=False)
+        removed = counts - kept_per_doc
+        return (pd.DataFrame({
+            "source": docs["source"].to_numpy(),
+            "one": np.ones(len(docs), dtype=np.int64),
+            "scrubbed": (removed > 0).astype(np.int64),
+            "words_removed": removed.astype(np.int64),
+            "chars_after": chars_after.astype(np.int64)})
+            .groupby("source", as_index=False)
+            .agg(n_docs=("one", "sum"), n_scrubbed=("scrubbed", "sum"),
+                 words_removed=("words_removed", "sum"),
+                 sum_chars_after=("chars_after", "sum")))
+
+    from ray.data.aggregate import Sum
+    tagged = (ds.map_batches(gram_pos_rows, batch_format="pyarrow")
+                .groupby("b").map_groups(dup_occ, batch_format="pandas"))
+    out = (ds.map_batches(tag_docs, batch_format="pyarrow")
+             .union(tagged)
+             .groupby("db").map_groups(scrub, batch_format="pandas")
+             .groupby("source")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_scrubbed", alias_name="n_scrubbed"),
+                        Sum("words_removed", alias_name="words_removed"),
+                        Sum("sum_chars_after",
+                            alias_name="sum_chars_after"))
+             .to_pandas())
+    for c in ("n_docs", "n_scrubbed", "words_removed", "sum_chars_after"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL["scrub_passages"] = f"""
+WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS w
+           FROM documents),
+grams AS (
+  SELECT doc_id, CAST(t.p AS BIGINT) AS p,
+         array_to_string(w[t.p+1:t.p+{DUP_GRAM_N}], ' ') AS gram
+  FROM d, unnest(range(greatest(len(w) - {DUP_GRAM_N - 1}, 0))) AS t(p)),
+dupg AS (SELECT gram FROM grams
+         GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+occ AS (SELECT g.doc_id, g.p FROM grams g
+        WHERE g.gram IN (SELECT gram FROM dupg)),
+cov AS (SELECT DISTINCT o.doc_id, o.p + CAST(u.j AS BIGINT) AS widx
+        FROM occ o, unnest(range({DUP_GRAM_N})) AS u(j)),
+words AS (
+  SELECT d.doc_id, CAST(t.i AS BIGINT) AS widx, w[t.i+1] AS word
+  FROM d, unnest(range(len(w))) AS t(i)),
+kept AS (
+  SELECT wd.doc_id, wd.widx, wd.word
+  FROM words wd LEFT JOIN cov
+    ON cov.doc_id = wd.doc_id AND cov.widx = wd.widx
+  WHERE cov.widx IS NULL),
+cleaned AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS txt,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+per_doc AS (
+  SELECT d.doc_id, d.source,
+         len(d.w) - coalesce(c.n_kept, 0) AS removed,
+         length(coalesce(c.txt, '')) AS chars_after
+  FROM d LEFT JOIN cleaned c USING (doc_id))
+SELECT source, count(*) AS n_docs,
+       sum((removed > 0)::BIGINT)::BIGINT AS n_scrubbed,
+       sum(removed)::BIGINT AS words_removed,
+       sum(chars_after)::BIGINT AS sum_chars_after
+FROM per_doc GROUP BY source ORDER BY source
+"""
