@@ -38,7 +38,7 @@ import ray.data
 from ray.data.aggregate import Min, Sum
 
 from .dedup import _JACCARD_SQL, jaccard_pairs_ds
-from .util import buckets_for_table, derive_buckets, parquet_rows, tbl
+from .util import derive_buckets, parquet_rows, tbl
 
 SQL: dict[str, str] = {}
 

@@ -38,7 +38,7 @@ from ray.data.aggregate import Sum
 from ..pipeline import stable_hash_u64
 from .sampling import _HASH_SQL, _lcg_u64, TRAIN_HI, VAL_HI
 from .text import REP_THRESHOLD
-from .util import buckets_for_table, derive_buckets, parquet_rows, tbl
+from .util import tbl
 
 SQL: dict[str, str] = {}
 

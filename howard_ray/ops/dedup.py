@@ -1331,11 +1331,15 @@ def scrub_passages(sf_dir: str, n_buckets: int | None = None):
         lists = pc.split_pattern(texts, " ")
         offs = lists.offsets.to_numpy().astype(np.int64)
         counts = np.diff(offs)
-        row_of = {int(d): i for i, d in enumerate(docs["doc_id"])}
         covered = np.zeros(int(offs[-1]), dtype=bool)
         op = occ["p"].to_numpy(np.int64)
-        orow = np.array([row_of[int(d)] for d in occ["doc_id"]],
-                        dtype=np.int64)
+        # occ doc_id -> doc row index, vectorized (argsort+searchsorted,
+        # not a per-occurrence Python dict lookup — occurrence count ~
+        # word count on a duplicate-heavy corpus)
+        dids = docs["doc_id"].to_numpy(np.int64)
+        dorder = np.argsort(dids, kind="stable")
+        odid = occ["doc_id"].to_numpy(np.int64)
+        orow = dorder[np.searchsorted(dids[dorder], odid)]
         # clip spans at the doc end (can't exceed: p <= n_words - k)
         for j in range(k):
             covered[offs[orow] + op + j] = True

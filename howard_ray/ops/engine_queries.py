@@ -258,9 +258,8 @@ def running_total(sf_dir: str):
     by key, sort by ts within group, sequential state inside map_groups)."""
     import pandas as pd
 
-    from .util import tbl
+    from .util import buckets_for_table, tbl
 
-    from .util import buckets_for_table
     ds = tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     nb = buckets_for_table(sf_dir, "events",
                            ["event_id", "user_id", "ts", "value"])

@@ -219,7 +219,10 @@ def _model_arrays() -> dict:
             "tx_start": txg["tx_start"].to_numpy(),
             "tx_end": ends,
             "pmax_end": np.maximum.accumulate(ends),
-            "tx_id": txg["tx_id"].to_numpy(),
+            # fixed-width unicode, NOT object dtype: np.savez pickles
+            # object arrays and np.load(allow_pickle=False) then refuses
+            # the whole cache — the disk cache would silently never load
+            "tx_id": txg["tx_id"].to_numpy().astype(str),
             "rank": rank,
             "plus": (txg["strand"] == "+").to_numpy(),
             "coding": txg["coding"].to_numpy().astype(bool),
@@ -591,7 +594,8 @@ def hgvs_cdna(sf_dir: str):
     # ~50 small Arrow kernel calls per BATCH, so fewer/larger batches
     # amortize that constant (measured 4.8 s -> 3.5 s at sf0.1 vs the
     # read's default 64 blocks); rows stay ~37k x 4 slim columns per task
-    cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
     ds = variants_ds(sf_dir, ["chrom", "pos", "ref", "alt"],
                      num_blocks=cpus)
     t = pa.concat_tables(

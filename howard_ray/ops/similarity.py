@@ -668,9 +668,9 @@ def ann_pq_topk(sf_dir: str):
             # shortlist scales with the batch (round-5 item #6): a FIXED
             # 4k-candidate shortlist shrinks as a corpus fraction when
             # batches grow, collapsing recall (measured 0.83 -> 0.43 at a
-            # 5x corpus); 2% of the batch keeps the ADC->rerank fraction
-            # — and so recall — stable at any N, while per-batch rerank
-            # work stays proportional to batch size
+            # 5x corpus); PQ_SHORTLIST_FRAC (10%) of the batch keeps the
+            # ADC->rerank fraction — and so recall — stable at any N,
+            # while per-batch rerank work stays proportional
             n_short = max(PQ_SHORTLIST, int(PQ_SHORTLIST_FRAC * len(em)))
             short = np.lexsort((ids[mask], -approx[mask]))[:n_short]
             cand_ids = ids[mask][short]

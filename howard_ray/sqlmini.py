@@ -2482,15 +2482,19 @@ def _run_windowed(plan: dict, ds, size_hint: int = 0) -> pd.DataFrame:
             """RANGE frame: every row takes its peer group's value at the
             peer END, forward-filling over null-input positions within
             the partition (a frame that ends on a null input still sums
-            everything before it)."""
-            valid = (~np.isnan(vals) if vals.dtype.kind == "f"
-                     else np.ones(len(vals), dtype=bool))
-            lv = np.maximum.accumulate(np.where(valid, pos, -1))
-            ff = np.where((lv >= seg_start) & (lv >= 0),
-                          vals[np.clip(lv, 0, None)], np.nan)
+            everything before it). Integer input (the int64-exact SUM
+            path, null-free by construction) stays integer: the float
+            np.where branch would silently promote and round above 2^53
+            — the exact bug the int path exists to avoid."""
             ps = np.flatnonzero(b_peer)
             pid = np.cumsum(b_peer) - 1
             pend = np.append(ps[1:] - 1, len(vals) - 1)[pid]
+            if vals.dtype.kind != "f":
+                return vals[pend]
+            valid = ~np.isnan(vals)
+            lv = np.maximum.accumulate(np.where(valid, pos, -1))
+            ff = np.where((lv >= seg_start) & (lv >= 0),
+                          vals[np.clip(lv, 0, None)], np.nan)
             return ff[pend]
 
         for alias, win, col, nd in out_specs:

@@ -23,10 +23,12 @@ Four schemes ship built-in:
   final key, then delete of the temp (S3 semantics — readers see either
   no object or the complete object, never a partial one; durability of
   the publish is carried by the manifest commit, not the rename).
-  Lifetime = the creating Ray session: a second PROCESS sees an empty
-  store (the actor died with the first job) — the backend exists to
-  prove the handler protocol under true object-store semantics, not to
-  persist; a real S3/GCS handler persists by nature.
+  Lifetime = the Ray SESSION (the actor is detached, so it survives
+  the worker or driver that first touched it and is shared by any job
+  in the same cluster session; it dies with cluster teardown) — the
+  backend exists to prove the handler protocol under true object-store
+  semantics, not to persist across sessions; ``pfs://`` below is the
+  persistent no-rename proof.
 
 - ``pfs:///abs/path`` → the local filesystem through the fsspec adapter
   with ``supports_replace = False``: a PERSISTENT no-rename backend —

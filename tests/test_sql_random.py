@@ -170,7 +170,17 @@ def test_window_int_sum_type_stable_and_exact(ray_session, tmp_path):
            "SUM(big) OVER (PARTITION BY k ORDER BY rid) AS sb "
            "FROM events ORDER BY rid")
     mine, ora = _both(str(d), sql)
-    # exactness: compare as int (DuckDB window SUM over BIGINT is exact)
-    assert mine["sb"].astype("int64").tolist() == \
-        ora["sb"].astype("int64").tolist()
-    pd.testing.assert_frame_equal(mine, ora, check_dtype=False)
+    # exactness vs PYTHON-int expected sums — comparing against DuckDB's
+    # fetchdf would be a false negative: its HUGEINT window SUM converts
+    # to float64 in the dataframe, reproducing the same rounding a buggy
+    # float64 engine path would make
+    run: dict = {}
+    exp = []
+    for kk, bb in zip(k, big):
+        run[kk] = run.get(kk, 0) + int(bb)
+        exp.append(run[kk])
+    assert mine["sb"].dtype.kind == "i", mine["sb"].dtype
+    assert mine["sb"].tolist() == exp
+    pd.testing.assert_frame_equal(mine.drop(columns=["sb"]),
+                                  ora.drop(columns=["sb"]),
+                                  check_dtype=False)
