@@ -35,6 +35,7 @@ OPS_IN_BENCH = ["pricing_summary", "join_hash", "dedup_exact",
                 "dedup_jaccard_join", "ann_ivf_topk", "split_assign",
                 "heavy_hitters", "redact_terms", "token_freq_topk",
                 "curate_pipeline", "mixture_sample", "dup_ngram_spans",
+                "scrub_passages",
                 "join_spj", "store_view", "sql_store_topk",
                 "hgvs_cdna", "sql_window_running"]
 
