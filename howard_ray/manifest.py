@@ -113,7 +113,10 @@ def _shard_zone(recs: list[dict]) -> dict:
             if c in dead:
                 continue
             st = (cols.get(c) or {}).get("stats") or {}
-            if "min" not in st:
+            if st.get("min") is None:
+                # missing OR all-null block ({"min": null}): the column
+                # cannot prune this shard, and a None must never reach
+                # the min()/max() fold below (TypeError)
                 dead.add(c)
                 zone.pop(c, None)
                 continue
@@ -181,8 +184,14 @@ def write_footer(store_dir: str, records: Iterable[dict], extra: dict | None = N
     shard_dir = os.path.join(store_dir, "footer_shards")
     # callers carry prior-footer extras forward wholesale; the snapshot
     # counter and timestamp are write_footer's own and must not be echoed
+    # strip EVERY structural key here, not just write_footer's own three:
+    # callers carry prior-footer extras forward wholesale, and a stale
+    # n_rows/blocks/shards overwriting the fresh totals would corrupt the
+    # footer silently (callers' own filters become harmless duplication)
     extra = {k: v for k, v in (extra or {}).items()
-             if k not in ("snapshot_id", "ts", "nonce")} or None
+             if k not in ("snapshot_id", "ts", "nonce", "version",
+                          "n_blocks", "n_rows", "encoded_bytes", "blocks",
+                          "sharded", "shards")} or None
     snap_id = 1
     try:  # monotone snapshot counter survives every footer rewrite
         with sio.sopen(footer_path) as f:
@@ -264,7 +273,10 @@ def snapshot_path(store_dir: str, snapshot_id: int) -> str:
 
 
 def _snapshot_retain() -> int:
-    return int(os.environ.get("HOWARD_SNAPSHOT_RETAIN", "16"))
+    """Min 1: the live footer's own snapshot must survive (shard GC and
+    time travel anchor on it), and ids[:-0] is the empty slice — a 0/
+    negative setting would silently retain EVERYTHING instead of less."""
+    return max(1, int(os.environ.get("HOWARD_SNAPSHOT_RETAIN", "16")))
 
 
 def _now_iso() -> str:
@@ -391,8 +403,30 @@ _SHARD_CACHE: dict[tuple, list] = {}
 _SHARD_CACHE_MAX = 4
 
 
+_ONE_SHARD_CACHE: dict = {}
+_ONE_SHARD_CACHE_MAX = 256
+
+
 def footer_cache_clear() -> None:
     _SHARD_CACHE.clear()
+    _ONE_SHARD_CACHE.clear()
+
+
+def _cached_one_shard(store_dir: str, nonce, fname: str) -> list:
+    """Per-shard parse cache for the FILTERED read path (the zone-pruned
+    scale path parses only surviving shards — but repeated point queries
+    must not re-download and re-parse the same surviving shard every
+    call). Same nonce aliasing guard as the full-footer cache."""
+    key = (store_dir, nonce, fname)
+    hit = _ONE_SHARD_CACHE.get(hash(key))
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    with sio.sopen(os.path.join(store_dir, "footer_shards", fname)) as f:
+        blocks = json.load(f)
+    while len(_ONE_SHARD_CACHE) >= _ONE_SHARD_CACHE_MAX:
+        _ONE_SHARD_CACHE.pop(next(iter(_ONE_SHARD_CACHE)))
+    _ONE_SHARD_CACHE[hash(key)] = (key, blocks)
+    return blocks
 
 
 def _cached_shard_blocks(store_dir: str, footer: dict) -> list:
@@ -445,8 +479,8 @@ def _zone_survives(stats_of, zones: dict) -> bool:
     """stats_of: col -> {"min":..,"max":..} or None when unavailable."""
     for col, (lo, hi) in zones.items():
         st = stats_of(col)
-        if not st or "min" not in st:
-            continue  # no zone map → cannot prune
+        if not st or st.get("min") is None:
+            continue  # no/all-null zone map → cannot prune
         if hi is not None and st["min"] > hi:
             return False
         if lo is not None and st["max"] < lo:
@@ -478,15 +512,15 @@ def load_blocks(store_dir: str, zones: dict | None = None,
         if not zones:
             return list(_cached_shard_blocks(store_dir, footer))
         blocks: list[dict] = []
-        shard_dir = os.path.join(store_dir, "footer_shards")
+        nonce = footer.get("nonce") or (footer.get("snapshot_id"),
+                                        footer.get("ts"))
         for sh in footer["shards"]:
             zone = sh.get("zone") or {}
             if zones and not _zone_survives(
                     lambda c: ({"min": zone[c][0], "max": zone[c][1]}
                                if c in zone else None), zones):
                 continue
-            with sio.sopen(os.path.join(shard_dir, sh["file"])) as f:
-                blocks.extend(json.load(f))
+            blocks.extend(_cached_one_shard(store_dir, nonce, sh["file"]))
     else:
         blocks = footer["blocks"]
     if zones:

@@ -161,8 +161,14 @@ def _mem_actor():
             return sorted(out)
 
         def makedirs(self, key: str) -> None:
-            self._dirs.add(key)
-            self._mkparents(key + "/x")
+            # walk from the LEAF up (adding key first and then calling
+            # _mkparents would early-exit on the first existing dir and
+            # never register the ancestors — isdir/listdir on them would
+            # then fail until some file PUT happened to re-create them)
+            d = key
+            while d and d not in self._dirs:
+                self._dirs.add(d)
+                d = os.path.dirname(d)
 
         def remove(self, key: str) -> bool:
             return self._files.pop(key, None) is not None
@@ -294,6 +300,10 @@ class MemHandler:
     def makedirs(self, rest: str, exist_ok: bool = True) -> None:
         self._call("makedirs", rest)
 
+    def put_whole(self, rest: str, data: bytes) -> None:
+        # one actor message == one atomic PUT
+        self._call("put", rest, data)
+
     def remove(self, rest: str) -> None:
         ok, ambiguous = self._call_ambig("remove", rest)
         # a False on a RETRY after an ambiguous attempt means the first
@@ -381,6 +391,28 @@ class FsspecHandler:
         # only reached when supports_replace=True was passed explicitly
         self._fs.mv(self._p(src_rest), self._p(dst_rest))
 
+    def put_whole(self, rest: str, data: bytes) -> None:
+        """The backend's atomic whole-object PUT — what a real object
+        store guarantees by nature. For filesystem-backed fsspec
+        instances the primitive is a hidden temp + fs-level move INSIDE
+        the handler (readers of the final key see old-or-new, never a
+        truncated file; store code itself still never issues a rename —
+        supports_replace stays False and the publish path is copy-PUT)."""
+        tmp = self._p(rest) + f".__put{os.getpid()}"
+        with self._fs.open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            self._fs.mv(tmp, self._p(rest))
+        except Exception:
+            # backend without rename (true object store): PUT directly —
+            # atomic there by the backend's own semantics
+            with self._fs.open(self._p(rest), "wb") as f:
+                f.write(data)
+            try:
+                self._fs.rm_file(tmp)
+            except Exception:
+                pass
+
     def remove(self, rest: str) -> None:
         try:
             self._fs.rm_file(self._p(rest))
@@ -408,7 +440,11 @@ def _pfs_handler():
 
 _HANDLERS: dict[str, object] = {
     "file": LocalHandler(lambda rest: "/" + rest.lstrip("/")),
-    "shim": LocalHandler(lambda rest: os.path.join(_SHIM_ROOT, rest)),
+    # normpath + strip confines rest INSIDE the shim root: an absolute
+    # rest ("shim:////etc/passwd") or ../ segments would otherwise escape
+    # the sandboxed tree and make the bypass tripwire pass vacuously
+    "shim": LocalHandler(lambda rest: os.path.join(
+        _SHIM_ROOT, os.path.normpath("/" + rest).lstrip("/"))),
     "mem": MemHandler(),
 }
 try:  # structural (module-level) so Ray workers resolve it identically
@@ -531,8 +567,16 @@ def replace(src: str, dst: str) -> None:
     else:
         with h.open(src_rest, "rb") as f:
             data = f.read()
-        with h.open(dst_rest, "wb") as f:
-            f.write(data)
+        # whole-object PUT of the final key: the handler's put_whole is
+        # the backend's atomic PUT primitive (a real object store's PUT
+        # is atomic by nature; the default open("wb") fallback documents
+        # that a backend without one leaves a torn-write window)
+        put = getattr(h, "put_whole", None)
+        if put is not None:
+            put(dst_rest, data)
+        else:
+            with h.open(dst_rest, "wb") as f:
+                f.write(data)
         h.remove(src_rest)
 
 

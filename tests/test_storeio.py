@@ -87,3 +87,48 @@ def test_full_lifecycle_through_uri_layer(ray_session, shim_store):
     # no literal 'shim:' directory appeared anywhere near the CWD
     assert not os.path.exists("shim:")
     assert set(os.listdir(".")) == cwd_entries
+
+
+def test_mem_makedirs_registers_ancestors(ray_session):
+    from howard_ray import storeio as sio
+    base = "mem://anc/a/b/c"
+    sio.makedirs(base)
+    for p in ("mem://anc/a/b/c", "mem://anc/a/b", "mem://anc/a"):
+        assert sio.isdir(p), p
+        sio.listdir(p)  # must not raise
+
+
+def test_shim_rest_cannot_escape_root():
+    import os
+    from howard_ray import storeio as sio
+    root = os.environ.get("HOWARD_SHIM_ROOT", "/tmp/howard_shim")
+    for evil in ("shim:////etc/passwd", "shim://../../etc/passwd",
+                 "shim://a/../../../etc/passwd"):
+        p = sio.local_path(evil)
+        assert os.path.commonpath([os.path.abspath(p), root]) == root, p
+
+
+def test_pfs_publish_uses_atomic_put_whole(tmp_path, monkeypatch):
+    """The no-rename publish must go through the handler's atomic PUT
+    primitive, never a truncating open('wb') on the final key."""
+    from howard_ray import storeio as sio
+    h = sio._HANDLERS["pfs"]
+    calls = []
+    orig = type(h).put_whole
+
+    def spy(self, rest, data):
+        calls.append(rest)
+        return orig(self, rest, data)
+
+    monkeypatch.setattr(type(h), "put_whole", spy)
+    base = f"pfs://{tmp_path}"
+    sio.makedirs(base)
+    with sio.sopen(sio.join(base, "f.tmp"), "wb") as f:
+        f.write(b"v2")
+    sio.replace(sio.join(base, "f.tmp"), sio.join(base, "f.json"))
+    assert calls and calls[0].endswith("f.json")
+    with sio.sopen(sio.join(base, "f.json"), "rb") as f:
+        assert f.read() == b"v2"
+    # no temp residue
+    import os
+    assert [x for x in os.listdir(tmp_path) if "__put" in x] == []

@@ -589,3 +589,40 @@ def test_sharded_footer_cache_no_alias_after_reencode(tmp_path, monkeypatch):
     assert all(b["payload"] == "new" for b in f2["blocks"]), \
         "stale shard cache served the deleted store's blocks"
     assert f1["nonce"] != f2["nonce"]
+
+
+def test_all_null_column_stats_safe(tmp_path, monkeypatch):
+    """{"min": null} stats (all-null column in a block) must neither
+    crash the sharded footer's zone fold nor break zone filtering."""
+    from howard_ray.manifest import load_blocks, write_footer
+    from howard_ray.storeio import makedirs
+
+    monkeypatch.setenv("HOWARD_FOOTER_SHARD_SIZE", "2")
+    st = str(tmp_path / "store")
+    makedirs(st)
+    recs = []
+    for i in range(5):
+        stats = ({"min": None, "max": None} if i % 2 == 0
+                 else {"min": f"v{i}", "max": f"v{i}"})
+        recs.append({"block_id": f"b{i}", "n_rows": 10,
+                     "encoded_bytes": 5,
+                     "columns": {"c": {"stats": stats}}})
+    write_footer(st, recs)  # must not TypeError in _shard_zone
+    # zone filter on the mixed column: all-null blocks survive (cannot
+    # prune), matching blocks filter exactly, no comparison with None
+    out = load_blocks(st, {"c": ("v3", "v3")})
+    ids = sorted(b["block_id"] for b in out)
+    assert "b3" in ids and all(b in {"b0", "b2", "b3", "b4"} for b in ids)
+
+
+def test_snapshot_retain_zero_keeps_one(tmp_path, monkeypatch):
+    from howard_ray.manifest import list_snapshot_ids, write_footer
+    from howard_ray.storeio import makedirs
+
+    monkeypatch.setenv("HOWARD_SNAPSHOT_RETAIN", "0")
+    st = str(tmp_path / "store")
+    makedirs(st)
+    for i in range(4):
+        write_footer(st, [{"block_id": f"b{i}", "n_rows": 1,
+                           "encoded_bytes": 1}])
+    assert len(list_snapshot_ids(st)) == 1  # not unbounded growth
