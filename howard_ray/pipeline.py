@@ -172,6 +172,62 @@ ENCODE_PROFILES = {
 }
 
 
+def _batch_mix(batch: pa.Table) -> tuple[int, str]:
+    """Order-sensitive content hash of a batch + its first scalar value —
+    the deterministic block-id ingredient shared by the stream encoder
+    and the recluster writers (batch boundaries are deterministic for a
+    fixed input + batch_size in scan order). EVERY column contributes
+    (scalar columns by value, nested columns by element lengths AND
+    element values), so two distinct batches can only collide if they are
+    fully content-identical — hashing a single key column would collide
+    whenever it is low-cardinality, and hashing nested LENGTHS alone
+    collides for any fixed-sequence-length input (uniform 2048-token
+    rows). Bit-identical duplicate batches are caught loudly by
+    write_footer's duplicate-id tripwire."""
+    import pyarrow.compute as pc
+    mult = np.uint64(1099511628211)  # FNV prime, mod 2^64 wraparound
+    pows = np.full(batch.num_rows, mult, dtype=np.uint64)
+    pows[0] = np.uint64(1)
+    np.cumprod(pows, out=pows)
+    mix = np.uint64((batch.num_rows * 0x9E3779B97F4A7C15)
+                    & 0xFFFFFFFFFFFFFFFF)
+    first = None
+    with np.errstate(over="ignore"):
+        for name, typ in zip(batch.schema.names, batch.schema.types):
+            col = batch[name]
+            if pa.types.is_nested(typ):
+                arr = (col.combine_chunks()
+                       if isinstance(col, pa.ChunkedArray) else col)
+                h = np.asarray(pc.list_value_length(arr),
+                               dtype=np.uint64)
+                try:
+                    fv = arr.flatten().to_numpy(zero_copy_only=False)
+                    if fv.dtype.kind in "iu":
+                        fv = fv.astype(np.uint64)
+                    elif fv.dtype.kind == "f":
+                        fv = fv.astype(np.float64).view(np.uint64)
+                    else:
+                        raise TypeError(fv.dtype)
+                    fp = np.full(len(fv), mult, dtype=np.uint64)
+                    if len(fp):
+                        fp[0] = np.uint64(1)
+                    np.cumprod(fp, out=fp)
+                    mix = mix * np.uint64(37) + np.uint64(
+                        int(np.sum(fv * fp, dtype=np.uint64)))
+                except (TypeError, ValueError):
+                    pass  # exotic nested type: lengths still mix below
+            else:
+                h = stable_hash_u64(np.asarray(
+                    col.cast(pa.string()).to_pandas(), dtype=object))
+                if first is None:
+                    first = str(col[0].as_py())[:64]
+            # order-sensitive polynomial combine (NOT xor: xor is
+            # commutative and self-cancelling)
+            mix = mix * np.uint64(31) + np.uint64(
+                int(np.sum(h * pows, dtype=np.uint64)))
+    return int(mix), (first if first is not None else "nested")
+
+
 class BlockEncoder:
     """Encode stage for ``mode="stream"`` (stateful stage shape: setup once
     per worker, work per batch — the reference's genome/bigwig-handle actors,
@@ -193,41 +249,8 @@ class BlockEncoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _records_table([])
-        # content-derived deterministic block id (batch boundaries are
-        # deterministic for a fixed input + batch_size in scan order).
-        # EVERY column contributes (scalar columns by value, nested columns
-        # by element length) so two distinct batches can only collide if
-        # they are fully content-identical — hashing a single key column
-        # would collide whenever it is low-cardinality (e.g. a pruned
-        # [tokens, source] schema where the dominant source fills whole
-        # batches). Bit-identical duplicate batches are caught loudly by
-        # write_footer's duplicate-id tripwire.
-        import pyarrow.compute as pc
-        mult = np.uint64(1099511628211)  # FNV prime, mod 2^64 wraparound
-        pows = np.full(batch.num_rows, mult, dtype=np.uint64)
-        pows[0] = np.uint64(1)
-        np.cumprod(pows, out=pows)
-        mix = np.uint64((batch.num_rows * 0x9E3779B97F4A7C15)
-                        & 0xFFFFFFFFFFFFFFFF)
-        first = None
-        with np.errstate(over="ignore"):
-            for name, typ in zip(batch.schema.names, batch.schema.types):
-                col = batch[name]
-                if pa.types.is_nested(typ):
-                    h = np.asarray(pc.list_value_length(col),
-                                   dtype=np.uint64)
-                else:
-                    h = stable_hash_u64(np.asarray(
-                        col.cast(pa.string()).to_pandas(), dtype=object))
-                    if first is None:
-                        first = str(col[0].as_py())[:64]
-                # order-sensitive polynomial combine (NOT xor: xor is
-                # commutative and self-cancelling)
-                mix = mix * np.uint64(31) + np.uint64(
-                    int(np.sum(h * pows, dtype=np.uint64)))
-        if first is None:
-            first = "nested"
-        key = f"{self.block_ns}s{int(mix):016x}"
+        mix, first = _batch_mix(batch)
+        key = f"{self.block_ns}s{mix:016x}"
         recs = _encode_tables_to_blocks(
             [batch], self.store_dir, key, sort_key=first,
             target_rows=self.target_rows, completed=self.completed,
@@ -975,6 +998,11 @@ def derive_column(store_dir: str, name: str, fn,
            (json.loads(x) for x in rec_ds.to_pandas()["record"].tolist())}
 
     ext_bytes = 0
+    # the records may be SHARED with manifest's parsed-shard cache; clear
+    # it before mutating in place (same invariant as alter_store) so a
+    # pre-derive snapshot read cannot see the mutated records
+    from .manifest import footer_cache_clear
+    footer_cache_clear()
     for b in blocks:
         r = new.get(b["block_id"])
         if r is None:
@@ -1041,6 +1069,8 @@ def build_bloom_index(store_dir: str, column: str,
     new = {r["block_id"]: r for r in
            (json.loads(x) for x in rec_ds.to_pandas()["record"].tolist())}
     total = 0
+    from .manifest import footer_cache_clear
+    footer_cache_clear()  # records may be shared with the shard cache
     for b in blocks:
         r = new.get(b["block_id"])
         if r is None:
@@ -1334,7 +1364,12 @@ def append_to_store(store_dir: str, input_path: str | list[str], *,
     return encode_dataset(
         input_path, store_dir, mode=mode, profile=profile,
         target_rows=target_rows, concurrency=concurrency,
-        block_ns=f"a{epoch:02d}-", base_records=base_records,
+        # '=' is a character _safe_key can never emit (percent-encoded in
+        # source names), so the epoch namespace cannot collide with a
+        # base-encode of a source literally named like "a01-web" — such a
+        # collision would atomically overwrite a LIVE referenced block
+        # file before the footer's duplicate-id tripwire fired
+        block_ns=f"a{epoch:02d}=", base_records=base_records,
         extra_footer={"append_epoch": epoch, **carry},
     )
 
@@ -1363,8 +1398,12 @@ def upsert_to_store(store_dir: str, input_path: str | list[str], *,
     f = append_to_store(store_dir, input_path, mode=mode, profile=profile,
                         target_rows=target_rows)
     return {"n_keys": len(delta_keys),
+            # ROWS tombstoned (can exceed matched keys when a key held
+            # several physical rows); inserted keys are bounded below at
+            # 0 — exact key-level accounting would need a distinct-key
+            # count inside the tombstone scan, not worth a second pass
             "n_replaced": d["n_deleted_new"],
-            "n_inserted": len(delta_keys) - d["n_deleted_new"],
+            "n_inserted": max(0, len(delta_keys) - d["n_deleted_new"]),
             # physical rows incl. tombstoned-but-unpurged replaced rows
             "n_rows_physical": f["n_rows"],
             "snapshot_id": f["snapshot_id"]}
@@ -1384,6 +1423,14 @@ def _pred_mask(filt_col, op: str, val):
     if op == "contains":
         arr = (filt_col.combine_chunks()
                if isinstance(filt_col, pa.ChunkedArray) else filt_col)
+        if arr.null_count:
+            # null list rows must read as empty for the row-scatter
+            # below: list_value_length yields null (int64 garbage through
+            # np.asarray) and flatten() DROPS null rows, so lengths and
+            # flat would misalign and set the mask on the WRONG rows
+            arr = pc.fill_null(arr, pa.scalar([], type=arr.type))
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
         lengths = np.asarray(pc.list_value_length(arr), dtype=np.int64)
         flat = np.asarray(arr.flatten())
         mask = np.zeros(len(arr), dtype=bool)
@@ -1487,8 +1534,17 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
                  if any(c not in (b.get("columns") or {}) for b in blocks)]
     # missing columns decode as TYPED nulls — the type comes from one
     # header probe of a donor block, so every task emits the same schema
-    fills = (_column_type_hints(store_dir, blocks, divergent)
-             if divergent else None)
+    if divergent:
+        try:
+            fills = _column_type_hints(store_dir, blocks, divergent)
+        except KeyError:
+            # the donor epoch may be entirely zone-pruned from `blocks`;
+            # probe the FULL block list before declaring the column
+            # unknown (a truly unknown column still raises here)
+            fills = _column_type_hints(
+                store_dir, load_blocks(store_dir, as_of=as_of), divergent)
+    else:
+        fills = None
     eff_columns = (columns if (columns is not None or not divergent)
                    else union_cols)
 
@@ -1787,6 +1843,22 @@ def compact_store(store_dir: str, *, target_rows: int | None = None,
                     keep[idx] = False
                     t = t.filter(pa.array(keep))
                 tables.append(t)
+            if len({tuple(t.schema.names) for t in tables}) > 1:
+                # mixed-epoch bin (schema evolution on append): normalize
+                # every member to the union schema with typed-null fills
+                # — pa.concat_tables inside _encode_tables_to_blocks
+                # rejects differing column sets/orders outright
+                order: list[str] = []
+                types: dict = {}
+                for t in tables:
+                    for f in t.schema:
+                        if f.name not in types:
+                            types[f.name] = f.type
+                            order.append(f.name)
+                tables = [pa.table({
+                    c: (t[c].cast(types[c]) if c in t.schema.names
+                        else pa.nulls(t.num_rows, types[c]))
+                    for c in order}) for t in tables]
             # 128-bit id: at 10^7-block scale a 32-bit crc would collide
             # (~birthday at 2^16 bins) and silently overwrite a merged block
             import hashlib
@@ -1915,11 +1987,17 @@ def recluster_store(store_dir: str, by: "str | list[str]", *,
         from .codecs.bitpack import warmup
         warmup()
         zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
+        if batch.num_rows == 0:  # all-tombstoned member decodes empty
+            return _records_table([])
         skey = "__z" if "__z" in batch.column_names else key0
+        # content mix disambiguates batches whose (first, last, count)
+        # coincide — guaranteed for any duplicate-heavy sort key (all-
+        # 'web' full batches), where first=last and count=target_rows
         digest = hashlib.blake2b(
             f"{batch[skey][0].as_py()}|"
             f"{batch[skey][batch.num_rows - 1].as_py()}|"
-            f"{batch.num_rows}".encode(), digest_size=16).hexdigest()
+            f"{batch.num_rows}|{_batch_mix(batch)[0]:016x}".encode(),
+            digest_size=16).hexdigest()
         if skey == "__z":
             batch = batch.drop_columns(["__z"])
         first = batch[key0][0].as_py()
@@ -2043,6 +2121,8 @@ def recluster_incremental(store_dir: str, by: str, *,
         from .codecs.bitpack import warmup
         warmup()
         zstd_mod.set_level(ENCODE_PROFILES[profile]["zstd_level"])
+        if batch.num_rows == 0:  # all-tombstoned member decodes empty
+            return _records_table([])
         keys = batch[by].to_pylist()
         # cut at every component upper bound that falls inside this batch
         cuts, lo = [0], bisect.bisect_left(uppers, keys[0])
@@ -2058,7 +2138,8 @@ def recluster_incremental(store_dir: str, by: str, *,
                 continue
             piece = batch.slice(a, b_ - a)
             digest = hashlib.blake2b(
-                f"{keys[a]}|{keys[b_ - 1]}|{piece.num_rows}".encode(),
+                f"{keys[a]}|{keys[b_ - 1]}|{piece.num_rows}|"
+                f"{_batch_mix(piece)[0]:016x}".encode(),
                 digest_size=16).hexdigest()
             recs += _encode_tables_to_blocks(
                 [piece], store_dir, f"rci-{digest}",
@@ -2131,7 +2212,11 @@ def export_sorted(store_dir: str, by: str, out_dir: str, *,
         cur_hi = stats[i]["max"]
     sio.makedirs(out_dir)
     tombs = list_tombstones(store_dir)
-    cols = (sorted(set(columns) | {by}) if columns is not None else None)
+    # honor the caller's column selection VERBATIM: the store is already
+    # clustered on `by` (asserted above), so the sort column is not
+    # needed internally — injecting it (and alphabetizing) would hand
+    # positional downstream readers an unrequested schema
+    cols = list(columns) if columns is not None else None
     items = [{"rank": r, "block_id": blocks[i]["block_id"],
               "rmap": json.dumps(_block_rmap(blocks[i])),
               "tomb": blocks[i]["block_id"] in tombs}

@@ -54,7 +54,7 @@ def test_append_union_bit_identical(ray_session, deliveries, tmp_path, mode):
     # every prior block survives the append verbatim
     assert before_ids <= set(after)
     new_ids = set(after) - before_ids
-    assert new_ids and all(i.startswith("a01-") for i in new_ids)
+    assert new_ids and all(i.startswith("a01=") for i in new_ids)
     assert f2["n_rows"] == f1["n_rows"] + pq.read_metadata(d2).num_rows
 
     src = pq.read_table(full)
@@ -77,7 +77,7 @@ def test_second_append_new_epoch(ray_session, deliveries, tmp_path):
     pq.write_table(t, d3)
     f3 = append_to_store(store, d3, mode="cluster", target_rows=500)
     assert f3["append_epoch"] == 2
-    assert any(b["block_id"].startswith("a02-") for b in f3["blocks"])
+    assert any(b["block_id"].startswith("a02=") for b in f3["blocks"])
     assert f3["n_rows"] == 4000 + t.num_rows
 
 
@@ -90,7 +90,7 @@ def test_append_retry_resumes_same_epoch(ray_session, deliveries, tmp_path):
     footer_before = load_footer(store)
 
     f2 = append_to_store(store, d2, mode="cluster", target_rows=500)
-    new_recs = [b for b in f2["blocks"] if b["block_id"].startswith("a01-")]
+    new_recs = [b for b in f2["blocks"] if b["block_id"].startswith("a01=")]
     assert new_recs
     # simulate the crash: restore the pre-append footer (blocks stay on disk)
     from howard_ray.manifest import write_footer
@@ -101,7 +101,7 @@ def test_append_retry_resumes_same_epoch(ray_session, deliveries, tmp_path):
     f2r = append_to_store(store, d2, mode="cluster", target_rows=500)
     assert f2r["append_epoch"] == 1  # same epoch, not 2
     retried = {b["block_id"]: b for b in f2r["blocks"]
-               if b["block_id"].startswith("a01-")}
+               if b["block_id"].startswith("a01=")}
     assert set(retried) == {b["block_id"] for b in new_recs}
     assert all(b.get("resumed") for b in retried.values())
 
