@@ -55,20 +55,42 @@ def _combine(col) -> pa.Array:
     return col
 
 
+def _exact_int_sum(vals: np.ndarray) -> int:
+    """Overflow-free zone-map sum: the int64 fast path wraps silently for
+    large magnitudes, and the wrapped value would be served as the ANSWER
+    by the metadata SUM()/AVG() pushdown — fall back to Python-int
+    summation whenever max|v| * n could reach 2^63."""
+    n = int(vals.size)
+    if n == 0:
+        return 0
+    bound = max(abs(int(vals.min())), abs(int(vals.max())))
+    if bound and n > (2 ** 62) // bound:
+        return int(vals.astype(object).sum())
+    return int(vals.sum(dtype=np.int64))
+
+
 def _encode_int_col(arr: pa.Array, codec: str | None) -> tuple[bytes, dict]:
     vals = np.asarray(arr)
     codec = codec or choose_int_codec(vals)
     payload, meta = encode_ints(vals, codec)
     entry = {"kind": "int", "meta": meta,
              "stats": {"min": int(vals.min()), "max": int(vals.max()),
-                       "sum": int(vals.sum(dtype=np.int64))}
+                       "sum": _exact_int_sum(vals)}
              if vals.size else {}}
     return payload, entry
 
 
 def _encode_str_col(arr: pa.Array, codec: str | None) -> tuple[bytes, dict]:
     codec = codec or choose_str_codec(arr)
-    payload, meta = encode_strings(arr, codec)
+    try:
+        payload, meta = encode_strings(arr, codec)
+    except Exception:
+        # the selector picks fsst from a ~1% sample; the FULL column can
+        # still lack free code bytes (FsstNotApplicable) — degrade to the
+        # always-valid plain codec instead of killing the encode task
+        if codec == "plain_str":
+            raise
+        payload, meta = encode_strings(arr, "plain_str")
     stats = {}
     if len(arr):
         mm = pc.min_max(arr)
@@ -85,7 +107,7 @@ def _encode_list_int_col(arr: pa.Array, codec: str | None) -> tuple[bytes, dict]
     vcodec = codec or choose_int_codec(values)
     p_val, m_val = encode_ints(values, vcodec)
     stats = {"min": int(values.min()), "max": int(values.max()),
-             "sum": int(values.sum(dtype=np.int64)),
+             "sum": _exact_int_sum(values),
              "n_values": int(values.size)} if values.size else {"n_values": 0}
     entry = {"kind": "list_int", "len_meta": m_len, "val_meta": m_val,
              "parts": [len(p_len), len(p_val)],
@@ -148,13 +170,21 @@ def encode_column(arr, codec: str | None = None) -> tuple[bytes, dict]:
     if (arr.null_count == 0 and (pa.types.is_list(t) or pa.types.is_large_list(t))
             and pa.types.is_integer(t.value_type)
             and arr.flatten().null_count == 0):
-        return _encode_list_int_col(arr, codec)
+        try:
+            return _encode_list_int_col(arr, codec)
+        except pa.lib.ArrowInvalid:
+            # large_list with > 2^31-1 flattened values cannot cast to
+            # 32-bit offsets — honest fallback, like any unsupported shape
+            return _encode_other_col(arr)
     if arr.null_count == 0 and pa.types.is_floating(t) and t.bit_width >= 32:
         return _encode_float_col(arr, codec)
     if (arr.null_count == 0 and (pa.types.is_list(t) or pa.types.is_large_list(t))
             and pa.types.is_floating(t.value_type) and t.value_type.bit_width >= 32
             and arr.flatten().null_count == 0):
-        return _encode_list_float_col(arr, codec)
+        try:
+            return _encode_list_float_col(arr, codec)
+        except pa.lib.ArrowInvalid:
+            return _encode_other_col(arr)
     return _encode_other_col(arr)
 
 
@@ -235,6 +265,8 @@ def decode_block(data: bytes, columns: list[str] | None = None) -> pa.Table:
 
 
 def read_block_meta(data: bytes) -> dict:
+    if data[:4] != MAGIC:
+        raise ValueError("bad block magic")
     meta_len = int.from_bytes(data[4:8], "little")
     return json.loads(data[8:8 + meta_len])
 

@@ -49,6 +49,13 @@ def _for_reduce(vals: np.ndarray):
         r = v - v.dtype.type(lo)     # native-width subtract, exact
     else:
         r = _as_i64(v) - np.int64(lo)
+    if lo >= 2 ** 63:
+        # uint64 reference above int64 range: store the WRAPPED int64
+        # residue — decode adds in int64 (mod 2^64) and the final
+        # astype back to uint64 restores the exact value; the unwrapped
+        # Python int would silently promote the decode add to float64
+        # and collapse every value to the rounded reference
+        lo -= 2 ** 64
     return r, lo, w
 
 
@@ -136,7 +143,8 @@ def _encode_for(vals: np.ndarray, meta: dict) -> bytes:
 
 def _decode_for(payload: bytes, meta: dict) -> np.ndarray:
     u = unpack_bits(payload, meta["n"], meta["width"])
-    return (u.view(np.int64) + meta["ref"])
+    with np.errstate(over="ignore"):  # mod-2^64 add for wrapped refs
+        return (u.view(np.int64) + np.int64(meta["ref"]))
 
 
 # --- frame of reference + byte-aligned cast (+ zstd post-compression) ---
@@ -164,7 +172,8 @@ def _encode_for_bytes(vals: np.ndarray, meta: dict) -> bytes:
 
 def _decode_for_bytes(payload: bytes, meta: dict) -> np.ndarray:
     u = np.frombuffer(payload, dtype=np.dtype(meta["cast"]))
-    return u.astype(np.int64) + meta["ref"]
+    with np.errstate(over="ignore"):  # mod-2^64 add for wrapped refs
+        return u.astype(np.int64) + np.int64(meta["ref"])
 
 
 # --- frame of reference + byte-PLANE split + per-plane zstd ---
@@ -231,7 +240,8 @@ def _decode_for_split(payload: bytes, meta: dict) -> np.ndarray:
         raw = zstd_decompress(chunk, raw_len) if z else chunk
         out[:, i] = np.frombuffer(raw, dtype=np.uint8)
     u = out.reshape(-1).view(dt)
-    return u.astype(np.int64) + meta["ref"]
+    with np.errstate(over="ignore"):  # mod-2^64 add for wrapped refs
+        return u.astype(np.int64) + np.int64(meta["ref"])
 
 
 # --- delta + zigzag + bitpack (sorted / smooth sequences, e.g. offsets) ---

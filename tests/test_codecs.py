@@ -171,3 +171,68 @@ def test_float_selector_and_block_kinds():
     kinds = {c: e["kind"] for c, e in meta["columns"].items()}
     assert kinds == {"vec_id": "int", "embedding": "list_float", "score": "float"}
     assert decode_block(data).equals(t)
+
+
+def test_uint64_frame_of_reference_roundtrip():
+    """uint64 values above 2^63 must round-trip bit-exact through every
+    FOR codec: the wrapped-int64 reference keeps the decode add in
+    mod-2^64 integer arithmetic (a Python-int reference silently promoted
+    the add to float64 and collapsed every value to the reference)."""
+    import numpy as np
+
+    from howard_ray.codecs import decode_ints, encode_ints
+
+    v = np.array([2**63 + 5, 2**63 + 1, 2**63 + 100, 2**64 - 1],
+                 dtype=np.uint64)
+    full = np.array([0, 2**64 - 1, 5], dtype=np.uint64)  # 64-bit span
+    for codec in ("for_bytes", "for_split", "for_bitpack"):
+        for arr in (v, full):
+            p, m = encode_ints(arr, codec)
+            d = decode_ints(p, m)
+            assert d.dtype == np.uint64 and (d == arr).all(), (codec, d)
+
+
+def test_zone_sum_overflow_free():
+    import numpy as np
+    import pyarrow as pa
+
+    from howard_ray.block import _exact_int_sum, encode_block, \
+        read_block_meta
+
+    assert _exact_int_sum(np.full(1000, 2**62, dtype=np.int64)) == \
+        1000 * 2**62
+    assert _exact_int_sum(np.array([2**63, 2**63 + 2],
+                                   dtype=np.uint64)) == 2**64 + 2
+    t = pa.table({"h": pa.array(np.array([2**63 + 5, 2**63 + 1],
+                                         dtype=np.uint64))})
+    b, _ = encode_block(t, "blk")
+    st = read_block_meta(b)["columns"]["h"]["stats"]
+    assert st["sum"] == 2**64 + 6
+
+
+def test_fsst_sample_divergence_falls_back():
+    """A column whose ~1% selector sample looks fsst-able but whose full
+    byte histogram lacks free code bytes must encode (plain fallback),
+    not crash the block task."""
+    import random
+
+    import pyarrow as pa
+
+    from howard_ray.block import decode_block, encode_block
+
+    rows = ["the quick brown fox jumps over the lazy dog " * 3] * 50000
+    rng = random.Random(7)
+    alpha = [chr(c) for c in range(33, 0x2FF) if chr(c).isprintable()]
+    for i in range(300):  # diversity OUTSIDE the middle sample window
+        rows[i] = "".join(rng.choice(alpha) for _ in range(400))
+    b, _ = encode_block(pa.table({"s": pa.array(rows)}), "blk")
+    assert decode_block(b)["s"].to_pylist() == rows
+
+
+def test_read_block_meta_checks_magic():
+    import pytest
+
+    from howard_ray.block import read_block_meta
+
+    with pytest.raises(ValueError, match="magic"):
+        read_block_meta(b"JUNKJUNKJUNKJUNK")
