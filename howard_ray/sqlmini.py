@@ -1443,12 +1443,24 @@ def _count_distinct(ds, group: list[str], col: str) -> pd.DataFrame:
     return pd.DataFrame({"__cd": [int(parts["__cd"].sum())]})
 
 
+def _like_mask(s, pattern: str, negate: bool = False):
+    """SQL LIKE over a pandas string Series (%/_ wildcards, anchored)."""
+    import re as _re
+    rx = "^" + "".join(
+        ".*" if ch == "%" else "." if ch == "_" else _re.escape(ch)
+        for ch in str(pattern)) + "$"
+    m = s.astype("string").str.match(rx, na=False)
+    return ~m if negate else m
+
+
 _HAVING_OPS = {
     "=": lambda s, v: s == v, "!=": lambda s, v: s != v,
     "<>": lambda s, v: s != v, "<": lambda s, v: s < v,
     "<=": lambda s, v: s <= v, ">": lambda s, v: s > v,
     ">=": lambda s, v: s >= v, "IN": lambda s, v: s.isin(list(v)),
     "ISNULL": lambda s, v: s.isna(), "NOTNULL": lambda s, v: s.notna(),
+    "LIKE": lambda s, v: _like_mask(s, v),
+    "NOTLIKE": lambda s, v: _like_mask(s, v, negate=True),
 }
 
 
@@ -1687,7 +1699,8 @@ def _store_metadata_answer(store_dir: str, plan: dict,
 
     from .manifest import load_footer
 
-    if plan["conds"] or plan["group"] or plan["having"]:
+    if plan["conds"] or plan["group"] or plan["having"] \
+            or plan.get("having_or"):
         return None
     items = plan["items"]
     if not items:
@@ -1820,7 +1833,8 @@ def _store_pushdown_aggregate(store_dir: str, plan: dict,
 
     from .manifest import load_footer
 
-    if plan["group"] or plan["having"] or not plan["conds"]:
+    if plan["group"] or plan["having"] or plan.get("having_or") \
+            or not plan["conds"]:
         return None
     items = plan["items"]
     if not items:
@@ -1870,11 +1884,14 @@ def _store_pushdown_aggregate(store_dir: str, plan: dict,
         else:
             partial_ids.add(b["block_id"])
 
-    # mergeable partials: n rows, per-col sum / min / max
+    # mergeable partials: n rows, per-col sum / non-null count / min / max
     n = sum(b["n_rows"] for b in all_blocks)
     sums = {c: sum(int(((b["columns"][c]) or {})["stats"]["sum"])
                    for b in all_blocks) if all_blocks else 0
             for c in need_sum}
+    # AVG divides by the NON-NULL input count, not the row count: blocks
+    # with published stats are null-free, decoded partials report counts
+    cnts = {c: n for c in need_sum}
     mins = {c: min((b["columns"][c]["stats"]["min"] for b in all_blocks),
                    default=None) for c in need_mm}
     maxs = {c: max((b["columns"][c]["stats"]["max"] for b in all_blocks),
@@ -1897,6 +1914,7 @@ def _store_pushdown_aggregate(store_dir: str, plan: dict,
                 if c in need_sum:
                     row[f"__s_{c}"] = [pc.sum(col).as_py() if b.num_rows
                                        else None]
+                    row[f"__c_{c}"] = [b.num_rows - col.null_count]
                 if c in need_mm:
                     mm = (pc.min_max(col) if b.num_rows
                           else {"min": pa.scalar(None), "max": pa.scalar(None)})
@@ -1912,6 +1930,7 @@ def _store_pushdown_aggregate(store_dir: str, plan: dict,
                 if len(s):
                     sums[c] += int(s.sum()) if s.dtype.kind in "iu" \
                         else float(s.sum())
+                cnts[c] += int(parts[f"__c_{c}"].sum())
             for c in need_mm:
                 lo = parts[f"__mn_{c}"].dropna()
                 hi = parts[f"__mx_{c}"].dropna()
@@ -1928,9 +1947,9 @@ def _store_pushdown_aggregate(store_dir: str, plan: dict,
         if agg == "COUNT":
             val = n
         elif agg == "SUM":
-            val = sums[col] if n else None
+            val = sums[col] if cnts[col] else None
         elif agg == "AVG":
-            val = sums[col] / n if n else None
+            val = sums[col] / cnts[col] if cnts[col] else None
         elif agg == "MIN":
             val = mins[col]
         else:
@@ -1963,7 +1982,8 @@ def _store_grouped_metadata_answer(store_dir: str, plan: dict,
 
     from .manifest import load_footer
 
-    if plan["conds"] or plan["having"] or len(plan["group"]) != 1:
+    if plan["conds"] or plan["having"] or plan.get("having_or") \
+            or len(plan["group"]) != 1:
         return None
     gcol = plan["group"][0]
     items = plan["items"]
@@ -1991,6 +2011,12 @@ def _store_grouped_metadata_answer(store_dir: str, plan: dict,
     need_sum = {it["arg"] for it in aggs if it["agg"] in ("SUM", "AVG")}
     need_mm = {it["arg"] for it in aggs if it["agg"] in ("MIN", "MAX")}
 
+    def _fresh():
+        return {"n": 0, "sum": dict.fromkeys(need_sum, 0),
+                "cnt": dict.fromkeys(need_sum, 0),
+                "min": dict.fromkeys(need_mm), "max": dict.fromkeys(need_mm)}
+
+    _NULLG = object()  # NULL-group sentinel: NaN != NaN as a dict key
     groups: dict = {}
     mixed = []
     for b in blocks:
@@ -2009,12 +2035,11 @@ def _store_grouped_metadata_answer(store_dir: str, plan: dict,
         if not ok:
             mixed.append(b["block_id"])
             continue
-        g = groups.setdefault(gst["min"], {
-            "n": 0, "sum": dict.fromkeys(need_sum, 0),
-            "min": dict.fromkeys(need_mm), "max": dict.fromkeys(need_mm)})
+        g = groups.setdefault(gst["min"], _fresh())
         g["n"] += b["n_rows"]
         for c in need_sum:
             g["sum"][c] += int(cols[c]["stats"]["sum"])
+            g["cnt"][c] += b["n_rows"]  # stats imply a null-free codec
         for c in need_mm:
             st = cols[c]["stats"]
             g["min"][c] = st["min"] if g["min"][c] is None \
@@ -2023,7 +2048,11 @@ def _store_grouped_metadata_answer(store_dir: str, plan: dict,
                 else max(g["max"][c], st["max"])
 
     if mixed:
-        # straddling blocks: decode only them and fold real rows in
+        # straddling blocks: decode only them and fold real rows in.
+        # SQL semantics preserved (these blocks may carry nulls, which is
+        # often WHY they lack stats): the NULL group survives
+        # (dropna=False), SUM/AVG skip null inputs via per-column
+        # non-null counts, all-null folds stay NULL
         from .pipeline import decode_store
         agg_cols = sorted(need_sum | need_mm)
         ds = decode_store(store_dir, columns=sorted({gcol, *agg_cols}),
@@ -2032,10 +2061,11 @@ def _store_grouped_metadata_answer(store_dir: str, plan: dict,
         def part(b: pa.Table) -> pa.Table:
             df = b.to_pandas()
             rows = []
-            for gval, sub in df.groupby(gcol):
+            for gval, sub in df.groupby(gcol, dropna=False):
                 r = {"__g": gval, "__n": len(sub)}
                 for c in need_sum:
-                    r[f"__s_{c}"] = sub[c].sum()
+                    r[f"__s_{c}"] = sub[c].sum(min_count=1)
+                    r[f"__c_{c}"] = int(sub[c].count())
                 for c in need_mm:
                     r[f"__mn_{c}"] = sub[c].min()
                     r[f"__mx_{c}"] = sub[c].max()
@@ -2046,29 +2076,42 @@ def _store_grouped_metadata_answer(store_dir: str, plan: dict,
 
         parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
         for _, r in parts.iterrows():
-            g = groups.setdefault(r["__g"], {
-                "n": 0, "sum": dict.fromkeys(need_sum, 0),
-                "min": dict.fromkeys(need_mm), "max": dict.fromkeys(need_mm)})
+            key = _NULLG if pd.isna(r["__g"]) else r["__g"]
+            g = groups.setdefault(key, _fresh())
             g["n"] += int(r["__n"])
             for c in need_sum:
-                g["sum"][c] += r[f"__s_{c}"]
+                v = r[f"__s_{c}"]
+                if not pd.isna(v):
+                    g["sum"][c] += v
+                g["cnt"][c] += int(r[f"__c_{c}"])
             for c in need_mm:
                 for k, fn in (("min", min), ("max", max)):
                     v = r[f"__m{'n' if k == 'min' else 'x'}_{c}"]
+                    if pd.isna(v):
+                        continue
                     g[k][c] = v if g[k][c] is None else fn(g[k][c], v)
 
     rows_out = []
-    for gval in sorted(groups):
-        g = groups[gval]
+    ordered = sorted(k for k in groups if k is not _NULLG)
+    if _NULLG in groups:
+        ordered.append(_NULLG)  # NULL group sorts last (pandas/DuckDB)
+    for gkey in ordered:
+        g = groups[gkey]
+        gval = None if gkey is _NULLG else gkey
         row = {}
         for it in items:
             if not it["agg"]:
-                row[it["alias"]] = gval
+                # the group item may carry ROUND(col, nd)
+                row[it["alias"]] = (_sql_round(float(gval), it["nd"])
+                                    if it["nd"] is not None
+                                    and gval is not None else gval)
                 continue
             agg, col = it["agg"], it["arg"]
             val = (g["n"] if agg == "COUNT"
-                   else g["sum"][col] if agg == "SUM"
-                   else g["sum"][col] / g["n"] if agg == "AVG"
+                   else (g["sum"][col] if g["cnt"][col] else None)
+                   if agg == "SUM"
+                   else (g["sum"][col] / g["cnt"][col]
+                         if g["cnt"][col] else None) if agg == "AVG"
                    else g["min"][col] if agg == "MIN" else g["max"][col])
             if it["nd"] is not None and val is not None:
                 val = _sql_round(float(val), it["nd"])
@@ -2095,7 +2138,8 @@ def _topk_candidates(sf_dir: str, plan: dict,
     survives WHERE-conjunct pruning. Returns (key, desc, candidates) with
     candidates ordered by the key's block min (ASC) / max (DESC), or None."""
     if plan["limit"] is None or not plan["order"] or plan["group"] \
-            or plan["having"] or any(it["agg"] for it in plan["items"]):
+            or plan["having"] or plan.get("having_or") \
+            or any(it["agg"] for it in plan["items"]):
         return None
     if any(not it["col"] for it in plan["items"]):
         return None
@@ -2183,8 +2227,8 @@ def _store_order_limit_scan(sf_dir: str, plan: dict,
     if not frames:
         return pd.DataFrame({it["alias"]: [] for it in plan["items"]})
     out = pd.concat(frames, ignore_index=True)
-    out = out.rename(columns={it["col"]: it["alias"]
-                              for it in plan["items"]})[out_cols]
+    out = pd.DataFrame({it["alias"]: out[it["col"]]
+                        for it in plan["items"]})
     for it in plan["items"]:
         if it["nd"] is not None:
             out[it["alias"]] = out[it["alias"]].astype(float).pipe(_sql_round, it["nd"])
@@ -2202,7 +2246,10 @@ def explain_sql(sf_dir: str, sql: str,
     plan = _expand_star(sf_dir, parse(sql))
     if plan.get("select_distinct"):
         # mirror run_sql's rewrite so the reported plan is the real one
-        plan = dict(plan, group=[it["col"] for it in plan["items"]])
+        # (expression items have col=None: group on the alias, as run_sql
+        # does — None would crash _needed_columns' sort)
+        plan = dict(plan, group=[it["col"] or it["alias"]
+                                 for it in plan["items"]])
     out: dict = {"table": plan["table"],
                  "joins": [dict(j) for j in plan["joins"]],
                  "columns": _needed_columns(plan),
@@ -2252,7 +2299,7 @@ def explain_sql(sf_dir: str, sql: str,
                         if it["agg"] or not plan["group"])
                 and all(c["op"] in ("=", "<", "<=", ">", ">=", "IN")
                         for c in plan["conds"])
-                and not plan["having"])
+                and not plan["having"] and not plan.get("having_or"))
     tomb_dir = os.path.join(sf_dir, "tombstones")
     has_tombs = os.path.isdir(tomb_dir) and any(
         f.endswith(".tmb") for f in os.listdir(tomb_dir))
@@ -2347,6 +2394,13 @@ def _win_sortkey(col: "pa.ChunkedArray", desc: bool) -> np.ndarray:
         # int cast so nulls stay null and land as NaN below
         col = col.cast(pa.int64() if t.bit_width == 64 else pa.int32())
         t = col.type
+    if pa.types.is_integer(t) and col.null_count == 0:
+        # exact: a float64 round-trip would merge keys differing only
+        # beyond 2^53 into RANGE-frame peers; ~x is an exact monotonic
+        # reversal for DESC (no -x overflow at int64 min)
+        xi = (col.combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        return np.invert(xi) if desc else xi
     if pa.types.is_integer(t) or pa.types.is_floating(t):
         x = col.to_pandas().to_numpy(dtype="float64", na_value=np.nan)
     else:
@@ -2431,7 +2485,9 @@ def _run_windowed(plan: dict, ds, size_hint: int = 0) -> pd.DataFrame:
         if n == 0:
             for alias, win, col, nd in out_specs:
                 if win is None:
-                    res[alias] = g[col].combine_chunks()
+                    res[alias] = (pa.array([], type=pa.float64())
+                                  if nd is not None
+                                  else g[col].combine_chunks())
                     continue
                 fn = win["fn"]
                 if fn in ("ROW_NUMBER", "RANK", "COUNT"):
@@ -2499,7 +2555,12 @@ def _run_windowed(plan: dict, ds, size_hint: int = 0) -> pd.DataFrame:
 
         for alias, win, col, nd in out_specs:
             if win is None:
-                res[alias] = g[col].combine_chunks()
+                colv = g[col].combine_chunks()
+                if nd is not None:  # ROUND on a plain item in a window
+                    colv = pa.array(_sql_round(
+                        colv.to_pandas().to_numpy(dtype="float64",
+                                                  na_value=np.nan), nd))
+                res[alias] = colv
                 continue
             okeys = tuple(win["order"])
             order, inv, seg_start, seg_end, b_peer = sorted_ctx(okeys)
@@ -2690,8 +2751,10 @@ def _split_union(sql: str):
         elif ch == ")":
             depth -= 1
         elif depth == 0 and up.startswith("UNION", i) \
-                and (i == 0 or not sql[i - 1].isalnum()) \
-                and not (sql[i + 5:i + 6].isalnum()):
+                and (i == 0 or not (sql[i - 1].isalnum()
+                                    or sql[i - 1] == "_")) \
+                and not (sql[i + 5:i + 6].isalnum()
+                         or sql[i + 5:i + 6] == "_"):
             m = re.match(r"UNION(\s+ALL)?\s", up[i:])
             if m:
                 parts.append(sql[start:i].strip())
@@ -3324,9 +3387,10 @@ def run_sql(sf_dir: str, sql: str,
                 cols[c] = pd.Series([], dtype=dt) if dt is not None \
                     else pd.Series([], dtype=object)
             out = pd.DataFrame(cols)
-        out = out.rename(columns={it["col"]: it["alias"]
-                                  for it in plan["items"] if it["col"]})
-        out = out[[it["alias"] for it in plan["items"]]]
+        out = pd.DataFrame({
+            it["alias"]: out[it["col"] if it["col"] in out.columns
+                             else it["alias"]]
+            for it in plan["items"]})
 
     # ROUND on plain (non-aggregate) columns — agg rounding handled above
     for it in plan["items"]:
