@@ -54,6 +54,17 @@ def hash_values(col) -> np.ndarray:
         # DISTINCT list VALUES (e.g. distinct token ids), probed by the
         # decode path's 'contains' predicate with scalar token ids
         col = col.flatten().unique()
+    if col.null_count:
+        # drop nulls BEFORE numeric conversion: to_numpy on a nullable
+        # int column round-trips through float64, so values above 2^53
+        # would hash differently at build than at probe — a FALSE
+        # NEGATIVE that wrongly prunes a block containing the value
+        # (nulls themselves never match an ==/IN probe, so dropping
+        # them from the filter is exact)
+        import pyarrow.compute as pc
+        col = pc.drop_null(col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
     if pa.types.is_integer(col.type):
         vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pd.util.hash_array(vals.astype(np.int64), categorize=False)

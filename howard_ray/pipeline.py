@@ -1711,7 +1711,8 @@ def decode_store(store_dir: str, columns: list[str] | None = None,
 
 def read_changes(store_dir: str, since_snapshot: int,
                  columns: list[str] | None = None,
-                 predicate: "tuple | list | None" = None
+                 predicate: "tuple | list | None" = None,
+                 until_snapshot: int | None = None
                  ) -> ray.data.Dataset:
     """Incremental change feed (the Iceberg incremental-consumer read): a
     lazy Dataset of exactly the rows ADDED to the store after retained
@@ -1729,7 +1730,10 @@ def read_changes(store_dir: str, since_snapshot: int,
     a valid feed between consecutive snapshots."""
     old_ids = {b["block_id"] for b in load_blocks(store_dir,
                                                   as_of=since_snapshot)}
-    live = load_blocks(store_dir)
+    # until_snapshot pins the feed's upper bound (consumers record the
+    # snapshot they fold; an unpinned live read double-counts an append
+    # landing between the consumer's footer read and this diff)
+    live = load_blocks(store_dir, as_of=until_snapshot)
     live_ids = {b["block_id"] for b in live}
     removed = old_ids - live_ids
     if removed:
@@ -1739,7 +1743,7 @@ def read_changes(store_dir: str, since_snapshot: int,
             f"alter); re-baseline the consumer from a full scan")
     new_ids = live_ids - old_ids
     return decode_store(store_dir, columns=columns, block_ids=new_ids,
-                        predicate=predicate)
+                        predicate=predicate, as_of=until_snapshot)
 
 
 def compact_store(store_dir: str, *, target_rows: int | None = None,

@@ -93,16 +93,32 @@ def join_clustered(store_a: str, store_b: str, key_a: str,
 
     tombs_a = list_tombstones(store_a)
     tombs_b = list_tombstones(store_b)
-    # plan: per A block, the B blocks whose key range intersects — sweep
-    # over B sorted by min (metadata only)
+    # plan: per A block, the B blocks whose key range intersects — a real
+    # sweep over B sorted by min: bisect to the first candidate via the
+    # prefix-max of B ends (blocks with pmax_end < lo can never reach
+    # lo), stop once rlo > hi. O((|A| + pairs) log |B|) metadata work —
+    # a full per-A scan of B is quadratic at the 10^5-block scale this
+    # module targets
+    import bisect as _bisect
     bb_sorted = sorted(bb, key=lambda t: (t[0], t[1]))
+    b_mins = [t[0] for t in bb_sorted]
+    pmax_end: list = []
+    cur = None
+    for _, rhi, _rb in bb_sorted:
+        cur = rhi if cur is None else max(cur, rhi)
+        pmax_end.append(cur)
     items, n_pairs = [], 0
     for lo, hi, b in ba:
-        matches = [(rb["block_id"],
-                    json.dumps(_block_rmap(rb)),
-                    rb["block_id"] in tombs_b)
-                   for rlo, rhi, rb in bb_sorted
-                   if not (rhi < lo or rlo > hi)]
+        start = _bisect.bisect_left(pmax_end, lo)
+        matches = []
+        for rlo, rhi, rb in bb_sorted[start:]:
+            if rlo > hi:
+                break
+            if rhi < lo:
+                continue
+            matches.append((rb["block_id"],
+                            json.dumps(_block_rmap(rb)),
+                            rb["block_id"] in tombs_b))
         if not matches:
             continue  # inner join: no intersecting range, no rows
         n_pairs += len(matches)

@@ -355,6 +355,8 @@ def write_vcf(ds: ray.data.Dataset, path: str, header: VCFHeader,
                                                 batch_format="pyarrow")
                  .to_pandas())
         write_hdr_sidecar(path, header)
+        if "n_rows" not in stats.columns:  # empty dataset: 0-column frame
+            return {"path": path, "shards": 0, "n_rows": 0}
         return {"path": path, "shards": len(stats),
                 "n_rows": int(stats["n_rows"].sum())}
 
@@ -362,7 +364,7 @@ def write_vcf(ds: ray.data.Dataset, path: str, header: VCFHeader,
     tmp = path + ".tmp"
     n = 0
     raw = open(tmp, "wb")
-    f = BGZFWriter(raw) if gz else io.TextIOWrapper(raw)
+    f = BGZFWriter(raw) if gz else io.TextIOWrapper(raw, encoding="utf-8")
     upos = len(hdr_text.encode())
     chrom_upos: dict[str, int] = {}   # chrom -> uncompressed start offset
     with f:
@@ -410,7 +412,11 @@ def read_vcf_region(path: str, chrom: str) -> pa.Table:
     names = CORE_COLS + (["format"] + header.samples if header.samples else [])
     with open(path + ".cidx.json") as f:
         idx = json.load(f)
-    empty = pa.table({n: pa.array([], pa.string()) for n in names})
+    # typed empty: the non-empty path emits pos=int64 / qual=float64, and
+    # a string-typed empty breaks concat with non-empty region tables
+    empty = pa.table({n: pa.array([], pa.int64() if n == "pos"
+                                  else pa.float64() if n == "qual"
+                                  else pa.string()) for n in names})
     if chrom not in idx:
         return empty
     voff = int(idx[chrom])
@@ -441,7 +447,10 @@ def read_vcf_region(path: str, chrom: str) -> pa.Table:
                     done = True
                     break
                 kept.append(line)
-    if buf and not kept and buf.startswith(want):
+    if buf and not done and buf.startswith(want):
+        # final line without a trailing newline — salvage it whether or
+        # not earlier lines were kept (the old `not kept` guard dropped
+        # the LAST row of the last chrom in no-trailing-newline files)
         kept.append(buf)
     if not kept:
         return empty

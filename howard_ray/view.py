@@ -74,13 +74,19 @@ def _needed_columns(group_by: list[str], aggs: dict,
 def _partial(group_by: list[str], plan: list[tuple]):
     """Per-batch partial aggregate (runs inside map_batches)."""
     def part(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(group_by, sort=False)
+        # dropna=False + sum(min_count=1): SQL semantics — the NULL group
+        # survives and an all-null SUM stays NULL, matching the engine's
+        # grouped paths (sqlmini) so read_view never disagrees with the
+        # same GROUP BY through run_sql
+        g = b.groupby(group_by, sort=False, dropna=False)
         out = g.size().rename("__rows").to_frame()
         for name, col, op in plan:
             if op == "count":
                 out[name] = g.size()
             elif op == "count_nonnull":
                 out[name] = g[col].count()
+            elif op == "sum":
+                out[name] = g[col].sum(min_count=1)
             else:
                 out[name] = g[col].agg(op)
         return out.reset_index()
@@ -93,8 +99,10 @@ def _fold(parts: pd.DataFrame, group_by: list[str],
     / a delta) — the same op folds every level, so refresh composes."""
     how = {"__rows": "sum"}
     for name, _, op in plan:
-        how[name] = op if op in ("min", "max") else "sum"
-    return (parts.groupby(group_by, sort=False, as_index=False)
+        how[name] = (op if op in ("min", "max")
+                     else (lambda s: s.sum(min_count=1)))
+    return (parts.groupby(group_by, sort=False, as_index=False,
+                          dropna=False)
             .agg(how))
 
 
@@ -163,7 +171,8 @@ def create_view(store_dir: str, view_dir: str, group_by: list[str],
     footer = load_footer(store_dir)
     ds = decode_store(store_dir,
                       columns=_needed_columns(group_by, aggs, where),
-                      predicate=[tuple(c) for c in where] or None)
+                      predicate=[tuple(c) for c in where] or None,
+                      as_of=footer["snapshot_id"])
     folded = _aggregate_dataset(ds, group_by, plan)
     state = {"store": os.path.abspath(store_dir), "group_by": group_by,
              "aggs": {k: list(v) for k, v in aggs.items()},
@@ -207,14 +216,16 @@ def refresh_view(view_dir: str) -> dict:
             delta = read_changes(store, state["snapshot_id"],
                                  columns=_needed_columns(group_by, aggs,
                                                          where),
-                                 predicate=where or None)
+                                 predicate=where or None,
+                                 until_snapshot=footer["snapshot_id"])
             dp = _aggregate_dataset(delta, group_by, plan)
         except (ValueError, FileNotFoundError):
             mode = "rebaseline"  # rewrite between snapshots / expired base
     if mode == "rebaseline":
         ds = decode_store(store,
                           columns=_needed_columns(group_by, aggs, where),
-                          predicate=where or None)
+                          predicate=where or None,
+                          as_of=footer["snapshot_id"])
         folded = _aggregate_dataset(ds, group_by, plan)
         delta_rows = int(folded["__rows"].sum()) if len(folded) else 0
     else:

@@ -187,3 +187,15 @@ def test_token_presence_contains(ray_session, tmp_path):
     assert decode_store(st, columns=["doc_id"],
                         predicate=("tokens", "contains",
                                    49_000)).count() == 0
+
+
+def test_bloom_nullable_bigint_no_false_negative():
+    """Nulls in the indexed column must not push big ints through float64
+    (hash mismatch = false negative = wrongly pruned block)."""
+    import pyarrow as pa
+
+    from howard_ray.bloom import build_filter, maybe_contains
+
+    f = build_filter(pa.array([2**53 + 1, 5, None], type=pa.int64()))
+    assert maybe_contains(f, [2**53 + 1])
+    assert maybe_contains(f, [5])

@@ -154,3 +154,35 @@ def test_filtered_view(ray_session, tmp_path):
                 where=[("n_tok", ">", 10**9)])
     assert len(read_view(vw2)) == 0
     assert refresh_view(vw2)["mode"] == "noop"
+
+
+def test_view_null_group_matches_sql_semantics(ray_session, tmp_path):
+    """NULL group keys survive and all-null SUM stays NULL — the view
+    must agree with the engine's GROUP BY (and DuckDB)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from howard_ray.pipeline import encode_dataset
+    from howard_ray.view import create_view, read_view
+
+    n = 200
+    src = [None if i % 4 == 0 else f"s{i % 2}" for i in range(n)]
+    val = [None if i % 4 == 0 else float(i % 9) for i in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(src), "v": pa.array(val, type=pa.float64())}),
+        str(tmp_path / "d.parquet"))
+    st = str(tmp_path / "store")
+    encode_dataset(str(tmp_path / "d.parquet"), st, mode="cluster",
+                   target_rows=100, resume=False)
+    vd = str(tmp_path / "view")
+    create_view(st, vd, ["source"], {"n": ("count",), "sv": ("sum", "v")})
+    out = read_view(vd).sort_values("source", na_position="last") \
+        .reset_index(drop=True)
+    assert len(out) == 3                       # s0, s1 AND the NULL group
+    null_row = out[out["source"].isna()]
+    assert len(null_row) == 1
+    assert int(null_row["n"].iloc[0]) == n // 4
+    assert pd.isna(null_row["sv"].iloc[0])     # all-null SUM stays NULL
