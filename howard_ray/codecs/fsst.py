@@ -95,16 +95,37 @@ def fsst_encode(strings: "np.ndarray | list[bytes]", post_zstd: bool = True) -> 
 
     ``strings`` is a list/array of ``bytes`` (call ``.encode()`` upstream for
     str). Raises :class:`FsstNotApplicable` when <24 free code bytes exist.
-    """
+    Thin wrapper over :func:`fsst_encode_buffers` (the vectorized
+    offsets+values form the block layer uses)."""
     items = [s if isinstance(s, bytes) else s.encode("utf-8") for s in strings]
-    meta: dict = {"codec": "fsst", "n": len(items)}
-    data_all = b"".join(items)
-    free = _free_bytes(data_all)
+    off = np.zeros(len(items) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in items], out=off[1:])
+    return fsst_encode_buffers(off, b"".join(items), post_zstd=post_zstd)
+
+
+def fsst_encode_buffers(off: np.ndarray, data: bytes,
+                        post_zstd: bool = True) -> tuple[bytes, dict]:
+    """Buffer-level encode: ``off`` (n+1 offsets) + ``data`` (the
+    concatenated values buffer, exactly Arrow's layout). The sep-joined
+    stream is built with ONE numpy scatter (each data byte shifts right
+    by its row index) — no per-row Python bytes objects."""
+    n = len(off) - 1
+    meta: dict = {"codec": "fsst", "n": n}
+    free = _free_bytes(data)
     if free.size < 24:
         raise FsstNotApplicable(f"only {free.size} free code bytes")
     sep = int(free[0])
     code_pool = [int(b) for b in free[1:]]
-    joined = bytes([sep]).join(items)
+    if n <= 1:
+        joined = data
+    else:
+        u8 = np.frombuffer(data, dtype=np.uint8)
+        lens = np.diff(np.asarray(off, dtype=np.int64))
+        out = np.full(len(u8) + n - 1, sep, dtype=np.uint8)
+        out_idx = (np.arange(len(u8), dtype=np.int64)
+                   + np.repeat(np.arange(n, dtype=np.int64), lens))
+        out[out_idx] = u8
+        joined = out.tobytes()
 
     sample = joined[:SAMPLE_BYTES]
     symbols = _candidate_symbols(sample, sep)[: len(code_pool)]
@@ -124,12 +145,18 @@ def fsst_encode(strings: "np.ndarray | list[bytes]", post_zstd: bool = True) -> 
     return payload, meta
 
 
-def fsst_decode(payload: bytes, meta: dict) -> list[bytes]:
+def fsst_expand(payload: bytes, meta: dict) -> bytes:
+    """Symbol expansion only: the sep-joined plaintext stream (sep and
+    code bytes are free bytes, so neither occurs in the content)."""
     payload = maybe_post_decompress(payload, meta)
-    n = meta["n"]
-    if n == 0:
-        return []
     data = payload
     for s64, code in reversed(meta["symbols"]):
         data = data.replace(bytes([code]), base64.b64decode(s64))
-    return data.split(bytes([meta["sep"]]))
+    return data
+
+
+def fsst_decode(payload: bytes, meta: dict) -> list[bytes]:
+    n = meta["n"]
+    if n == 0:
+        return []
+    return fsst_expand(payload, meta).split(bytes([meta["sep"]]))

@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .intcodecs import decode_ints, encode_ints
-from .fsst import fsst_decode, fsst_encode
+from .fsst import fsst_decode, fsst_encode, fsst_encode_buffers, fsst_expand
 from .zstd import maybe_post_compress, maybe_post_decompress
 
 STR_CODECS = ("plain_str", "dict_str", "fsst")
@@ -48,9 +48,7 @@ def encode_strings(arr, codec: str, post_zstd: bool = True) -> tuple[bytes, dict
     arr = _to_arrow_str(arr)
     if codec == "fsst":
         off, data = _str_buffers(arr)  # validates non-null
-        lens = np.diff(off)
-        items = [data[int(o): int(o + l)] for o, l in zip(off[:-1], lens)]
-        return fsst_encode(items, post_zstd=post_zstd)
+        return fsst_encode_buffers(off, data, post_zstd=post_zstd)
     meta: dict = {"codec": codec, "n": len(arr)}
     if codec == "plain_str":
         off, data = _str_buffers(arr)
@@ -81,8 +79,28 @@ def encode_strings(arr, codec: str, post_zstd: bool = True) -> tuple[bytes, dict
 def decode_strings(payload: bytes, meta: dict) -> pa.Array:
     codec = meta["codec"]
     if codec == "fsst":
-        items = fsst_decode(payload, meta)
-        return pa.array([b.decode("utf-8") for b in items], type=pa.string())
+        n = meta["n"]
+        if n == 0:
+            return pa.array([], type=pa.string())
+        data = fsst_expand(payload, meta)
+        # buffer-level split: sep is a free byte (never in content), so
+        # its positions ARE the row boundaries — offsets by subtraction,
+        # values by one boolean gather; no per-row Python bytes/str
+        u8 = np.frombuffer(data, dtype=np.uint8)
+        keep = u8 != np.uint8(meta["sep"])
+        n_sep = int(len(u8) - keep.sum())
+        if n_sep != n - 1:  # defensive: corrupt stream
+            items = fsst_decode(payload, meta)
+            return pa.array([b.decode("utf-8") for b in items],
+                            type=pa.string())
+        sep_pos = np.flatnonzero(~keep)
+        offs = np.empty(n + 1, dtype=np.int32)
+        offs[0] = 0
+        offs[1:-1] = (sep_pos - np.arange(n_sep)).astype(np.int32)
+        offs[-1] = np.int32(len(u8) - n_sep)
+        return pa.StringArray.from_buffers(
+            n, pa.py_buffer(offs.tobytes()),
+            pa.py_buffer(u8[keep].tobytes()))
     payload = maybe_post_decompress(payload, meta)
     if codec == "plain_str":
         n1, _ = meta["parts"]
